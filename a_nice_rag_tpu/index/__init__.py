@@ -1,0 +1,24 @@
+"""HBM-resident array index: the framework's storage layer.
+
+Replaces the reference's L1/L2 layers (SQLite chunk DBs decoded row-by-row
+into pandas DataFrames + pickled rank_bm25 index; ``src/database_manager.py``)
+with one columnar artifact uploaded to device memory once:
+
+* per-embedding-model dense matrix ``[N_pad, D]`` (unit-norm),
+* CSR "eager impact" BM25 postings (:class:`~a_nice_rag_tpu.ops.bm25.Bm25Arrays`),
+* host-side metadata tables (ids, sources, contents, urls) and cached
+  filename-type filter masks.
+"""
+
+from a_nice_rag_tpu.index.array_index import (  # noqa: F401
+    ArrayIndex,
+    CorpusMeta,
+    build_index,
+    build_bm25_arrays,
+)
+from a_nice_rag_tpu.index.io import (  # noqa: F401
+    save_index,
+    load_index,
+    load_reference_chunk_db,
+    load_reference_query_db,
+)

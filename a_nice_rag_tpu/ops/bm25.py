@@ -1,0 +1,133 @@
+"""BM25 Okapi scoring as a jitted gather/scatter kernel.
+
+Replaces ``rank_bm25.BM25Okapi.get_scores`` (reference hot loop at
+``src/search_engine.py:219``). Numerics follow the Okapi variant the
+reference shipped (``src/processing/bm25_search.py:45-79``):
+
+    idf(t)   = ln((N - df + 0.5) / (df + 0.5)); negative idfs floored to
+               epsilon * mean(idf)   (rank_bm25's epsilon rule)
+    score(d) = sum_t idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+TPU design ("eager impact scoring"): because (k1, b, dl, avgdl, idf) are all
+fixed at index-build time, the full per-(term, doc) impact
+``idf*tf*(k1+1)/(tf+K_d)`` is precomputed into a CSR postings structure.
+Query scoring is then a pure flattened gather of at most
+``postings_budget`` impact values followed by one scatter-add over the
+document axis — no per-term Python loop, fully static shapes, vmap-able
+over query batches.
+
+Repeated query terms contribute once per occurrence, matching rank_bm25's
+per-occurrence summation. Out-of-vocabulary terms are mapped to id -1 by
+the vocab lookup and contribute nothing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from a_nice_rag_tpu.ops.topk import masked_top_k
+
+
+@struct.dataclass
+class Bm25Arrays:
+    """Device-resident CSR postings with precomputed impact scores.
+
+    indptr:  [V + 1] int32 — postings offsets per term id.
+    doc_ids: [nnz + 1] int32 — document row per posting; the final
+             sentinel slot points at the dump row ``n_docs_padded``.
+    impact:  [nnz + 1] float32 — precomputed BM25 impact per posting;
+             sentinel slot is 0.
+    n_docs_padded: static — padded document-axis length (scatter target).
+    """
+
+    indptr: jax.Array
+    doc_ids: jax.Array
+    impact: jax.Array
+    n_docs_padded: int = struct.field(pytree_node=False)
+
+    @property
+    def nnz(self) -> int:
+        return self.doc_ids.shape[0] - 1
+
+    @property
+    def vocab_size(self) -> int:
+        return self.indptr.shape[0] - 1
+
+
+def _flat_postings_indices(
+    indptr: jax.Array,
+    q_terms: jax.Array,
+    budget: int,
+    sentinel: int,
+) -> jax.Array:
+    """Indices into the flat postings arrays for one query.
+
+    q_terms: [T] int32 term ids, -1 = padding/OOV. Produces [budget] gather
+    indices: the concatenation of each query term's postings range, padded
+    with ``sentinel`` (which addresses the zero-impact dump slot).
+    """
+    valid = q_terms >= 0
+    t = jnp.where(valid, q_terms, 0)
+    starts = indptr[t]
+    dfs = jnp.where(valid, indptr[t + 1] - starts, 0)
+    cum = jnp.cumsum(dfs)
+    total = cum[-1]
+    p = jnp.arange(budget, dtype=jnp.int32)
+    seg = jnp.searchsorted(cum, p, side="right")
+    seg = jnp.clip(seg, 0, q_terms.shape[0] - 1)
+    prev = jnp.where(seg > 0, cum[seg - 1], 0)
+    g = starts[seg] + (p - prev)
+    return jnp.where(p < total, g, sentinel)
+
+
+def _bm25_scores_single(
+    bm25: Bm25Arrays, q_terms: jax.Array, budget: int
+) -> jax.Array:
+    g = _flat_postings_indices(bm25.indptr, q_terms, budget, bm25.nnz)
+    ids = bm25.doc_ids[g]
+    vals = bm25.impact[g]
+    scores = jnp.zeros(bm25.n_docs_padded + 1, dtype=vals.dtype).at[ids].add(vals)
+    return scores[: bm25.n_docs_padded]
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def bm25_scores(
+    bm25: Bm25Arrays,
+    q_terms: jax.Array,
+    budget: int = 16384,
+) -> jax.Array:
+    """BM25 scores [B, N_pad] for a batch of term-id queries [B, T].
+
+    ``budget`` is the static per-query flattened-postings budget; postings
+    beyond it are dropped (choose it >= the corpus's realistic worst case —
+    see :func:`postings_required`).
+    """
+    return jax.vmap(lambda q: _bm25_scores_single(bm25, q, budget))(q_terms)
+
+
+@partial(jax.jit, static_argnames=("k", "budget"))
+def bm25_top_k(
+    bm25: Bm25Arrays,
+    q_terms: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    budget: int = 16384,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused BM25 scoring + masked top-k. Returns ([B, k], [B, k])."""
+    scores = bm25_scores(bm25, q_terms, budget)
+    if mask is not None:
+        scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    return masked_top_k(scores, k)
+
+
+def postings_required(bm25: Bm25Arrays, q_terms: jax.Array) -> jax.Array:
+    """Total postings each query would touch — for budget validation [B]."""
+    valid = q_terms >= 0
+    t = jnp.where(valid, q_terms, 0)
+    dfs = jnp.where(valid, bm25.indptr[t + 1] - bm25.indptr[t], 0)
+    return dfs.sum(axis=-1)

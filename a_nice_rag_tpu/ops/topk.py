@@ -1,0 +1,80 @@
+"""Top-k primitives.
+
+The reference selects top-k with ``np.argpartition`` + descending
+``argsort`` (``src/search_engine.py:84-85``). On TPU the equivalent is
+``jax.lax.top_k``; for large document axes we use a two-stage hierarchical
+top-k so XLA never has to sort the full score vector: per-tile top-k
+(parallel over tiles, VPU-friendly) followed by a top-k over the small
+candidate set. ``merge_top_k`` is the k-way merge used to combine
+per-shard results after an ICI all-gather (SURVEY.md §7 stage 5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float("-inf")
+
+
+def masked_top_k(
+    scores: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k along the last axis, with invalid entries masked to -inf.
+
+    Returns (values, indices), values descending. ``mask`` broadcasts
+    against ``scores`` (True = keep).
+    """
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    return jax.lax.top_k(scores, k)
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def hierarchical_top_k(
+    scores: jax.Array,
+    k: int,
+    tile: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage top-k along the last axis for large N.
+
+    Stage 1: reshape [..., N] -> [..., N/tile, tile] and take top-min(k,tile)
+    per tile. Stage 2: top-k over the [..., (N/tile)*kt] candidates.
+    N must be divisible by ``tile`` (pad scores with -inf first if needed).
+    """
+    *lead, n = scores.shape
+    if n <= tile:
+        return jax.lax.top_k(scores, k)
+    assert n % tile == 0, f"N={n} must be a multiple of tile={tile}"
+    kt = min(k, tile)
+    tiles = scores.reshape(*lead, n // tile, tile)
+    tvals, tidx = jax.lax.top_k(tiles, kt)  # [..., n/tile, kt]
+    base = (jnp.arange(n // tile, dtype=tidx.dtype) * tile)[..., None]
+    gidx = (tidx + base).reshape(*lead, -1)
+    cand = tvals.reshape(*lead, -1)
+    vals, ci = jax.lax.top_k(cand, k)
+    idx = jnp.take_along_axis(gidx, ci, axis=-1)
+    return vals, idx
+
+
+def merge_top_k(
+    values: jax.Array,
+    indices: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Merge S per-shard top-k lists into one global top-k.
+
+    values/indices: [..., S, k_local] where indices are already global
+    document ids. Returns ([..., k], [..., k]).
+    """
+    *lead, s, kl = values.shape
+    flat_v = values.reshape(*lead, s * kl)
+    flat_i = indices.reshape(*lead, s * kl)
+    vals, ci = jax.lax.top_k(flat_v, k)
+    idx = jnp.take_along_axis(flat_i, ci, axis=-1)
+    return vals, idx

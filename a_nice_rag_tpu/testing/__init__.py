@@ -1,0 +1,8 @@
+"""Test utilities: golden reference algorithms and synthetic corpora."""
+
+from a_nice_rag_tpu.testing.golden import (  # noqa: F401
+    GoldenBm25Okapi,
+    golden_dense_top_k,
+    golden_wrrf,
+)
+from a_nice_rag_tpu.testing.synth import synth_corpus  # noqa: F401

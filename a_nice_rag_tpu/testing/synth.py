@@ -1,0 +1,99 @@
+"""Synthetic corpora for tests and benchmarks.
+
+The reference's embedding databases are not distributable, so fixtures are
+generated: unit-norm embedding matrices with planted nearest neighbors, and
+Zipf-ish token corpora with guideline-style sources/ids matching the
+reference's naming scheme (``{guideline}_{section}`` ids, ``CG``/``NG``/
+``QS`` source prefixes — see reference src/processing/chunk_mds.py:503).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SynthCorpus:
+    ids: List[str]
+    sources: List[str]
+    contents: List[str]
+    urls: List[str]
+    tokens: List[List[str]]  # lemmatized-style token lists
+    embeddings: Dict[str, np.ndarray]  # model name -> [N, D] unit-norm f32
+    query_tokens: List[List[str]]
+    query_embeddings: Dict[str, np.ndarray]  # model name -> [Q, D]
+    gold_ids: List[str]  # gold chunk id per query
+
+
+def _unit(x: np.ndarray) -> np.ndarray:
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def synth_corpus(
+    n_docs: int = 500,
+    dim: int = 256,
+    n_queries: int = 64,
+    vocab_size: int = 800,
+    seed: int = 0,
+    models: Optional[List[str]] = None,
+    prefixes: Optional[List[str]] = None,
+) -> SynthCorpus:
+    """Build a synthetic corpus where query q's gold document is doc q.
+
+    Query embeddings are a noisy copy of their gold document embedding,
+    and query tokens are sampled from the gold document's tokens, so both
+    dense and BM25 retrieval have a meaningful signal to find.
+    """
+    rng = np.random.default_rng(seed)
+    n_queries = min(n_queries, n_docs)
+    models = models or ["voyage-3-large"]
+    prefixes = prefixes or ["CG", "NG", "QS"]
+
+    vocab = [f"term{i}" for i in range(vocab_size)]
+    # Zipf-distributed token draws give realistic df skew.
+    zipf_p = 1.0 / np.arange(1, vocab_size + 1)
+    zipf_p /= zipf_p.sum()
+
+    ids, sources, contents, urls, tokens = [], [], [], [], []
+    for i in range(n_docs):
+        prefix = prefixes[i % len(prefixes)]
+        source = f"{prefix}{i // 7 + 1}"
+        ids.append(f"{source}_Section {i}")
+        sources.append(source)
+        urls.append(f"https://www.nice.org.uk/guidance/{source.lower()}")
+        length = int(rng.integers(20, 120))
+        toks = list(rng.choice(vocab, size=length, p=zipf_p))
+        tokens.append(toks)
+        contents.append(" ".join(toks))
+
+    embeddings = {
+        m: _unit(rng.standard_normal((n_docs, dim)).astype(np.float32))
+        for m in models
+    }
+
+    q_idx = rng.permutation(n_docs)[:n_queries]
+    gold_ids = [ids[j] for j in q_idx]
+    query_embeddings = {}
+    for m in models:
+        noise = 0.25 * rng.standard_normal((n_queries, dim)).astype(np.float32)
+        query_embeddings[m] = _unit(embeddings[m][q_idx] + noise)
+    query_tokens = []
+    for j in q_idx:
+        doc_toks = tokens[j]
+        take = min(len(doc_toks), int(rng.integers(3, 9)))
+        query_tokens.append(list(rng.choice(doc_toks, size=take)))
+
+    return SynthCorpus(
+        ids=ids,
+        sources=sources,
+        contents=contents,
+        urls=urls,
+        tokens=tokens,
+        embeddings=embeddings,
+        query_tokens=query_tokens,
+        query_embeddings=query_embeddings,
+        gold_ids=gold_ids,
+    )

@@ -1,0 +1,111 @@
+"""Index build, filtering, persistence, and reference-format import."""
+
+import os
+import sqlite3
+
+import numpy as np
+
+from a_nice_rag_tpu.index import (
+    build_index,
+    load_index,
+    load_reference_chunk_db,
+    load_reference_query_db,
+    save_index,
+)
+from a_nice_rag_tpu.testing import synth_corpus
+
+
+def _build(c):
+    return build_index(
+        ids=c.ids,
+        sources=c.sources,
+        contents=c.contents,
+        urls=c.urls,
+        embeddings=c.embeddings,
+        token_lists=c.tokens,
+    )
+
+
+def test_build_and_filter_mask():
+    c = synth_corpus(n_docs=100, dim=32, seed=21)
+    idx = _build(c)
+    assert idx.n_docs == 100
+    assert idx.n_docs_padded == 128
+    all_mask = np.asarray(idx.filter_mask(None))
+    assert all_mask[:100].all() and not all_mask[100:].any()
+    cg = np.asarray(idx.filter_mask("CG"))
+    for i in range(100):
+        assert cg[i] == c.sources[i].upper().startswith("CG")
+    both = np.asarray(idx.filter_mask("cg, ng"))
+    for i in range(100):
+        assert both[i] == (
+            c.sources[i].upper().startswith("CG")
+            or c.sources[i].upper().startswith("NG")
+        )
+
+
+def test_save_load_roundtrip(tmp_path):
+    c = synth_corpus(n_docs=60, dim=16, seed=23)
+    idx = _build(c)
+    path = os.path.join(tmp_path, "artifact")
+    save_index(idx, path)
+    loaded = load_index(path)
+    assert loaded.meta.ids == idx.meta.ids
+    assert loaded.vocab == idx.vocab
+    np.testing.assert_array_equal(
+        np.asarray(loaded.dense["voyage-3-large"]),
+        np.asarray(idx.dense["voyage-3-large"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(loaded.bm25.impact), np.asarray(idx.bm25.impact)
+    )
+    assert loaded.bm25_stats["avgdl"] == idx.bm25_stats["avgdl"]
+
+
+def test_reference_sqlite_import(tmp_path):
+    c = synth_corpus(n_docs=12, dim=8, seed=25)
+    db = os.path.join(tmp_path, "chunks.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE chunks (id TEXT PRIMARY KEY, content TEXT, "
+        "source TEXT, embedding BLOB, url TEXT)"
+    )
+    emb = c.embeddings["voyage-3-large"]
+    for i in range(12):
+        conn.execute(
+            "INSERT INTO chunks VALUES (?,?,?,?,?)",
+            (c.ids[i], c.contents[i], c.sources[i],
+             emb[i].astype(np.float32).tobytes(), c.urls[i]),
+        )
+    conn.commit()
+    conn.close()
+    ids, contents, sources, urls, loaded = load_reference_chunk_db(db)
+    assert ids == c.ids
+    np.testing.assert_allclose(loaded, emb, rtol=1e-6)
+
+    qdb = os.path.join(tmp_path, "queries.db")
+    conn = sqlite3.connect(qdb)
+    conn.execute(
+        "CREATE TABLE queries (id TEXT, query TEXT, query_embedding BLOB)"
+    )
+    qe = c.query_embeddings["voyage-3-large"]
+    conn.execute(
+        "INSERT INTO queries VALUES (?,?,?)",
+        ("q0", "a question", qe[0].astype(np.float32).tobytes()),
+    )
+    conn.execute("INSERT INTO queries VALUES (?,?,NULL)", ("q1", "skipped"))
+    conn.commit()
+    conn.close()
+    qids, qtexts, qemb = load_reference_query_db(qdb)
+    assert qids == ["q0"]
+    np.testing.assert_allclose(qemb[0], qe[0], rtol=1e-6)
+
+
+def test_term_id_mapping():
+    c = synth_corpus(n_docs=50, dim=8, seed=27)
+    idx = _build(c)
+    ids = idx.pad_term_ids([["term1", "not-in-vocab"], []], t_max=4)
+    assert ids.shape == (2, 4)
+    assert ids[0, 0] == idx.vocab["term1"]
+    assert ids[0, 1] == -1
+    assert (ids[1] == -1).all()

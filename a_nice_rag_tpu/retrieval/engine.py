@@ -1,0 +1,434 @@
+"""Search engine over the array index.
+
+Two API levels:
+
+* :class:`SearchEngine` — behavioral parity with the reference's
+  ``SearchEngine`` + ``RetrievalEvaluationSystem.retrieve_documents``
+  (src/search_engine.py:14-293, src/query_rag_retrieval.py:149-407):
+  per-model gating on weights and available query embeddings, optional
+  hybrid BM25, WRRF fusion, first-stage-wins doc records, optional
+  rerank stage with graceful fallback. Batched-first: every method takes
+  a batch of queries; single-query wrappers are provided for parity.
+
+* :class:`FusedRetriever` — the TPU fast path: all active rankers,
+  fusion and final top-n compiled into ONE XLA program (one device
+  round-trip per query batch).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a_nice_rag_tpu.config import Config
+from a_nice_rag_tpu.index.array_index import ArrayIndex
+from a_nice_rag_tpu.ops.bm25 import bm25_scores
+from a_nice_rag_tpu.ops.dense import dense_scores
+from a_nice_rag_tpu.ops.fusion import wrrf_top_n
+from a_nice_rag_tpu.ops.topk import masked_top_k
+from a_nice_rag_tpu.retrieval.rerank import Reranker, apply_rerank
+from a_nice_rag_tpu.text import preprocess_text
+
+logger = logging.getLogger(__name__)
+
+# Model iteration order mirrors the reference's fixed search order
+# (src/query_rag_retrieval.py:197-301).
+MODEL_ORDER = ("voyage-3-large", "voyage-3.5", "text-embedding-3-large", "Qwen3")
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _dense_list(emb, q, mask, k):
+    """Per-model ranked list: ids [B, k] with -1 where masked out/invalid."""
+    scores = dense_scores(emb, q)
+    scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    vals, idx = masked_top_k(scores, k)
+    return vals, jnp.where(jnp.isfinite(vals), idx, -1)
+
+
+@partial(jax.jit, static_argnames=("k", "budget"))
+def _bm25_list(bm25, q_terms, mask, k, budget):
+    scores = bm25_scores(bm25, q_terms, budget)
+    scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    vals, idx = masked_top_k(scores, k)
+    return vals, jnp.where(jnp.isfinite(vals), idx, -1)
+
+
+class FusedRetriever:
+    """One-XLA-program hybrid retrieval for a fixed configuration.
+
+    Static configuration: which dense models participate, whether BM25
+    participates, similarity_k, common_sections_n, postings budget.
+    Dynamic per call: query embeddings, query term ids, candidate mask,
+    fusion weights, wrrf_k.
+    """
+
+    def __init__(
+        self,
+        index: ArrayIndex,
+        model_names: Sequence[str],
+        use_bm25: bool,
+        similarity_k: int = 25,
+        common_sections_n: int = 15,
+        budget: int = 16384,
+    ):
+        self.index = index
+        self.model_names = tuple(model_names)
+        self.use_bm25 = use_bm25
+        self.similarity_k = similarity_k
+        self.common_sections_n = common_sections_n
+        self.budget = budget
+        n_pad = index.n_docs_padded
+        n_lists = len(self.model_names) + (1 if use_bm25 else 0)
+        if n_lists == 0:
+            raise ValueError("FusedRetriever needs at least one ranker")
+
+        @partial(jax.jit, static_argnames=())
+        def run(dense_mats, bm25_arrays, q_embs, q_terms, mask, bm25_mask,
+                weights, wrrf_k):
+            lists = []
+            for mat, q in zip(dense_mats, q_embs):
+                scores = dense_scores(mat, q)
+                scores = jnp.where(mask[None, :], scores, -jnp.inf)
+                vals, idx = masked_top_k(scores, similarity_k)
+                lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
+            if use_bm25:
+                scores = bm25_scores(bm25_arrays, q_terms, budget)
+                scores = jnp.where(bm25_mask[None, :], scores, -jnp.inf)
+                vals, idx = masked_top_k(scores, similarity_k)
+                lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
+            if len(lists) == 1:
+                ids = lists[0][:, :common_sections_n]
+                return ids, jnp.zeros(ids.shape, jnp.float32), lists[0][None]
+            all_idx = jnp.stack(lists)  # [L, B, K]
+            fvals, fids = wrrf_top_n(
+                all_idx, weights, common_sections_n, n_pad, wrrf_k
+            )
+            fids = jnp.where(jnp.isfinite(fvals), fids, -1)
+            return fids, fvals, all_idx
+
+        self._run = run
+
+    def __call__(
+        self,
+        q_embs: Dict[str, np.ndarray],
+        q_terms: Optional[np.ndarray],
+        weights: Dict[str, float],
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Returns (fused ids [B, n], fused scores [B, n], per-list ids)."""
+        idx = self.index
+        dense_mats = tuple(idx.dense[m] for m in self.model_names)
+        q_tuple = tuple(jnp.asarray(q_embs[m]) for m in self.model_names)
+        mask = idx.filter_mask(filename_type_filter)
+        if self.use_bm25:
+            bm25_mask = mask & jnp.asarray(idx.bm25_doc_mask)
+            terms = jnp.asarray(q_terms)
+            bm25_arrays = idx.bm25
+        else:
+            b = q_tuple[0].shape[0] if q_tuple else 1
+            terms = jnp.full((b, 1), -1, jnp.int32)
+            bm25_mask = mask
+            bm25_arrays = idx.bm25
+        w = jnp.asarray(
+            [weights.get(m, 1.0) for m in self.model_names]
+            + ([weights.get("BM25", 1.0)] if self.use_bm25 else []),
+            dtype=jnp.float32,
+        )
+        fids, fvals, all_idx = self._run(
+            dense_mats, bm25_arrays, q_tuple, terms, mask, bm25_mask, w,
+            jnp.float32(wrrf_k),
+        )
+        return np.asarray(fids), np.asarray(fvals), np.asarray(all_idx)
+
+
+class SearchEngine:
+    """Reference-parity search API over one :class:`ArrayIndex`."""
+
+    def __init__(
+        self,
+        index: ArrayIndex,
+        embedder=None,
+        reranker: Optional[Reranker] = None,
+    ):
+        self.index = index
+        self.embedder = embedder
+        self.reranker = reranker
+
+    # ------------------------------------------------------------------
+    # Dense search
+    # ------------------------------------------------------------------
+
+    def similarity_search_batch(
+        self,
+        query_embeddings: np.ndarray,
+        model_name: str = "voyage-3-large",
+        similarity_k: int = 25,
+        filename_type_filter: Optional[str] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched dense search: (scores [B, k], doc rows [B, k], -1 pad)."""
+        emb = self.index.dense[model_name]
+        mask = self.index.filter_mask(filename_type_filter)
+        q = jnp.asarray(np.atleast_2d(np.asarray(query_embeddings, np.float32)))
+        k = min(similarity_k, self.index.n_docs)
+        vals, idx = _dense_list(emb, q, mask, k)
+        return np.asarray(vals), np.asarray(idx)
+
+    def similarity_search_with_embedding(
+        self,
+        query_embedding: np.ndarray,
+        model_name: str = "voyage-3-large",
+        similarity_k: int = 25,
+        filename_type_filter: Optional[str] = None,
+    ) -> List[Dict]:
+        """Single-query parity wrapper returning doc dicts with scores
+        (reference src/search_engine.py:57-98)."""
+        vals, idx = self.similarity_search_batch(
+            query_embedding, model_name, similarity_k, filename_type_filter
+        )
+        return self._rows_to_docs(idx[0], vals[0])
+
+    def similarity_search(
+        self,
+        query_text: str,
+        model_name: str = "voyage-3-large",
+        similarity_k: int = 25,
+        filename_type_filter: Optional[str] = None,
+        query_embedding: Optional[np.ndarray] = None,
+    ) -> List[Dict]:
+        """Dense search embedding the query text if needed
+        (reference src/search_engine.py:100-146)."""
+        if query_embedding is None:
+            if self.embedder is None:
+                raise ValueError("No embedder configured for text queries")
+            query_embedding = self.embedder.embed_queries([query_text])[0]
+        return self.similarity_search_with_embedding(
+            query_embedding, model_name, similarity_k, filename_type_filter
+        )
+
+    # ------------------------------------------------------------------
+    # BM25 search
+    # ------------------------------------------------------------------
+
+    def bm25_search_preprocessed_batch(
+        self,
+        query_token_lists: Sequence[Sequence[str]],
+        similarity_k: int = 25,
+        filename_type_filter: Optional[str] = None,
+        t_max: int = 32,
+        budget: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched BM25: (scores [B, k], doc rows [B, k], -1 pad)."""
+        if self.index.bm25 is None:
+            raise ValueError("Index has no BM25 component")
+        terms = self.index.pad_term_ids(query_token_lists, t_max)
+        mask = self.index.filter_mask(filename_type_filter) & jnp.asarray(
+            self.index.bm25_doc_mask
+        )
+        k = min(similarity_k, self.index.n_docs)
+        budget = budget or Config.TPU.bm25_postings_budget
+        vals, idx = _bm25_list(
+            self.index.bm25, jnp.asarray(terms), mask, k, budget
+        )
+        return np.asarray(vals), np.asarray(idx)
+
+    def bm25_search_preprocessed(
+        self,
+        query_tokens: Sequence[str],
+        similarity_k: int = 25,
+        filename_type_filter: Optional[str] = None,
+    ) -> List[str]:
+        """Single-query parity wrapper returning ranked section ids
+        (reference src/search_engine.py:271-293)."""
+        if not query_tokens:
+            return []
+        vals, idx = self.bm25_search_preprocessed_batch(
+            [query_tokens], similarity_k, filename_type_filter
+        )
+        return [self.index.meta.ids[i] for i in idx[0] if i >= 0]
+
+    def bm25_search(
+        self,
+        query_text: str,
+        similarity_k: int = 25,
+        filename_type_filter: Optional[str] = None,
+        use_lemmatized: bool = True,
+    ) -> List[str]:
+        """BM25 with query preprocessing (reference src/search_engine.py:245-269)."""
+        tokens = preprocess_text(query_text, use_lemmatization=use_lemmatized)
+        return self.bm25_search_preprocessed(
+            tokens, similarity_k, filename_type_filter
+        )
+
+    # ------------------------------------------------------------------
+    # Fusion + rerank
+    # ------------------------------------------------------------------
+
+    def weighted_reciprocal_rank_fusion(
+        self,
+        ranked_lists: List[Tuple[List[str], str]],
+        model_weights: Dict[str, float],
+        k: int = 50,
+    ) -> List[Tuple[str, float]]:
+        """Host-side WRRF over section-id lists (API parity with
+        src/search_engine.py:21-34; the hot path uses ops.fusion)."""
+        scores: Dict[str, float] = {}
+        for ranked_list, model_name in ranked_lists:
+            weight = model_weights.get(model_name, 1.0)
+            for rank, doc_id in enumerate(ranked_list, start=1):
+                scores[doc_id] = scores.get(doc_id, 0.0) + weight / (k + rank)
+        return sorted(scores.items(), key=lambda x: x[1], reverse=True)
+
+    def rerank_documents(
+        self,
+        query_text: str,
+        documents: List[Dict],
+        reranker_model: str = "rerank-2",
+        reranker_top_k: Optional[int] = None,
+    ) -> List[Dict]:
+        return apply_rerank(
+            self.reranker, query_text, documents, reranker_model, reranker_top_k
+        )
+
+    # ------------------------------------------------------------------
+    # Full pipeline (retrieve_documents semantics)
+    # ------------------------------------------------------------------
+
+    def retrieve(
+        self,
+        query_embeddings: Dict[str, np.ndarray],
+        query_texts: Optional[Sequence[str]] = None,
+        query_token_lists: Optional[Sequence[Sequence[str]]] = None,
+        similarity_k: int = 25,
+        common_sections_n: int = 15,
+        wrrf_k: float = 60.0,
+        model_weights: Optional[Dict[str, float]] = None,
+        filename_type_filter: Optional[str] = None,
+        use_hybrid_search: bool = False,
+        use_reranker: bool = False,
+        reranker_model: str = "rerank-2-lite",
+        reranker_top_k: Optional[int] = 5,
+        return_docs: bool = False,
+    ) -> List[List]:
+        """Batched equivalent of the reference's ``retrieve_documents``
+        (src/query_rag_retrieval.py:149-407). Returns, per query, a
+        ranked list of section ids (or doc dicts with ``return_docs``).
+        """
+        if model_weights is None:
+            model_weights = Config.DEFAULT_MODEL_WEIGHTS.copy()
+        if not query_embeddings:
+            raise ValueError("Query embeddings dictionary cannot be empty")
+        if similarity_k <= 0 or common_sections_n <= 0:
+            raise ValueError(
+                "similarity_k and common_sections_n must be positive integers"
+            )
+
+        batch = next(iter(query_embeddings.values()))
+        b = np.atleast_2d(np.asarray(batch)).shape[0]
+
+        active = [
+            m
+            for m in MODEL_ORDER
+            if m in self.index.dense
+            and model_weights.get(m, 0) > 0
+            and m in query_embeddings
+        ]
+
+        ranked: List[Tuple[np.ndarray, str, Optional[np.ndarray]]] = []
+        for m in active:
+            vals, idx = self.similarity_search_batch(
+                query_embeddings[m], m, similarity_k, filename_type_filter
+            )
+            ranked.append((idx, m, vals))
+
+        use_bm25 = (
+            use_hybrid_search
+            and self.index.bm25 is not None
+            and model_weights.get("BM25", 0) > 0
+        )
+        if use_bm25:
+            if query_token_lists is None and query_texts is not None:
+                query_token_lists = [
+                    preprocess_text(t, use_lemmatization=True)
+                    for t in query_texts
+                ]
+            if query_token_lists is not None:
+                _, bidx = self.bm25_search_preprocessed_batch(
+                    query_token_lists, similarity_k, filename_type_filter
+                )
+                ranked.append((bidx, "BM25", None))
+            else:
+                logger.warning(
+                    "BM25 search requested but no query_text or "
+                    "query_tokens provided - skipping BM25"
+                )
+
+        if not ranked:
+            return [[] for _ in range(b)]
+
+        if len(ranked) > 1:
+            all_idx = jnp.asarray(np.stack([r[0] for r in ranked]))
+            w = jnp.asarray(
+                [model_weights.get(r[1], 1.0) for r in ranked], jnp.float32
+            )
+            fvals, fids = wrrf_top_n(
+                all_idx,
+                w,
+                min(common_sections_n, self.index.n_docs),
+                self.index.n_docs_padded,
+                float(wrrf_k),
+            )
+            fused_ids = np.where(
+                np.isfinite(np.asarray(fvals)), np.asarray(fids), -1
+            )
+        else:
+            fused_ids = ranked[0][0][:, :common_sections_n]
+
+        # Host-side doc assembly: similarity comes from the first ranker
+        # that surfaced the doc (reference first-stage-wins dedup,
+        # src/query_rag_retrieval.py:242-248).
+        out: List[List] = []
+        for qi in range(b):
+            sim_by_row: Dict[int, float] = {}
+            for idx_arr, name, vals_arr in ranked:
+                for j, row in enumerate(idx_arr[qi]):
+                    row = int(row)
+                    if row >= 0 and row not in sim_by_row:
+                        sim_by_row[row] = (
+                            float(vals_arr[qi][j]) if vals_arr is not None else 0.0
+                        )
+            docs = []
+            for row in fused_ids[qi]:
+                row = int(row)
+                if row < 0:
+                    continue
+                d = self.index.meta.doc(row)
+                d["similarity"] = sim_by_row.get(row, 0.0)
+                docs.append(d)
+            docs = docs[:common_sections_n]
+
+            if use_reranker and len(docs) > 1 and query_texts is not None:
+                docs = self.rerank_documents(
+                    query_texts[qi], docs, reranker_model, reranker_top_k
+                )
+            out.append(
+                docs if return_docs else [d["id"] for d in docs]
+            )
+        return out
+
+    # ------------------------------------------------------------------
+
+    def _rows_to_docs(self, rows: np.ndarray, scores: np.ndarray) -> List[Dict]:
+        docs = []
+        for row, s in zip(rows, scores):
+            if int(row) < 0:
+                continue
+            d = self.index.meta.doc(int(row))
+            d["similarity"] = float(s)
+            docs.append(d)
+        return docs

@@ -1,0 +1,163 @@
+"""Tokenization, stopword filtering, and lemmatization.
+
+Pipeline parity with reference ``src/processing/preprocess_bm25.py:33-52``:
+
+1. lowercase
+2. remove ASCII punctuation (string.punctuation translate)
+3. word-tokenize — after punctuation removal NLTK's word_tokenize reduces
+   to whitespace splitting for virtually all English text, so the
+   self-contained tokenizer is a whitespace split; the real NLTK
+   tokenizer is used when its "punkt" data is installed
+4. drop stopwords, numeric tokens, and tokens of length <= 1
+5. optional lemmatization (WordNet morphy noun rules)
+
+The lemmatizer is where exact NLTK parity requires the WordNet lexicon
+(absent in hermetic environments): NLTK validates each candidate form
+against WordNet. The fallback applies the same morphy suffix rules with
+guard heuristics plus a curated irregular-plural table. Corpus and query
+sides always use the SAME implementation, so the BM25 token streams stay
+self-consistent — which is what retrieval quality depends on.
+"""
+
+from __future__ import annotations
+
+import string
+from typing import List, Optional
+
+from a_nice_rag_tpu.text.stopwords_en import STOPWORDS_EN
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+# WordNet noun.exc-style irregular plurals (curated subset, clinical-heavy).
+_IRREGULAR = {
+    "children": "child",
+    "women": "woman",
+    "men": "man",
+    "feet": "foot",
+    "teeth": "tooth",
+    "mice": "mouse",
+    "lice": "louse",
+    "geese": "goose",
+    "people": "people",
+    "criteria": "criterion",
+    "phenomena": "phenomenon",
+    "stimuli": "stimulus",
+    "fungi": "fungus",
+    "nuclei": "nucleus",
+    "radii": "radius",
+    "foci": "focus",
+    "analyses": "analysis",
+    "diagnoses": "diagnosis",
+    "prognoses": "prognosis",
+    "neuroses": "neurosis",
+    "psychoses": "psychosis",
+    "theses": "thesis",
+    "hypotheses": "hypothesis",
+    "crises": "crisis",
+    "metastases": "metastasis",
+    "emphases": "emphasis",
+    "bacteria": "bacterium",
+    "curricula": "curriculum",
+    "indices": "index",
+    "appendices": "appendix",
+    "matrices": "matrix",
+    "vertebrae": "vertebra",
+    "larvae": "larva",
+    "data": "datum",
+}
+
+# Words that look plural but are not (would be over-stripped by rules).
+_NO_LEMMA = frozenset(
+    """
+    this its is was has does news series species feces mumps measles
+    rabies scabies herpes diabetes pertussis asthma gas bias atlas lens
+    always perhaps physics mathematics genetics pediatrics obstetrics
+    statistics ethics caries
+    """.split()
+)
+
+# Morphy noun suffix rules, longest-match-first (WordNet's noun rule set).
+_MORPHY_RULES = (
+    ("ches", "ch"),
+    ("shes", "sh"),
+    ("ses", "s"),
+    ("xes", "x"),
+    ("zes", "z"),
+    ("ies", "y"),
+    ("ves", "f"),
+    ("men", "man"),
+    ("s", ""),
+)
+
+_nltk_word_tokenize = None
+_nltk_lemmatizer = None
+
+
+def _try_nltk() -> None:
+    """Use real NLTK tokenization/lemmatization when its data is present."""
+    global _nltk_word_tokenize, _nltk_lemmatizer
+    if _nltk_word_tokenize is not None:
+        return
+    try:
+        import nltk
+
+        nltk.data.find("tokenizers/punkt")
+        from nltk.tokenize import word_tokenize
+
+        _nltk_word_tokenize = word_tokenize
+    except Exception:
+        _nltk_word_tokenize = False
+    try:
+        import nltk
+
+        nltk.data.find("corpora/wordnet")
+        from nltk.stem import WordNetLemmatizer
+
+        _nltk_lemmatizer = WordNetLemmatizer()
+    except Exception:
+        _nltk_lemmatizer = False
+
+
+def tokenize(text: str) -> List[str]:
+    """Whitespace tokenization (input is already punctuation-free)."""
+    _try_nltk()
+    if _nltk_word_tokenize:
+        return _nltk_word_tokenize(text)
+    return text.split()
+
+
+def lemmatize(token: str) -> str:
+    """Noun lemmatization: WordNet morphy when available, else rules."""
+    _try_nltk()
+    if _nltk_lemmatizer:
+        return _nltk_lemmatizer.lemmatize(token)
+    if token in _IRREGULAR:
+        return _IRREGULAR[token]
+    if token in _NO_LEMMA or len(token) <= 3:
+        return token
+    # Guard: -ss, -us, -is endings are almost never simple plurals.
+    if token.endswith(("ss", "us", "is")):
+        return token
+    for suffix, repl in _MORPHY_RULES:
+        if token.endswith(suffix):
+            lemma = token[: -len(suffix)] + repl
+            if len(lemma) >= 2:
+                return lemma
+    return token
+
+
+def preprocess_text(
+    text: Optional[str], use_lemmatization: bool = False
+) -> List[str]:
+    """Full preprocessing pipeline (query and corpus sides)."""
+    if not text:
+        return []
+    text = text.lower().translate(_PUNCT_TABLE)
+    tokens = [
+        tok
+        for tok in tokenize(text)
+        if tok not in STOPWORDS_EN and not tok.isnumeric() and len(tok) > 1
+    ]
+    if use_lemmatization:
+        tokens = [lemmatize(tok) for tok in tokens]
+    return tokens

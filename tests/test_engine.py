@@ -1,0 +1,197 @@
+"""End-to-end engine parity: SearchEngine/FusedRetriever vs golden pipeline."""
+
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.retrieval import FusedRetriever, SearchEngine
+from a_nice_rag_tpu.retrieval.rerank import IdentityReranker, apply_rerank
+from a_nice_rag_tpu.testing import (
+    GoldenBm25Okapi,
+    golden_dense_top_k,
+    golden_wrrf,
+    synth_corpus,
+)
+
+MODELS = ["voyage-3-large", "text-embedding-3-large"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    c = synth_corpus(n_docs=400, dim=48, n_queries=12, seed=31, models=MODELS)
+    idx = build_index(
+        ids=c.ids,
+        sources=c.sources,
+        contents=c.contents,
+        urls=c.urls,
+        embeddings=c.embeddings,
+        token_lists=c.tokens,
+    )
+    eng = SearchEngine(idx, reranker=IdentityReranker())
+    golden_bm25 = GoldenBm25Okapi(c.tokens)
+    return c, idx, eng, golden_bm25
+
+
+def test_similarity_search_with_embedding_parity(setup):
+    c, idx, eng, _ = setup
+    q = c.query_embeddings["voyage-3-large"][0]
+    docs = eng.similarity_search_with_embedding(q, "voyage-3-large", 15)
+    g_vals, g_idx = golden_dense_top_k(c.embeddings["voyage-3-large"], q, 15)
+    assert [d["id"] for d in docs] == [c.ids[i] for i in g_idx]
+    np.testing.assert_allclose(
+        [d["similarity"] for d in docs], g_vals, rtol=1e-3, atol=1e-5
+    )
+    assert docs[0]["document"] == c.contents[g_idx[0]]
+    assert docs[0]["url"] == c.urls[g_idx[0]]
+
+
+def test_bm25_search_preprocessed_parity(setup):
+    c, idx, eng, golden_bm25 = setup
+    for qi in range(4):
+        toks = c.query_tokens[qi]
+        ids = eng.bm25_search_preprocessed(toks, similarity_k=10)
+        scores = golden_bm25.get_scores(toks)
+        # Every returned doc must score at least as high as the best
+        # excluded one (ordering among exact ties may differ).
+        got_scores = [scores[c.ids.index(i)] for i in ids]
+        assert sorted(got_scores, reverse=True) == got_scores
+        kth = sorted(scores, reverse=True)[9]
+        assert all(s >= kth - 1e-9 for s in got_scores)
+
+
+def test_filename_filter_respected(setup):
+    c, idx, eng, _ = setup
+    q = c.query_embeddings["voyage-3-large"][:3]
+    ids_lists = eng.retrieve(
+        {"voyage-3-large": q},
+        model_weights={"voyage-3-large": 1.0},
+        filename_type_filter="CG",
+        similarity_k=20,
+        common_sections_n=20,
+    )
+    for ids in ids_lists:
+        assert ids, "filter should not empty the result"
+        for sid in ids:
+            src = c.sources[c.ids.index(sid)]
+            assert src.upper().startswith("CG")
+
+
+def test_retrieve_dense_only_matches_golden(setup):
+    c, idx, eng, _ = setup
+    q = c.query_embeddings["voyage-3-large"]
+    got = eng.retrieve(
+        {"voyage-3-large": q},
+        model_weights={"voyage-3-large": 1.0},
+        similarity_k=25,
+        common_sections_n=15,
+    )
+    for b in range(len(q)):
+        _, g_idx = golden_dense_top_k(c.embeddings["voyage-3-large"], q[b], 25)
+        assert got[b] == [c.ids[i] for i in g_idx[:15]]
+
+
+def test_retrieve_hybrid_matches_golden_pipeline(setup):
+    c, idx, eng, golden_bm25 = setup
+    weights = {
+        "voyage-3-large": 5.0,
+        "text-embedding-3-large": 2.0,
+        "BM25": 1.0,
+    }
+    k, n, wk = 10, 8, 40.0
+    got = eng.retrieve(
+        query_embeddings={m: c.query_embeddings[m] for m in MODELS},
+        query_token_lists=c.query_tokens,
+        model_weights=weights,
+        similarity_k=k,
+        common_sections_n=n,
+        wrrf_k=wk,
+        use_hybrid_search=True,
+    )
+    for b in range(4):
+        lists = []
+        for m in MODELS:
+            _, g_idx = golden_dense_top_k(
+                c.embeddings[m], c.query_embeddings[m][b], k
+            )
+            lists.append(([c.ids[i] for i in g_idx], m))
+        scores = golden_bm25.get_scores(c.query_tokens[b])
+        top = np.argsort(scores)[::-1][:k]
+        assert scores[top[-1]] > 0, "fixture should have >k positive scores"
+        lists.append(([c.ids[i] for i in top], "BM25"))
+        fused = golden_wrrf(lists, weights, k=int(wk))
+        expect = [sid for sid, _ in fused[:n]]
+        # Sets must match; order must match where fused scores are unique.
+        assert set(got[b]) == set(expect)
+        fused_scores = dict(fused)
+        for i, sid in enumerate(expect):
+            ties = sum(
+                1
+                for v in fused_scores.values()
+                if abs(v - fused_scores[sid]) < 1e-12
+            )
+            if ties == 1:
+                assert got[b][i] == sid
+
+
+def test_retrieve_single_list_when_one_ranker(setup):
+    c, idx, eng, _ = setup
+    got = eng.retrieve(
+        {"voyage-3-large": c.query_embeddings["voyage-3-large"][:2]},
+        query_token_lists=c.query_tokens[:2],
+        model_weights={"voyage-3-large": 0.0, "BM25": 1.0},
+        use_hybrid_search=True,
+        similarity_k=12,
+        common_sections_n=5,
+    )
+    for b in range(2):
+        expect = eng.bm25_search_preprocessed(c.query_tokens[b], 12)[:5]
+        assert got[b] == expect
+
+
+def test_retrieve_with_reranker_top_k(setup):
+    c, idx, eng, _ = setup
+    got = eng.retrieve(
+        {"voyage-3-large": c.query_embeddings["voyage-3-large"][:1]},
+        query_texts=["some query"],
+        model_weights={"voyage-3-large": 1.0},
+        use_reranker=True,
+        reranker_top_k=3,
+        common_sections_n=15,
+        return_docs=True,
+    )
+    assert len(got[0]) == 3
+
+
+def test_rerank_failure_falls_back():
+    class Boom:
+        def rerank(self, *a, **k):
+            raise RuntimeError("api down")
+
+    docs = [{"id": "a", "document": "x"}, {"id": "b", "document": "y"}]
+    out = apply_rerank(Boom(), "q", docs, "rerank-2", 1)
+    assert out == docs  # original order, not truncated
+
+
+def test_fused_retriever_matches_engine(setup):
+    c, idx, eng, _ = setup
+    weights = {"voyage-3-large": 5.0, "text-embedding-3-large": 2.0, "BM25": 1.0}
+    fr = FusedRetriever(
+        idx, MODELS, use_bm25=True, similarity_k=10, common_sections_n=8,
+        budget=8192,
+    )
+    terms = idx.pad_term_ids(c.query_tokens, 16)
+    fids, fvals, _ = fr(
+        {m: c.query_embeddings[m] for m in MODELS}, terms, weights, None, 40.0
+    )
+    got_engine = eng.retrieve(
+        query_embeddings={m: c.query_embeddings[m] for m in MODELS},
+        query_token_lists=[t[:16] for t in c.query_tokens],
+        model_weights=weights,
+        similarity_k=10,
+        common_sections_n=8,
+        wrrf_k=40.0,
+        use_hybrid_search=True,
+    )
+    for b in range(len(c.query_tokens)):
+        fused_ids = [idx.meta.ids[i] for i in fids[b] if i >= 0]
+        assert set(fused_ids) == set(got_engine[b])

@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from a_nice_rag_tpu.ops.bm25 import Bm25Arrays
+from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, Bm25DenseArrays
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -164,6 +164,25 @@ def build_bm25_arrays(
     return arrays, vocab, stats
 
 
+def dense_impact_from_csr(
+    bm25: Bm25Arrays, dtype: str = "float32"
+) -> Bm25DenseArrays:
+    """Materialize the [V, N_pad] eager-impact matrix from CSR postings.
+
+    MXU fast path for BM25 scoring (see ops.bm25.bm25_scores_dense);
+    built on host with one scatter, uploaded once.
+    """
+    indptr = np.asarray(bm25.indptr)
+    doc_ids = np.asarray(bm25.doc_ids)
+    impact = np.asarray(bm25.impact)
+    v = indptr.shape[0] - 1
+    nnz = int(indptr[-1])
+    mat = np.zeros((v, bm25.n_docs_padded), dtype=np.float32)
+    rows = np.repeat(np.arange(v), np.diff(indptr))
+    mat[rows, doc_ids[:nnz]] = impact[:nnz]
+    return Bm25DenseArrays(impact=jnp.asarray(mat, dtype=jnp.dtype(dtype)))
+
+
 @dataclasses.dataclass
 class ArrayIndex:
     """The complete device-resident hybrid index for one source."""
@@ -174,6 +193,7 @@ class ArrayIndex:
     vocab: Optional[Dict[str, int]]
     bm25_stats: Optional[Dict[str, float]]
     bm25_doc_mask: Optional[np.ndarray] = None  # docs with >=1 token
+    bm25_dense: Optional[Bm25DenseArrays] = None  # MXU fast path
 
     def __post_init__(self) -> None:
         self._filter_cache: Dict[Optional[str], np.ndarray] = {}
@@ -224,6 +244,8 @@ def build_index(
     pad_multiple: int = 128,
     emb_dtype: str = "float32",
     normalize: bool = False,
+    bm25_dense_max_bytes: int = 4 << 30,
+    bm25_dense_dtype: str = "float32",
 ) -> ArrayIndex:
     """Build the hybrid array index.
 
@@ -256,6 +278,7 @@ def build_index(
 
     bm25 = vocab = stats = None
     bm25_doc_mask = None
+    bm25_dense = None
     if token_lists is not None:
         assert len(token_lists) == n
         bm25, vocab, stats = build_bm25_arrays(
@@ -263,6 +286,9 @@ def build_index(
         )
         bm25_doc_mask = np.zeros(n_pad, dtype=bool)
         bm25_doc_mask[:n] = [len(t) > 0 for t in token_lists]
+        itemsize = jnp.dtype(bm25_dense_dtype).itemsize
+        if len(vocab) * n_pad * itemsize <= bm25_dense_max_bytes:
+            bm25_dense = dense_impact_from_csr(bm25, bm25_dense_dtype)
 
     return ArrayIndex(
         meta=meta,
@@ -271,4 +297,5 @@ def build_index(
         vocab=vocab,
         bm25_stats=stats,
         bm25_doc_mask=bm25_doc_mask,
+        bm25_dense=bm25_dense,
     )

@@ -25,7 +25,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from a_nice_rag_tpu.index.array_index import ArrayIndex, CorpusMeta
+from a_nice_rag_tpu.index.array_index import (
+    ArrayIndex,
+    CorpusMeta,
+    dense_impact_from_csr,
+)
 from a_nice_rag_tpu.ops.bm25 import Bm25Arrays
 
 _FORMAT_VERSION = 1
@@ -76,6 +80,7 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
     }
     bm25 = None
     bm25_doc_mask = None
+    bm25_dense = None
     if "bm25/indptr" in data:
         bm25 = Bm25Arrays(
             indptr=jnp.asarray(data["bm25/indptr"]),
@@ -84,6 +89,11 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
             n_docs_padded=meta_d["n_docs_padded"],
         )
         bm25_doc_mask = data["bm25/doc_mask"]
+        # The MXU fast-path matrix is derived, not stored: rebuild it
+        # when it fits the default memory budget (see build_index).
+        v = bm25.vocab_size
+        if v * meta_d["n_docs_padded"] * 4 <= (4 << 30):
+            bm25_dense = dense_impact_from_csr(bm25)
     return ArrayIndex(
         meta=meta,
         dense=dense,
@@ -91,6 +101,7 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
         vocab=meta_d["vocab"],
         bm25_stats=meta_d["bm25_stats"],
         bm25_doc_mask=bm25_doc_mask,
+        bm25_dense=bm25_dense,
     )
 
 

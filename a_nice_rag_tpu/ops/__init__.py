@@ -18,4 +18,8 @@ from a_nice_rag_tpu.ops.bm25 import (  # noqa: F401
     bm25_scores,
     bm25_top_k,
 )
-from a_nice_rag_tpu.ops.fusion import wrrf_scores, wrrf_top_n  # noqa: F401
+from a_nice_rag_tpu.ops.fusion import (  # noqa: F401
+    wrrf_scores,
+    wrrf_top_n,
+    wrrf_top_n_sparse,
+)

@@ -125,6 +125,56 @@ def bm25_top_k(
     return masked_top_k(scores, k)
 
 
+@struct.dataclass
+class Bm25DenseArrays:
+    """Dense eager-impact matrix: impact[v, d] = full BM25 contribution of
+    term v in document d (0 where the term is absent).
+
+    Turns BM25 scoring into an MXU matmul: with query term-count vector
+    q_tf [V], scores = q_tf @ impact. On TPU this is ~1000x faster than
+    scatter-style sparse scoring for corpus sizes where V*N fits in HBM
+    (the reference corpus is ~30k vocab x ~10k docs: <2 GB f32, <1 GB
+    bf16). The CSR form (:class:`Bm25Arrays`) remains the representation
+    for memory-constrained / sharded-at-scale settings.
+    """
+
+    impact: jax.Array  # [V, N_pad]
+
+    @property
+    def vocab_size(self) -> int:
+        return self.impact.shape[0]
+
+    @property
+    def n_docs_padded(self) -> int:
+        return self.impact.shape[1]
+
+
+@partial(jax.jit, static_argnames=())
+def bm25_scores_dense(
+    bm25: Bm25DenseArrays, q_terms: jax.Array
+) -> jax.Array:
+    """BM25 scores [B, N_pad] via term-count matmul.
+
+    q_terms: [B, T] term ids (-1 pad/OOV). Builds the [B, V] term-count
+    matrix with a (tiny) scatter-add and contracts it against the impact
+    matrix on the MXU. Duplicate terms accumulate counts, matching
+    rank_bm25's per-occurrence summation.
+    """
+    b, t = q_terms.shape
+    v = bm25.vocab_size
+    valid = q_terms >= 0
+    cols = jnp.where(valid, q_terms, v)  # dump column for padding
+    rows = jnp.broadcast_to(jnp.arange(b)[:, None], (b, t))
+    q_tf = jnp.zeros((b, v + 1), dtype=bm25.impact.dtype)
+    q_tf = q_tf.at[rows.reshape(-1), cols.reshape(-1)].add(1.0)
+    return jax.lax.dot_general(
+        q_tf[:, :v],
+        bm25.impact,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def postings_required(bm25: Bm25Arrays, q_terms: jax.Array) -> jax.Array:
     """Total postings each query would touch — for budget validation [B]."""
     valid = q_terms >= 0

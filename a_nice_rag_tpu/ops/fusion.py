@@ -61,6 +61,53 @@ def wrrf_scores(
     )
 
 
+@partial(jax.jit, static_argnames=("n",))
+def wrrf_top_n_sparse(
+    indices: jax.Array,
+    weights: jax.Array,
+    n: int,
+    k_rrf: float = 40.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """WRRF fusion + top-n without an N-sized accumulator.
+
+    Identical math to :func:`wrrf_top_n`, but cost is O(L*K log L*K) per
+    query instead of O(N): sort the L*K (doc id, contribution) pairs by
+    id, segment-sum contributions of equal ids, and take the top-n group
+    totals. This is the form used at sharded scale (N in the millions),
+    where scattering into [B, N] would dominate HBM traffic.
+
+    indices: [L, B, K] global doc ids (-1 = padding). Returns
+    (scores [B, n], ids [B, n]) with -inf/-1 marking absent entries.
+    """
+    l, b, k = indices.shape
+    ranks = jnp.arange(1, k + 1, dtype=jnp.float32)
+    contrib = weights[:, None] / (k_rrf + ranks)[None, :]  # [L, K]
+    contrib = jnp.broadcast_to(contrib[:, None, :], (l, b, k))
+    valid = indices >= 0
+    big = jnp.iinfo(jnp.int32).max
+    ids = jnp.where(valid, indices, big)  # padding sorts last
+    contrib = jnp.where(valid, contrib, 0.0)
+
+    flat_ids = jnp.swapaxes(ids, 0, 1).reshape(b, l * k)
+    flat_c = jnp.swapaxes(contrib, 0, 1).reshape(b, l * k)
+
+    def per_query(ids_q: jax.Array, c_q: jax.Array):
+        order = jnp.argsort(ids_q)
+        s_ids = ids_q[order]
+        s_c = c_q[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]]
+        )
+        seg = jnp.cumsum(first) - 1
+        totals = jax.ops.segment_sum(s_c, seg, num_segments=l * k)
+        score = jnp.where(first & (s_ids != big), totals[seg], -jnp.inf)
+        top_s, pos = jax.lax.top_k(score, n)
+        top_ids = jnp.where(jnp.isfinite(top_s), s_ids[pos], -1)
+        return top_s, top_ids
+
+    return jax.vmap(per_query)(flat_ids, flat_c)
+
+
 @partial(jax.jit, static_argnames=("n", "n_docs_padded"))
 def wrrf_top_n(
     indices: jax.Array,

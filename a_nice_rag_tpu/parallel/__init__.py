@@ -1,0 +1,18 @@
+"""Multi-chip scaling: corpus sharding over a device mesh.
+
+The reference is single-process/single-host (SURVEY.md §2.5) — this layer
+is the framework's net-new distributed backend. The chunk corpus is the
+scaling dimension: the dense matrix, BM25 postings, and candidate masks
+are sharded along the document axis over the ``corpus`` mesh axis; query
+batches shard over the ``dp`` axis. Per-shard fused top-k results are
+merged with an ICI all-gather + k-way merge (XLA collectives, not
+host-side communication).
+"""
+
+from a_nice_rag_tpu.parallel.mesh import make_mesh  # noqa: F401
+from a_nice_rag_tpu.parallel.sharded import (  # noqa: F401
+    ShardedIndex,
+    shard_index,
+    sharded_dense_top_k,
+    sharded_hybrid_retrieve,
+)

@@ -1,0 +1,365 @@
+"""Corpus-sharded retrieval over a device mesh.
+
+Layout (the scaling-book recipe: pick a mesh, annotate shardings, let XLA
+insert collectives):
+
+* dense matrix  [N_pad, D]   -> P("corpus", None)
+* BM25 postings [S, ...]     -> P("corpus", None)  (stacked per-shard CSR)
+* candidate masks [N_pad]    -> P("corpus")
+* query batch  [B, D]        -> P("dp", None)
+
+Inside ``shard_map`` each device scores its corpus shard and takes a
+local top-k; local indices are rebased to global ids, all-gathered over
+the ``corpus`` axis (ICI — payload is S*k ids+scores per query, tiny),
+and k-way merged. The merge of per-shard top-k lists is EXACT: any
+global top-k document is by definition in its own shard's top-k. Fusion
+then runs on global id lists via the sparse WRRF (no N-sized buffer).
+
+This replaces the "distributed communication backend: absent" row of
+SURVEY.md §5 with XLA collectives over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from a_nice_rag_tpu.index.array_index import ArrayIndex
+from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, bm25_scores
+from a_nice_rag_tpu.ops.dense import dense_scores
+from a_nice_rag_tpu.ops.fusion import wrrf_top_n_sparse
+from a_nice_rag_tpu.ops.topk import masked_top_k, merge_top_k
+
+
+@dataclasses.dataclass
+class ShardedIndex:
+    """Device-mesh-resident hybrid index, corpus axis sharded."""
+
+    mesh: Mesh
+    dense: Dict[str, jax.Array]  # [N_pad, D], P(corpus, None)
+    bm25_indptr: Optional[jax.Array]  # [S, V+1]
+    bm25_doc_ids: Optional[jax.Array]  # [S, nnz_pad+1]
+    bm25_impact: Optional[jax.Array]  # [S, nnz_pad+1]
+    base_index: ArrayIndex
+    n_local: int  # docs per shard (padded)
+    n_shards: int
+    corpus_axis: str = "corpus"
+    data_axis: str = "dp"
+
+    def __post_init__(self) -> None:
+        self._mask_cache: Dict[Optional[str], jax.Array] = {}
+
+    @property
+    def n_docs_padded(self) -> int:
+        return self.n_local * self.n_shards
+
+    def filter_mask(self, filename_type_filter: Optional[str]) -> jax.Array:
+        key = filename_type_filter or None
+        if key not in self._mask_cache:
+            m = self.base_index.meta.filter_mask(filename_type_filter)
+            m = np.pad(m, (0, self.n_docs_padded - m.shape[0]))
+            sh = NamedSharding(self.mesh, P(self.corpus_axis))
+            self._mask_cache[key] = jax.device_put(m, sh)
+        return self._mask_cache[key]
+
+    def bm25_mask(self, filename_type_filter: Optional[str]) -> jax.Array:
+        key = ("bm25", filename_type_filter or None)
+        if key not in self._mask_cache:
+            m = self.base_index.meta.filter_mask(filename_type_filter)
+            if self.base_index.bm25_doc_mask is not None:
+                m = m & self.base_index.bm25_doc_mask
+            m = np.pad(m, (0, self.n_docs_padded - m.shape[0]))
+            sh = NamedSharding(self.mesh, P(self.corpus_axis))
+            self._mask_cache[key] = jax.device_put(m, sh)
+        return self._mask_cache[key]
+
+
+def _shard_csr(
+    indptr: np.ndarray,
+    doc_ids: np.ndarray,
+    impact: np.ndarray,
+    n_shards: int,
+    n_local: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split a global CSR postings structure into stacked per-shard CSRs.
+
+    Postings are already grouped contiguously by (term, shard) because
+    each term's postings are sorted by doc id, so extraction is a pure
+    boolean select per shard. Impact values are unchanged: BM25 scoring
+    statistics (idf, avgdl) stay GLOBAL so sharded scores equal
+    single-device scores exactly.
+    """
+    v = indptr.shape[0] - 1
+    nnz = int(indptr[-1])
+    ids = doc_ids[:nnz]
+    imp = impact[:nnz]
+    term_of = np.repeat(np.arange(v, dtype=np.int64), np.diff(indptr))
+    shard_of = ids // n_local
+
+    parts_ids, parts_imp, parts_ptr = [], [], []
+    for s in range(n_shards):
+        sel = shard_of == s
+        local_ids = (ids[sel] - s * n_local).astype(np.int32)
+        counts = np.zeros(v, dtype=np.int64)
+        np.add.at(counts, term_of[sel], 1)
+        ptr = np.zeros(v + 1, dtype=np.int32)
+        np.cumsum(counts, out=ptr[1:])
+        parts_ids.append(local_ids)
+        parts_imp.append(imp[sel].astype(np.float32))
+        parts_ptr.append(ptr)
+
+    nnz_pad = max(p.shape[0] for p in parts_ids)
+    s_doc_ids = np.full((n_shards, nnz_pad + 1), n_local, dtype=np.int32)
+    s_impact = np.zeros((n_shards, nnz_pad + 1), dtype=np.float32)
+    for s in range(n_shards):
+        k = parts_ids[s].shape[0]
+        s_doc_ids[s, :k] = parts_ids[s]
+        s_impact[s, :k] = parts_imp[s]
+        # Sentinel slot (index nnz_pad) dumps padded gathers onto row
+        # n_local with impact 0 (matches ops.bm25 conventions).
+    s_indptr = np.stack(parts_ptr)
+    return s_indptr, s_doc_ids, s_impact
+
+
+def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
+                data_axis: str = "dp") -> ShardedIndex:
+    """Lay an ArrayIndex out across the mesh's corpus axis."""
+    n_shards = mesh.shape[corpus_axis]
+    n_pad = index.n_docs_padded
+    n_local = -(-n_pad // n_shards)
+    # Round shard size up to the index pad multiple so every shard keeps
+    # lane-aligned score tiles.
+    n_local = -(-n_local // 128) * 128
+    n_total = n_local * n_shards
+
+    dense = {}
+    for m, emb in index.dense.items():
+        arr = np.asarray(emb)
+        arr = np.pad(arr, ((0, n_total - arr.shape[0]), (0, 0)))
+        sh = NamedSharding(mesh, P(corpus_axis, None))
+        dense[m] = jax.device_put(arr, sh)
+
+    bm25_indptr = bm25_doc_ids = bm25_impact = None
+    if index.bm25 is not None:
+        s_indptr, s_doc_ids, s_impact = _shard_csr(
+            np.asarray(index.bm25.indptr),
+            np.asarray(index.bm25.doc_ids),
+            np.asarray(index.bm25.impact),
+            n_shards,
+            n_local,
+        )
+        sh = NamedSharding(mesh, P(corpus_axis, None))
+        bm25_indptr = jax.device_put(s_indptr, sh)
+        bm25_doc_ids = jax.device_put(s_doc_ids, sh)
+        bm25_impact = jax.device_put(s_impact, sh)
+
+    return ShardedIndex(
+        mesh=mesh,
+        dense=dense,
+        bm25_indptr=bm25_indptr,
+        bm25_doc_ids=bm25_doc_ids,
+        bm25_impact=bm25_impact,
+        base_index=index,
+        n_local=n_local,
+        n_shards=n_shards,
+        corpus_axis=corpus_axis,
+        data_axis=data_axis,
+    )
+
+
+def _local_to_global_topk(scores, k, n_local, corpus_axis):
+    """Local masked top-k -> exact global top-k via all-gather + merge."""
+    vals, idx = masked_top_k(scores, k)
+    gidx = idx + jax.lax.axis_index(corpus_axis) * n_local
+    gidx = jnp.where(jnp.isfinite(vals), gidx, -1)
+    all_vals = jax.lax.all_gather(vals, corpus_axis)  # [S, B, k]
+    all_idx = jax.lax.all_gather(gidx, corpus_axis)
+    all_vals = jnp.moveaxis(all_vals, 0, 1)  # [B, S, k]
+    all_idx = jnp.moveaxis(all_idx, 0, 1)
+    mvals, midx = merge_top_k(all_vals, all_idx, k)
+    return mvals, jnp.where(jnp.isfinite(mvals), midx, -1)
+
+
+class ShardedRetriever:
+    """Sharded equivalent of retrieval.FusedRetriever: every ranker,
+    the ICI merge, fusion and final top-n in one pjit program."""
+
+    def __init__(
+        self,
+        sidx: ShardedIndex,
+        model_names: Sequence[str],
+        use_bm25: bool,
+        similarity_k: int = 25,
+        common_sections_n: int = 15,
+        budget: int = 16384,
+    ):
+        self.sidx = sidx
+        self.model_names = tuple(model_names)
+        self.use_bm25 = use_bm25
+        self.similarity_k = similarity_k
+        self.common_sections_n = common_sections_n
+        self.budget = budget
+
+        mesh = sidx.mesh
+        ca, da = sidx.corpus_axis, sidx.data_axis
+        n_local = sidx.n_local
+        k = similarity_k
+        n = common_sections_n
+
+        def shard_fn(dense_mats, bm25_parts, q_embs, q_terms, mask, bmask,
+                     weights, wrrf_k):
+            lists = []
+            for mat, q in zip(dense_mats, q_embs):
+                scores = dense_scores(mat, q)
+                scores = jnp.where(mask[None, :], scores, -jnp.inf)
+                _, gidx = _local_to_global_topk(scores, k, n_local, ca)
+                lists.append(gidx)
+            if use_bm25:
+                indptr, doc_ids, impact = (x[0] for x in bm25_parts)
+                local = Bm25Arrays(
+                    indptr=indptr, doc_ids=doc_ids, impact=impact,
+                    n_docs_padded=n_local,
+                )
+                scores = bm25_scores(local, q_terms, budget)
+                scores = jnp.where(bmask[None, :], scores, -jnp.inf)
+                _, gidx = _local_to_global_topk(scores, k, n_local, ca)
+                lists.append(gidx)
+            if len(lists) == 1:
+                ids = lists[0][:, :n]
+                return jnp.zeros(ids.shape, jnp.float32), ids
+            all_idx = jnp.stack(lists)  # [L, B, K] — replicated over corpus
+            fvals, fids = wrrf_top_n_sparse(all_idx, weights, n, wrrf_k)
+            return fvals, jnp.where(jnp.isfinite(fvals), fids, -1)
+
+        n_dense = len(self.model_names)
+        bm25_spec = (P(ca, None),) * 3
+        in_specs = (
+            (P(ca, None),) * n_dense,          # dense shards
+            bm25_spec,                          # bm25 stacked arrays
+            (P(da, None),) * n_dense,           # query embeddings
+            P(da, None),                        # query terms
+            P(ca),                              # mask
+            P(ca),                              # bm25 mask
+            P(None),                            # weights
+            P(),                                # wrrf_k
+        )
+        out_specs = (P(da, None), P(da, None))
+        self._run = jax.jit(
+            jax.shard_map(
+                shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+
+    def __call__(
+        self,
+        q_embs: Dict[str, np.ndarray],
+        q_terms: Optional[np.ndarray],
+        weights: Dict[str, float],
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        sidx = self.sidx
+        mesh = sidx.mesh
+        da = sidx.data_axis
+        dense_mats = tuple(sidx.dense[m] for m in self.model_names)
+        qsh = NamedSharding(mesh, P(da, None))
+        q_tuple = tuple(
+            jax.device_put(np.asarray(q_embs[m], np.float32), qsh)
+            for m in self.model_names
+        )
+        b = q_tuple[0].shape[0] if q_tuple else np.asarray(q_terms).shape[0]
+        if self.use_bm25:
+            terms = jax.device_put(np.asarray(q_terms, np.int32), qsh)
+            bm25_parts = (sidx.bm25_indptr, sidx.bm25_doc_ids, sidx.bm25_impact)
+        else:
+            terms = jax.device_put(np.full((b, 1), -1, np.int32), qsh)
+            z = jnp.zeros((sidx.n_shards, 1), jnp.int32)
+            zf = jnp.zeros((sidx.n_shards, 1), jnp.float32)
+            bm25_parts = (
+                jax.device_put(z, NamedSharding(mesh, P(sidx.corpus_axis, None))),
+                jax.device_put(z, NamedSharding(mesh, P(sidx.corpus_axis, None))),
+                jax.device_put(zf, NamedSharding(mesh, P(sidx.corpus_axis, None))),
+            )
+        w = jnp.asarray(
+            [weights.get(m, 1.0) for m in self.model_names]
+            + ([weights.get("BM25", 1.0)] if self.use_bm25 else []),
+            dtype=jnp.float32,
+        )
+        mask = sidx.filter_mask(filename_type_filter)
+        bmask = (
+            sidx.bm25_mask(filename_type_filter)
+            if self.use_bm25
+            else mask
+        )
+        fvals, fids = self._run(
+            dense_mats, bm25_parts, q_tuple, terms, mask, bmask, w,
+            jnp.float32(wrrf_k),
+        )
+        return np.asarray(fvals), np.asarray(fids)
+
+
+def sharded_dense_top_k(
+    sidx: ShardedIndex,
+    model_name: str,
+    queries: np.ndarray,
+    k: int,
+    filename_type_filter: Optional[str] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact global dense top-k over the sharded corpus."""
+    mesh = sidx.mesh
+    ca, da = sidx.corpus_axis, sidx.data_axis
+    n_local = sidx.n_local
+
+    def shard_fn(emb_l, q_l, mask_l):
+        scores = dense_scores(emb_l, q_l)
+        scores = jnp.where(mask_l[None, :], scores, -jnp.inf)
+        return _local_to_global_topk(scores, k, n_local, ca)
+
+    run = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(ca, None), P(da, None), P(ca)),
+            out_specs=(P(da, None), P(da, None)),
+            check_vma=False,
+        )
+    )
+    q = jax.device_put(
+        np.atleast_2d(np.asarray(queries, np.float32)),
+        NamedSharding(mesh, P(da, None)),
+    )
+    vals, idx = run(
+        sidx.dense[model_name], q, sidx.filter_mask(filename_type_filter)
+    )
+    return np.asarray(vals), np.asarray(idx)
+
+
+def sharded_hybrid_retrieve(
+    sidx: ShardedIndex,
+    q_embs: Dict[str, np.ndarray],
+    q_terms: Optional[np.ndarray],
+    weights: Dict[str, float],
+    similarity_k: int = 25,
+    common_sections_n: int = 15,
+    wrrf_k: float = 40.0,
+    filename_type_filter: Optional[str] = None,
+    budget: int = 16384,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One-shot functional wrapper around :class:`ShardedRetriever`."""
+    model_names = [m for m in q_embs if m in sidx.dense]
+    retr = ShardedRetriever(
+        sidx,
+        model_names,
+        use_bm25=q_terms is not None and sidx.bm25_indptr is not None,
+        similarity_k=similarity_k,
+        common_sections_n=common_sections_n,
+        budget=budget,
+    )
+    return retr(q_embs, q_terms, weights, filename_type_filter, wrrf_k)

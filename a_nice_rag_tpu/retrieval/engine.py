@@ -27,7 +27,7 @@ import numpy as np
 
 from a_nice_rag_tpu.config import Config
 from a_nice_rag_tpu.index.array_index import ArrayIndex
-from a_nice_rag_tpu.ops.bm25 import bm25_scores
+from a_nice_rag_tpu.ops.bm25 import bm25_scores, bm25_scores_dense
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n
 from a_nice_rag_tpu.ops.topk import masked_top_k
@@ -53,6 +53,14 @@ def _dense_list(emb, q, mask, k):
 @partial(jax.jit, static_argnames=("k", "budget"))
 def _bm25_list(bm25, q_terms, mask, k, budget):
     scores = bm25_scores(bm25, q_terms, budget)
+    scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    vals, idx = masked_top_k(scores, k)
+    return vals, jnp.where(jnp.isfinite(vals), idx, -1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _bm25_list_dense(bm25_dense, q_terms, mask, k):
+    scores = bm25_scores_dense(bm25_dense, q_terms)
     scores = jnp.where(mask[None, :], scores, -jnp.inf)
     vals, idx = masked_top_k(scores, k)
     return vals, jnp.where(jnp.isfinite(vals), idx, -1)
@@ -86,6 +94,7 @@ class FusedRetriever:
         n_lists = len(self.model_names) + (1 if use_bm25 else 0)
         if n_lists == 0:
             raise ValueError("FusedRetriever needs at least one ranker")
+        use_dense_bm25 = use_bm25 and index.bm25_dense is not None
 
         @partial(jax.jit, static_argnames=())
         def run(dense_mats, bm25_arrays, q_embs, q_terms, mask, bm25_mask,
@@ -97,7 +106,10 @@ class FusedRetriever:
                 vals, idx = masked_top_k(scores, similarity_k)
                 lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
             if use_bm25:
-                scores = bm25_scores(bm25_arrays, q_terms, budget)
+                if use_dense_bm25:
+                    scores = bm25_scores_dense(bm25_arrays, q_terms)
+                else:
+                    scores = bm25_scores(bm25_arrays, q_terms, budget)
                 scores = jnp.where(bm25_mask[None, :], scores, -jnp.inf)
                 vals, idx = masked_top_k(scores, similarity_k)
                 lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
@@ -112,6 +124,68 @@ class FusedRetriever:
             return fids, fvals, all_idx
 
         self._run = run
+        self._const_cache: Dict[tuple, jax.Array] = {}
+
+    def _weights_device(self, weights: Dict[str, float]) -> jax.Array:
+        """Cache the tiny weights vector on device: every host->device
+        transfer costs a full round-trip on tunneled deployments."""
+        key = tuple(
+            [weights.get(m, 1.0) for m in self.model_names]
+            + ([weights.get("BM25", 1.0)] if self.use_bm25 else [])
+        )
+        if key not in self._const_cache:
+            self._const_cache[key] = jnp.asarray(key, dtype=jnp.float32)
+        return self._const_cache[key]
+
+    def _scalar_device(self, value: float) -> jax.Array:
+        key = ("scalar", value)
+        if key not in self._const_cache:
+            self._const_cache[key] = jnp.float32(value)
+        return self._const_cache[key]
+
+    def retrieve_device(
+        self,
+        q_embs: Dict[str, jax.Array],
+        q_terms: Optional[jax.Array],
+        weights: Dict[str, float],
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+    ):
+        """Device-to-device fast path: inputs/outputs stay on device
+        (no host sync). Returns (fused ids, fused scores, per-list ids)
+        as jax arrays."""
+        idx = self.index
+        dense_mats = tuple(idx.dense[m] for m in self.model_names)
+        q_tuple = tuple(jnp.asarray(q_embs[m]) for m in self.model_names)
+        mask = idx.filter_mask(filename_type_filter)
+        if self.use_bm25:
+            key = ("bm25_mask", filename_type_filter or None)
+            if key not in self._const_cache:
+                self._const_cache[key] = mask & jnp.asarray(idx.bm25_doc_mask)
+            bm25_mask = self._const_cache[key]
+            terms = jnp.asarray(q_terms)
+            bm25_arrays = (
+                idx.bm25_dense if idx.bm25_dense is not None else idx.bm25
+            )
+        else:
+            b = q_tuple[0].shape[0] if q_tuple else 1
+            key = ("noterms", b)
+            if key not in self._const_cache:
+                self._const_cache[key] = jnp.full((b, 1), -1, jnp.int32)
+            terms = self._const_cache[key]
+            bm25_mask = mask
+            bm25_arrays = idx.bm25
+        fids, fvals, all_idx = self._run(
+            dense_mats,
+            bm25_arrays,
+            q_tuple,
+            terms,
+            mask,
+            bm25_mask,
+            self._weights_device(weights),
+            self._scalar_device(wrrf_k),
+        )
+        return fids, fvals, all_idx
 
     def __call__(
         self,
@@ -122,27 +196,8 @@ class FusedRetriever:
         wrrf_k: float = 40.0,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Returns (fused ids [B, n], fused scores [B, n], per-list ids)."""
-        idx = self.index
-        dense_mats = tuple(idx.dense[m] for m in self.model_names)
-        q_tuple = tuple(jnp.asarray(q_embs[m]) for m in self.model_names)
-        mask = idx.filter_mask(filename_type_filter)
-        if self.use_bm25:
-            bm25_mask = mask & jnp.asarray(idx.bm25_doc_mask)
-            terms = jnp.asarray(q_terms)
-            bm25_arrays = idx.bm25
-        else:
-            b = q_tuple[0].shape[0] if q_tuple else 1
-            terms = jnp.full((b, 1), -1, jnp.int32)
-            bm25_mask = mask
-            bm25_arrays = idx.bm25
-        w = jnp.asarray(
-            [weights.get(m, 1.0) for m in self.model_names]
-            + ([weights.get("BM25", 1.0)] if self.use_bm25 else []),
-            dtype=jnp.float32,
-        )
-        fids, fvals, all_idx = self._run(
-            dense_mats, bm25_arrays, q_tuple, terms, mask, bm25_mask, w,
-            jnp.float32(wrrf_k),
+        fids, fvals, all_idx = self.retrieve_device(
+            q_embs, q_terms, weights, filename_type_filter, wrrf_k
         )
         return np.asarray(fids), np.asarray(fvals), np.asarray(all_idx)
 
@@ -231,10 +286,15 @@ class SearchEngine:
             self.index.bm25_doc_mask
         )
         k = min(similarity_k, self.index.n_docs)
-        budget = budget or Config.TPU.bm25_postings_budget
-        vals, idx = _bm25_list(
-            self.index.bm25, jnp.asarray(terms), mask, k, budget
-        )
+        if self.index.bm25_dense is not None:
+            vals, idx = _bm25_list_dense(
+                self.index.bm25_dense, jnp.asarray(terms), mask, k
+            )
+        else:
+            budget = budget or Config.TPU.bm25_postings_budget
+            vals, idx = _bm25_list(
+                self.index.bm25, jnp.asarray(terms), mask, k, budget
+            )
         return np.asarray(vals), np.asarray(idx)
 
     def bm25_search_preprocessed(

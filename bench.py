@@ -1,0 +1,177 @@
+"""Headline benchmark: hybrid retrieval QPS on one TPU chip.
+
+Reproduces the reference's retrieval workload at its corpus scale
+(~9.6k chunks x 2048-dim embeddings, hybrid dense+BM25 with WRRF fusion,
+BASELINE.md / src/retrieval_eval.py configuration 6) and measures
+steady-state batched throughput and single-query latency of the fused
+TPU program. The reference publishes no latency/QPS numbers; BASELINE.json
+sets the target: >10k QPS batched per chip (vs_baseline = QPS / 10_000).
+
+Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_DOCS = 9728  # reference corpus scale (SURVEY.md §2.4: ~9.6k-12k chunks)
+DIM = 2048  # voyage-3-large output_dimension (create_database.py:37)
+VOCAB = 20000
+BATCH = 512
+T_MAX = 16
+WARMUP = 3
+ITERS = 20
+TARGET_QPS = 10_000.0
+
+
+def _build():
+    from a_nice_rag_tpu.index import build_index
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(
+        n_docs=N_DOCS, dim=DIM, n_queries=BATCH, vocab_size=VOCAB, seed=7
+    )
+    index = build_index(
+        ids=c.ids,
+        sources=c.sources,
+        contents=c.contents,
+        embeddings=c.embeddings,
+        token_lists=c.tokens,
+    )
+    return c, index
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # PJRT plugin registration for the TPU backend is flaky in this
+    # environment and happens at interpreter startup, so an in-process
+    # retry cannot recover it. Re-exec the interpreter a few times; fall
+    # back to CPU only after that so the bench always reports.
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        import os
+
+        attempt = int(os.environ.get("BENCH_BACKEND_ATTEMPT", "0"))
+        if attempt < 5:
+            os.environ["BENCH_BACKEND_ATTEMPT"] = str(attempt + 1)
+            time.sleep(3)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        jax.config.update("jax_platforms", "cpu")
+        platform = jax.devices()[0].platform
+
+    from a_nice_rag_tpu.ops.bm25 import postings_required
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+
+    c, index = _build()
+    terms_np = index.pad_term_ids(c.query_tokens, T_MAX)
+    need = int(
+        np.asarray(
+            postings_required(index.bm25, jnp.asarray(terms_np))
+        ).max()
+    )
+    budget = 1 << int(np.ceil(np.log2(max(need, 1024))))
+
+    retriever = FusedRetriever(
+        index,
+        model_names=("voyage-3-large",),
+        use_bm25=True,
+        similarity_k=25,
+        common_sections_n=15,
+        budget=budget,
+    )
+    # Device-resident query pool: serving keeps queries on-device (they
+    # come from the on-TPU encoder); re-uploading per batch would measure
+    # host-link bandwidth, not retrieval.
+    q_dev = jnp.asarray(c.query_embeddings["voyage-3-large"])
+    terms_dev = jnp.asarray(terms_np)
+    q_dev.block_until_ready()
+    q_embs = {"voyage-3-large": q_dev}
+    terms_np = terms_dev
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+
+    # Sanity: planted gold docs must be found (quality guard on the
+    # measured configuration).
+    fids, fvals, _ = retriever(q_embs, terms_np, weights, None, 40.0)
+    hits = sum(
+        c.gold_ids[b] in [index.meta.ids[i] for i in fids[b] if i >= 0][:10]
+        for b in range(min(64, BATCH))
+    )
+    recall10 = hits / min(64, BATCH)
+
+    # Steady-state batched throughput: async dispatch, block at the end
+    # (serving consumes results in a pipeline; serializing a host download
+    # after every batch would measure the host link, not the chip).
+    for _ in range(WARMUP):
+        jax.block_until_ready(
+            retriever.retrieve_device(q_embs, terms_np, weights, None, 40.0)[0]
+        )
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(ITERS):
+        out = retriever.retrieve_device(q_embs, terms_np, weights, None, 40.0)
+    jax.block_until_ready(out[0])
+    dt = time.perf_counter() - t0
+    qps = BATCH * ITERS / dt
+
+    # Host-synchronous throughput (download fused ids every batch).
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        np.asarray(
+            retriever.retrieve_device(q_embs, terms_np, weights, None, 40.0)[0]
+        )
+    qps_sync = BATCH * ITERS / (time.perf_counter() - t0)
+
+    # Single-query p50 latency (host-visible; includes device dispatch
+    # round-trip, which on tunneled dev setups is tens of ms).
+    q1 = {"voyage-3-large": q_dev[:1]}
+    t1 = terms_dev[:1]
+    for _ in range(WARMUP):
+        jax.block_until_ready(
+            retriever.retrieve_device(q1, t1, weights, None, 40.0)[0]
+        )
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            retriever.retrieve_device(q1, t1, weights, None, 40.0)[0]
+        )
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat) * 1e3)
+
+    # Dispatch round-trip floor (tiny transfer), to contextualize p50.
+    rtt = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        jnp.float32(1.0).block_until_ready()
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms = float(np.median(rtt) * 1e3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "hybrid_retrieval_qps_per_chip",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / TARGET_QPS, 3),
+                "qps_host_sync": round(qps_sync, 1),
+                "p50_latency_ms": round(p50_ms, 3),
+                "dispatch_rtt_ms": round(rtt_ms, 3),
+                "batch": BATCH,
+                "n_docs": N_DOCS,
+                "dim": DIM,
+                "recall@10_planted": recall10,
+                "platform": platform,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

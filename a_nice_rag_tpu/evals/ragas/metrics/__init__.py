@@ -1,0 +1,38 @@
+"""Metric library (reference ragas_modified/metrics surface)."""
+
+from a_nice_rag_tpu.evals.ragas.metrics.base import (  # noqa: F401
+    Ensembler,
+    Metric,
+    MetricWithEmbeddings,
+    MetricWithLLM,
+    SingleTurnMetric,
+)
+from a_nice_rag_tpu.evals.ragas.metrics.faithfulness import Faithfulness  # noqa: F401
+from a_nice_rag_tpu.evals.ragas.metrics.answer_relevance import (  # noqa: F401
+    AnswerRelevancy,
+    ResponseRelevancy,
+)
+from a_nice_rag_tpu.evals.ragas.metrics.context_precision import (  # noqa: F401
+    LLMContextPrecisionWithReference,
+    LLMContextPrecisionWithoutReference,
+    NonLLMContextPrecisionWithReference,
+)
+from a_nice_rag_tpu.evals.ragas.metrics.context_recall import (  # noqa: F401
+    LLMContextRecall,
+    NonLLMContextRecall,
+)
+from a_nice_rag_tpu.evals.ragas.metrics.string_metrics import (  # noqa: F401
+    BleuScore,
+    ExactMatch,
+    NonLLMStringSimilarity,
+    RougeScore,
+    StringPresence,
+)
+from a_nice_rag_tpu.evals.ragas.metrics.semantic_similarity import (  # noqa: F401
+    SemanticSimilarity,
+)
+from a_nice_rag_tpu.evals.ragas.metrics.aspect_critic import AspectCritic  # noqa: F401
+from a_nice_rag_tpu.evals.ragas.metrics.rubrics import (  # noqa: F401
+    RubricsScore,
+    SimpleCriteriaScore,
+)

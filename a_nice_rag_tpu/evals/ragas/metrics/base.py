@@ -1,0 +1,102 @@
+"""Metric base classes.
+
+Mirrors the reference hierarchy (ragas_modified/metrics/base.py): a
+Metric ABC with required-column validation, LLM-backed and
+embedding-backed mixins with init-time injection, a SingleTurnMetric
+with per-call asyncio timeout, and a majority-vote Ensembler.
+"""
+
+from __future__ import annotations
+
+import asyncio
+from abc import ABC, abstractmethod
+from typing import ClassVar, Dict, List, Optional, Set
+
+from a_nice_rag_tpu.evals.ragas.dataset import SingleTurnSample
+from a_nice_rag_tpu.evals.ragas.run_config import RunConfig
+
+
+class Metric(ABC):
+    name: ClassVar[str] = ""
+    required_columns: ClassVar[Set[str]] = set()
+
+    def init(self, run_config: RunConfig) -> None:
+        self.run_config = run_config
+
+    def validate_sample(self, sample: SingleTurnSample) -> None:
+        have = set(sample.get_features())
+        missing = self.required_columns - have
+        if missing:
+            raise ValueError(
+                f"{self.name} requires columns {sorted(missing)} "
+                f"but the sample only has {sorted(have)}"
+            )
+
+
+class MetricWithLLM(Metric):
+    llm = None
+
+    def init(self, run_config: RunConfig) -> None:
+        super().init(run_config)
+        if self.llm is None:
+            raise ValueError(
+                f"{self.name} requires an LLM; pass one to evaluate() or "
+                "set metric.llm"
+            )
+
+
+class MetricWithEmbeddings(Metric):
+    embeddings = None
+
+    def init(self, run_config: RunConfig) -> None:
+        super().init(run_config)
+        if self.embeddings is None:
+            raise ValueError(
+                f"{self.name} requires embeddings; pass them to evaluate() "
+                "or set metric.embeddings"
+            )
+
+
+class SingleTurnMetric(Metric):
+    @abstractmethod
+    async def _single_turn_ascore(self, sample: SingleTurnSample) -> float:
+        ...
+
+    async def single_turn_ascore(
+        self,
+        sample: SingleTurnSample,
+        timeout: Optional[float] = None,
+    ) -> float:
+        self.validate_sample(sample)
+        timeout = timeout or getattr(
+            getattr(self, "run_config", None), "timeout", None
+        )
+        coro = self._single_turn_ascore(sample)
+        if timeout:
+            return await asyncio.wait_for(coro, timeout=timeout)
+        return await coro
+
+
+class Ensembler:
+    """Majority vote across repeated LLM verdicts (strictness > 1)."""
+
+    @staticmethod
+    def from_discrete(
+        inputs: List[List[Dict]], attribute: str
+    ) -> List[Dict]:
+        """inputs: per-repetition lists of verdict dicts (same length);
+        returns one list with the majority value per position."""
+        if not inputs:
+            return []
+        n_items = len(inputs[0])
+        out = []
+        for i in range(n_items):
+            votes: Dict = {}
+            for rep in inputs:
+                v = rep[i][attribute]
+                votes[v] = votes.get(v, 0) + 1
+            best = max(votes.items(), key=lambda kv: kv[1])[0]
+            merged = dict(inputs[0][i])
+            merged[attribute] = best
+            out.append(merged)
+        return out

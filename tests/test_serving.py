@@ -1,0 +1,102 @@
+"""Serving layer: micro-batching scheduler + feedback log."""
+
+import asyncio
+import json
+import os
+
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.retrieval import FusedRetriever
+from a_nice_rag_tpu.serving import BatchScheduler, FeedbackLog
+from a_nice_rag_tpu.testing import synth_corpus
+
+
+@pytest.fixture(scope="module")
+def retriever():
+    c = synth_corpus(n_docs=300, dim=32, n_queries=32, seed=91)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    fr = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
+        common_sections_n=5, budget=4096,
+    )
+    return c, idx, fr
+
+
+def test_scheduler_batches_concurrent_queries(retriever):
+    c, idx, fr = retriever
+
+    async def run():
+        sched = BatchScheduler(
+            fr, {"voyage-3-large": 5.0, "BM25": 1.0}, max_wait_ms=20.0,
+            t_max=16,
+        )
+        await sched.start()
+        try:
+            async def one(i):
+                terms = idx.term_ids(c.query_tokens[i])[:16]
+                return await sched.submit(
+                    {"voyage-3-large": c.query_embeddings["voyage-3-large"][i]},
+                    terms,
+                )
+
+            results = await asyncio.gather(*(one(i) for i in range(16)))
+        finally:
+            await sched.stop()
+        return sched, results
+
+    sched, results = asyncio.run(run())
+    assert len(results) == 16
+    assert sched.queries_served == 16
+    # Coalescing: far fewer launches than queries.
+    assert sched.batches_run < 16
+    # Each result ranks the gold document highly.
+    hits = 0
+    for i, (ids, scores) in enumerate(results):
+        got = [idx.meta.ids[j] for j in ids if j >= 0]
+        hits += c.gold_ids[i] in got
+    assert hits >= 14
+
+
+def test_scheduler_matches_direct_call(retriever):
+    c, idx, fr = retriever
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+
+    async def run():
+        sched = BatchScheduler(fr, weights, max_wait_ms=1.0, t_max=16)
+        await sched.start()
+        try:
+            terms = idx.term_ids(c.query_tokens[0])[:16]
+            return await sched.submit(
+                {"voyage-3-large": c.query_embeddings["voyage-3-large"][0]},
+                terms,
+            )
+        finally:
+            await sched.stop()
+
+    ids_s, _ = asyncio.run(run())
+    terms = np.full((1, 16), -1, np.int32)
+    t = idx.term_ids(c.query_tokens[0])[:16]
+    terms[0, : len(t)] = t
+    fids, _, _ = fr(
+        {"voyage-3-large": c.query_embeddings["voyage-3-large"][:1]},
+        terms, weights, None, 40.0,
+    )
+    np.testing.assert_array_equal(np.asarray(ids_s), fids[0])
+
+
+def test_feedback_log_roundtrip(tmp_path):
+    path = os.path.join(tmp_path, "fb.json")
+    log = FeedbackLog(path)
+    log.record("q1", "a1", "up", "fake-llm", [{"source": "NG1"}])
+    log.record("q2", "a2", "down")
+    entries = log.entries()
+    assert len(entries) == 2
+    assert entries[0]["rating"] == "up"
+    assert entries[1]["query"] == "q2"
+    raw = json.load(open(path))
+    assert isinstance(raw, list) and len(raw) == 2

@@ -1,0 +1,27 @@
+"""On-TPU model family: embedding encoder, cross-encoder reranker, and
+their contrastive training loop.
+
+The reference delegates embedding and reranking to SaaS APIs (VoyageAI,
+OpenAI; src/search_engine.py:148-203). This package provides the
+fully-local alternative: a flax transformer encoder producing unit-norm
+embeddings (drop-in for the dense index), a cross-encoder scoring
+(query, document) pairs for the rerank stage, a hashing tokenizer for
+hermetic operation, and dp x tp sharded training steps.
+"""
+
+from a_nice_rag_tpu.models.encoder import (  # noqa: F401
+    EncoderConfig,
+    TransformerEncoder,
+    init_encoder,
+)
+from a_nice_rag_tpu.models.reranker import (  # noqa: F401
+    CrossEncoderReranker,
+    OnDeviceReranker,
+)
+from a_nice_rag_tpu.models.tokenizer import HashingTokenizer  # noqa: F401
+from a_nice_rag_tpu.models.train import (  # noqa: F401
+    contrastive_loss,
+    make_sharded_train_step,
+    make_train_step,
+)
+from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder  # noqa: F401

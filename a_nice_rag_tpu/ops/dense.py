@@ -46,7 +46,7 @@ def dense_top_k(
     mask: Optional[jax.Array] = None,
     score_dtype: jnp.dtype = jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Fused dense scoring + masked top-k.
+    """Fused dense scoring + masked top-k (XLA path).
 
     emb: [N, D] (unit-norm), queries: [B, D], mask: optional [N] bool
     (True = candidate; padding rows and filename-type filtering are
@@ -59,3 +59,39 @@ def dense_top_k(
     if n > _HIERARCHICAL_THRESHOLD and n % 1024 == 0:
         return hierarchical_top_k(scores, k)
     return masked_top_k(scores, k)
+
+
+# Streaming Pallas kernel pays off once the [B, N] score matrix stops
+# fitting comfortably in HBM traffic budgets.
+_PALLAS_THRESHOLD = 1 << 18
+
+
+def dense_top_k_auto(
+    emb: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    backend: str = "auto",
+    block_q: int = 64,
+    block_n: int = 2048,
+) -> Tuple[jax.Array, jax.Array]:
+    """Backend-routing wrapper: the streaming Pallas kernel
+    (ops.pallas.fused_dense_top_k) on TPU for large corpora when shapes
+    tile cleanly, the XLA path otherwise."""
+    n = emb.shape[0]
+    b = queries.shape[0]
+    use_pallas = backend == "pallas" or (
+        backend == "auto"
+        and jax.default_backend() == "tpu"
+        and n >= _PALLAS_THRESHOLD
+        and n % block_n == 0
+        and b % block_q == 0
+        and k <= 128
+    )
+    if use_pallas:
+        from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
+
+        return fused_dense_top_k(
+            emb, queries, k, mask=mask, block_q=block_q, block_n=block_n
+        )
+    return dense_top_k(emb, queries, k, mask=mask)

@@ -1,0 +1,172 @@
+"""Fused dense scoring + streaming top-k (Pallas TPU kernel).
+
+The XLA path materializes the full [B, N] score matrix in HBM before
+top-k — at corpus scale (N in the millions, SURVEY.md §7 stage 5) that
+is the dominant HBM traffic (B=512, N=10M, f32 -> 20 GB per batch).
+This kernel streams document tiles through VMEM instead: for each query
+block it computes one [Bq, Nt] score tile on the MXU and folds the
+tile's best k entries into a running top-k buffer held in VMEM scratch —
+HBM sees the embedding matrix exactly once plus the final [B, K] result.
+
+Mosaic has no native top_k lowering, so selection is a k-step
+iterative max+argmax+mask loop on the VPU. Two cost controls keep it
+off the critical path:
+
+* tile skip: a tile whose row maxima cannot beat any query's current
+  k-th best is skipped entirely (after warm-up, almost every tile —
+  selection cost amortizes to ~zero for random-ish score streams);
+* the merge of (running k) with (tile k) runs on a [Bq, 2k] buffer.
+
+Scores accumulate in float32 regardless of embedding storage dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30  # sentinel; cleaner than -inf inside the selection loop
+
+
+def _select_topk(scores: jax.Array, ids: jax.Array, k: int):
+    """Iterative top-k along axis 1. scores [Bq, M], ids [Bq, M] ->
+    (vals [Bq, k] desc, ids [Bq, k])."""
+    bq, m = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, m), 1)
+
+    def body(t, carry):
+        s, out_v, out_i = carry
+        row_max = jnp.max(s, axis=1)  # [Bq]
+        arg = jnp.argmax(s, axis=1).astype(jnp.int32)  # [Bq]
+        # Mosaic has no general gather; select the picked id by mask+max.
+        picked_id = jnp.max(
+            jnp.where(col == arg[:, None], ids, jnp.int32(-2147483647)),
+            axis=1,
+        )
+        onehot_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1) == t
+        )
+        out_v = jnp.where(onehot_t, row_max[:, None], out_v)
+        out_i = jnp.where(onehot_t, picked_id[:, None], out_i)
+        s = jnp.where(col == arg[:, None], NEG, s)
+        return s, out_v, out_i
+
+    init_v = jnp.full((bq, k), NEG, jnp.float32)
+    init_i = jnp.full((bq, k), -1, jnp.int32)
+    _, vals, out_ids = jax.lax.fori_loop(
+        0, k, body, (scores, init_v, init_i)
+    )
+    return vals, out_ids
+
+
+def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
+            k: int, n_tile: int):
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, NEG)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [Bq, Nt]
+    scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+
+    # Skip tiles that cannot improve any query's current k-th best.
+    tile_row_max = jnp.max(scores, axis=1)  # [Bq]
+    kth_best = run_v[:, k - 1]  # [Bq]
+    can_improve = jnp.any(tile_row_max > kth_best)
+
+    @pl.when(can_improve)
+    def _():
+        bq = scores.shape[0]
+        local_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (bq, n_tile), 1
+        ) + j * n_tile
+        tile_v, tile_i = _select_topk(scores, local_ids, k)
+        merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
+        merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
+        new_v, new_i = _select_topk(merged_v, merged_i, k)
+        run_v[:] = new_v
+        run_i[:] = new_i
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        out_v = run_v[:]
+        vals_ref[:] = jnp.where(out_v <= NEG, -jnp.inf, out_v)
+        idx_ref[:] = jnp.where(out_v <= NEG, -1, run_i[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+)
+def fused_dense_top_k(
+    emb: jax.Array,
+    queries: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    block_q: int = 64,
+    block_n: int = 2048,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming fused scoring+top-k.
+
+    emb: [N, D] (N divisible by block_n), queries: [B, D] (B divisible
+    by block_q; pad externally), mask: [N] bool or None. Returns
+    (values [B, k], indices [B, k]) matching ops.dense.dense_top_k up to
+    tie order; masked-out/overhang slots report (-inf, -1).
+    """
+    n, d = emb.shape
+    b = queries.shape[0]
+    assert n % block_n == 0, f"N={n} must be divisible by block_n={block_n}"
+    assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
+    if mask is None:
+        mask = jnp.ones((n,), jnp.bool_)
+
+    grid = (b // block_q, n // block_n)
+    kernel = functools.partial(_kernel, k=k, n_tile=block_n)
+    flops = 2 * b * n * d
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n,), lambda i, j: (j,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=emb.size * emb.dtype.itemsize
+            + queries.size * queries.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, emb, mask)
+    return vals, idx

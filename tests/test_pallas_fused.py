@@ -1,0 +1,60 @@
+"""Pallas fused matmul+top-k parity (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.ops.dense import dense_top_k
+from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def test_fused_matches_xla_topk():
+    rng = np.random.default_rng(111)
+    emb = rng.standard_normal((1024, 128)).astype(np.float32)
+    q = rng.standard_normal((64, 128)).astype(np.float32)
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=16, block_q=64, block_n=256,
+        interpret=INTERPRET,
+    )
+    vals_x, idx_x = dense_top_k(jnp.asarray(emb), jnp.asarray(q), 16)
+    np.testing.assert_allclose(
+        np.asarray(vals_p), np.asarray(vals_x), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+
+
+def test_fused_with_mask():
+    rng = np.random.default_rng(113)
+    emb = rng.standard_normal((512, 64)).astype(np.float32)
+    q = rng.standard_normal((64, 64)).astype(np.float32)
+    mask = np.zeros(512, bool)
+    mask[100:300] = True
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=8, block_q=64, block_n=128,
+        mask=jnp.asarray(mask), interpret=INTERPRET,
+    )
+    idx_p = np.asarray(idx_p)
+    assert ((idx_p >= 100) & (idx_p < 300)).all()
+    vals_x, idx_x = dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), 8, mask=jnp.asarray(mask)
+    )
+    np.testing.assert_array_equal(idx_p, np.asarray(idx_x))
+
+
+def test_fused_k_larger_than_valid_entries():
+    rng = np.random.default_rng(117)
+    emb = rng.standard_normal((256, 32)).astype(np.float32)
+    q = rng.standard_normal((64, 32)).astype(np.float32)
+    mask = np.zeros(256, bool)
+    mask[:5] = True  # only 5 valid docs, k=8
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=8, block_q=64, block_n=128,
+        mask=jnp.asarray(mask), interpret=INTERPRET,
+    )
+    vals_p, idx_p = np.asarray(vals_p), np.asarray(idx_p)
+    assert (idx_p[:, :5] < 5).all()
+    assert np.isinf(vals_p[:, 5:]).all()
+    assert (idx_p[:, 5:] == -1).all()

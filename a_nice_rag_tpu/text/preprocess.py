@@ -149,7 +149,36 @@ def lemmatize(token: str) -> str:
 def preprocess_text(
     text: Optional[str], use_lemmatization: bool = False
 ) -> List[str]:
-    """Full preprocessing pipeline (query and corpus sides)."""
+    """Full preprocessing pipeline (query and corpus sides).
+
+    Routes ASCII inputs through the native C++ fast path
+    (a_nice_rag_tpu.native) when it is available and NLTK's data-backed
+    tokenizer/lemmatizer is not installed; behavior is identical.
+    """
+    if not text:
+        return []
+    _try_nltk()
+    if not _nltk_word_tokenize and not _nltk_lemmatizer and text.isascii():
+        from a_nice_rag_tpu.native.build import native_preprocess
+
+        native = native_preprocess(text, use_lemmatization)
+        if native is not None:
+            return native
+    text = text.lower().translate(_PUNCT_TABLE)
+    tokens = [
+        tok
+        for tok in tokenize(text)
+        if tok not in STOPWORDS_EN and not tok.isnumeric() and len(tok) > 1
+    ]
+    if use_lemmatization:
+        tokens = [lemmatize(tok) for tok in tokens]
+    return tokens
+
+
+def preprocess_text_python(
+    text: Optional[str], use_lemmatization: bool = False
+) -> List[str]:
+    """Pure-Python reference path (authoritative; used by parity tests)."""
     if not text:
         return []
     text = text.lower().translate(_PUNCT_TABLE)

@@ -21,6 +21,7 @@ from a_nice_rag_tpu.evals.ragas.metrics.base import (
     Metric,
     MetricWithEmbeddings,
     MetricWithLLM,
+    MultiTurnMetric,
     SingleTurnMetric,
 )
 from a_nice_rag_tpu.evals.ragas.run_config import RunConfig
@@ -65,14 +66,23 @@ def evaluate(
         batch_size=batch_size,
     )
     trace = QueryTrace(query="evaluation")
+    multi = dataset.is_multi_turn()
     for sample in dataset.samples:
         for metric in metrics:
-            if not isinstance(metric, SingleTurnMetric):
-                raise NotImplementedError(
-                    f"{metric.name}: only single-turn metrics are "
-                    "supported by this entrypoint so far"
-                )
-            executor.submit(metric.single_turn_ascore, sample)
+            if multi:
+                if not isinstance(metric, MultiTurnMetric):
+                    raise ValueError(
+                        f"{metric.name} is not a multi-turn metric but the "
+                        "dataset holds MultiTurnSamples"
+                    )
+                executor.submit(metric.multi_turn_ascore, sample)
+            else:
+                if not isinstance(metric, SingleTurnMetric):
+                    raise ValueError(
+                        f"{metric.name} is not a single-turn metric but "
+                        "the dataset holds SingleTurnSamples"
+                    )
+                executor.submit(metric.single_turn_ascore, sample)
 
     with trace.span("run", jobs=len(dataset) * len(metrics)):
         flat = executor.results()

@@ -77,6 +77,25 @@ class SingleTurnMetric(Metric):
         return await coro
 
 
+class MultiTurnMetric(Metric):
+    """Metrics over conversational MultiTurnSample transcripts."""
+
+    @abstractmethod
+    async def _multi_turn_ascore(self, sample) -> float:
+        ...
+
+    async def multi_turn_ascore(
+        self, sample, timeout: Optional[float] = None
+    ) -> float:
+        timeout = timeout or getattr(
+            getattr(self, "run_config", None), "timeout", None
+        )
+        coro = self._multi_turn_ascore(sample)
+        if timeout:
+            return await asyncio.wait_for(coro, timeout=timeout)
+        return await coro
+
+
 class Ensembler:
     """Majority vote across repeated LLM verdicts (strictness > 1)."""
 

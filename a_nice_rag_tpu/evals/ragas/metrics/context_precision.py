@@ -132,6 +132,18 @@ class LLMContextPrecisionWithoutReference(LLMContextPrecisionWithReference):
         return sample.response
 
 
+class ContextPrecision(LLMContextPrecisionWithReference):
+    """Upstream alias."""
+
+    name: ClassVar[str] = "context_precision"
+
+
+class ContextUtilization(LLMContextPrecisionWithoutReference):
+    """Upstream alias (precision against the generated response)."""
+
+    name: ClassVar[str] = "context_utilization"
+
+
 class NonLLMContextPrecisionWithReference(SingleTurnMetric):
     """String-similarity variant: retrieved vs reference contexts."""
 

@@ -175,6 +175,66 @@ def bm25_scores_dense(
     )
 
 
+@partial(jax.jit, static_argnames=("k", "budget"))
+def bm25_top_k_sparse(
+    bm25: Bm25Arrays,
+    q_terms: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    budget: int = 16384,
+) -> Tuple[jax.Array, jax.Array]:
+    """BM25 top-k without an N-sized score vector OR a scatter.
+
+    XLA scatter serializes on TPU (the bm25_scores path costs seconds at
+    large budgets) and a dense [B, N] accumulator is HBM-hostile at
+    sharded scale. Instead: gather the query's (doc id, impact) postings,
+    SORT by doc id, segment-sum duplicates (same doc hit by several
+    terms), and take top-k over the per-document totals directly —
+    O(P log P) per query with P = postings budget, independent of N.
+
+    Only documents with at least one matching posting can appear (score
+    > 0); that matches ranking semantics for retrieval (zero-score docs
+    carry no signal), unlike bm25_scores which materializes zeros.
+    Returns (scores [B, k], doc ids [B, k], -inf/-1 padded).
+    """
+    sentinel_doc = jnp.iinfo(jnp.int32).max
+
+    def one(q: jax.Array):
+        g = _flat_postings_indices(bm25.indptr, q, budget, bm25.nnz)
+        ids = bm25.doc_ids[g]
+        vals = bm25.impact[g]
+        # Padding gathers land on the dump row; push them to the end of
+        # the sort instead.
+        ids = jnp.where(ids >= bm25.n_docs_padded, sentinel_doc, ids)
+        order = jnp.argsort(ids)
+        s_ids = ids[order]
+        s_vals = vals[order]
+        # Segment totals WITHOUT a scatter: impacts are positive, so the
+        # running csum is nondecreasing and a cummax broadcasts each
+        # group's starting prefix to all its members. The group total
+        # lands on the group's LAST element.
+        csum = jnp.cumsum(s_vals)
+        csum_before = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]]
+        )
+        last = jnp.concatenate([s_ids[1:] != s_ids[:-1], jnp.ones((1,), bool)])
+        start_prefix = jax.lax.cummax(
+            jnp.where(first, csum_before, -jnp.inf)
+        )
+        score = jnp.where(
+            last & (s_ids != sentinel_doc), csum - start_prefix, -jnp.inf
+        )
+        if mask is not None:
+            keep = mask[jnp.clip(s_ids, 0, mask.shape[0] - 1)]
+            score = jnp.where(keep, score, -jnp.inf)
+        top_s, pos = jax.lax.top_k(score, k)
+        top_ids = jnp.where(jnp.isfinite(top_s), s_ids[pos], -1)
+        return top_s, top_ids
+
+    return jax.vmap(one)(q_terms)
+
+
 def postings_required(bm25: Bm25Arrays, q_terms: jax.Array) -> jax.Array:
     """Total postings each query would touch — for budget validation [B]."""
     valid = q_terms >= 0

@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from a_nice_rag_tpu.index.array_index import ArrayIndex
-from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, bm25_scores
+from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, bm25_top_k_sparse
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n_sparse
 from a_nice_rag_tpu.ops.topk import masked_top_k, merge_top_k
@@ -173,17 +173,22 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
     )
 
 
-def _local_to_global_topk(scores, k, n_local, corpus_axis):
-    """Local masked top-k -> exact global top-k via all-gather + merge."""
-    vals, idx = masked_top_k(scores, k)
-    gidx = idx + jax.lax.axis_index(corpus_axis) * n_local
-    gidx = jnp.where(jnp.isfinite(vals), gidx, -1)
+def _gather_merge(vals, gidx, k, corpus_axis):
+    """All-gather per-shard (vals, global ids) over ICI and k-way merge."""
     all_vals = jax.lax.all_gather(vals, corpus_axis)  # [S, B, k]
     all_idx = jax.lax.all_gather(gidx, corpus_axis)
     all_vals = jnp.moveaxis(all_vals, 0, 1)  # [B, S, k]
     all_idx = jnp.moveaxis(all_idx, 0, 1)
     mvals, midx = merge_top_k(all_vals, all_idx, k)
     return mvals, jnp.where(jnp.isfinite(mvals), midx, -1)
+
+
+def _local_to_global_topk(scores, k, n_local, corpus_axis):
+    """Local masked top-k -> exact global top-k via all-gather + merge."""
+    vals, idx = masked_top_k(scores, k)
+    gidx = idx + jax.lax.axis_index(corpus_axis) * n_local
+    gidx = jnp.where(jnp.isfinite(vals), gidx, -1)
+    return _gather_merge(vals, gidx, k, corpus_axis)
 
 
 class ShardedRetriever:
@@ -226,9 +231,18 @@ class ShardedRetriever:
                     indptr=indptr, doc_ids=doc_ids, impact=impact,
                     n_docs_padded=n_local,
                 )
-                scores = bm25_scores(local, q_terms, budget)
-                scores = jnp.where(bmask[None, :], scores, -jnp.inf)
-                _, gidx = _local_to_global_topk(scores, k, n_local, ca)
+                # Sort-based sparse scoring: no [N_local] accumulator, no
+                # TPU scatter (which serializes); per-query cost depends
+                # on the postings budget only.
+                vals, lidx = bm25_top_k_sparse(
+                    local, q_terms, k, mask=bmask, budget=budget
+                )
+                gidx = jnp.where(
+                    jnp.isfinite(vals),
+                    lidx + jax.lax.axis_index(ca) * n_local,
+                    -1,
+                )
+                _, gidx = _gather_merge(vals, gidx, k, ca)
                 lists.append(gidx)
             if len(lists) == 1:
                 ids = lists[0][:, :n]

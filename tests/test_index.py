@@ -109,3 +109,37 @@ def test_term_id_mapping():
     assert ids[0, 0] == idx.vocab["term1"]
     assert ids[0, 1] == -1
     assert (ids[1] == -1).all()
+
+
+def test_index_manager_memoizes(tmp_path):
+    import os
+
+    from a_nice_rag_tpu.index.manager import IndexManager, add_url_column
+
+    c = synth_corpus(n_docs=20, dim=8, seed=29)
+    idx = _build(c)
+    path = os.path.join(tmp_path, "artifact")
+    save_index(idx, path)
+    mgr = IndexManager()
+    a = mgr.load_artifact(path)
+    b = mgr.load_artifact(path)
+    assert a is b
+    mgr.invalidate(path)
+    assert mgr.load_artifact(path) is not a
+
+    # url migration on a reference-format DB without the url column
+    db = os.path.join(tmp_path, "nourle.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE chunks (id TEXT PRIMARY KEY, content TEXT, "
+        "source TEXT, embedding BLOB)"
+    )
+    conn.execute("INSERT INTO chunks VALUES ('a','x','NG1',NULL)")
+    conn.commit()
+    conn.close()
+    assert add_url_column(db) == 1
+    assert add_url_column(db) == 0  # idempotent
+    conn = sqlite3.connect(db)
+    url = conn.execute("SELECT url FROM chunks").fetchone()[0]
+    conn.close()
+    assert url == "https://www.nice.org.uk/guidance/ng1"

@@ -65,7 +65,7 @@ def _select_topk(scores: jax.Array, ids: jax.Array, k: int):
 
 
 def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
-            k: int, n_tile: int):
+            k: int, n_tile: int, m_fast: int):
     j = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -82,17 +82,31 @@ def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
     )  # [Bq, Nt]
     scores = jnp.where(mask_ref[:][None, :], scores, NEG)
 
-    # Skip tiles that cannot improve any query's current k-th best.
-    tile_row_max = jnp.max(scores, axis=1)  # [Bq]
+    # Only elements beating a query's current k-th best can enter the
+    # running top-k. Count them per tile: zero -> skip; few (the common
+    # steady state) -> cheap m_fast-step extraction; many (warm-up
+    # tiles) -> full k-selection.
+    bq = scores.shape[0]
     kth_best = run_v[:, k - 1]  # [Bq]
-    can_improve = jnp.any(tile_row_max > kth_best)
+    improving = scores > kth_best[:, None]
+    cnt = jnp.sum(improving.astype(jnp.int32), axis=1)  # [Bq]
+    max_cnt = jnp.max(cnt)
+    local_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (bq, n_tile), 1
+    ) + j * n_tile
 
-    @pl.when(can_improve)
+    @pl.when((max_cnt > 0) & (max_cnt <= m_fast))
     def _():
-        bq = scores.shape[0]
-        local_ids = jax.lax.broadcasted_iota(
-            jnp.int32, (bq, n_tile), 1
-        ) + j * n_tile
+        cand = jnp.where(improving, scores, NEG)
+        tile_v, tile_i = _select_topk(cand, local_ids, m_fast)
+        merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
+        merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
+        new_v, new_i = _select_topk(merged_v, merged_i, k)
+        run_v[:] = new_v
+        run_i[:] = new_i
+
+    @pl.when(max_cnt > m_fast)
+    def _():
         tile_v, tile_i = _select_topk(scores, local_ids, k)
         merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
         merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
@@ -108,7 +122,8 @@ def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "block_q", "block_n", "interpret")
+    jax.jit,
+    static_argnames=("k", "block_q", "block_n", "m_fast", "interpret"),
 )
 def fused_dense_top_k(
     emb: jax.Array,
@@ -116,7 +131,8 @@ def fused_dense_top_k(
     k: int,
     mask: Optional[jax.Array] = None,
     block_q: int = 64,
-    block_n: int = 2048,
+    block_n: int = 4096,
+    m_fast: int = 4,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k.
@@ -134,7 +150,7 @@ def fused_dense_top_k(
         mask = jnp.ones((n,), jnp.bool_)
 
     grid = (b // block_q, n // block_n)
-    kernel = functools.partial(_kernel, k=k, n_tile=block_n)
+    kernel = functools.partial(_kernel, k=k, n_tile=block_n, m_fast=m_fast)
     flops = 2 * b * n * d
     vals, idx = pl.pallas_call(
         kernel,

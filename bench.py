@@ -113,6 +113,11 @@ def main() -> None:
             retriever.retrieve_device(q_embs, terms_np, weights, None, 40.0)[0]
         )
     # Best of 3 trials (shared dev hardware shows run-to-run variance).
+    # NOTE: the end-of-loop sync is a VALUE read, not block_until_ready —
+    # tunneled PJRT backends have been observed returning from
+    # block_until_ready before execution finishes; reading data cannot
+    # lie, and serialized device execution means the last batch's data
+    # implies all prior batches completed.
     qps = 0.0
     for _ in range(3):
         t0 = time.perf_counter()
@@ -121,7 +126,7 @@ def main() -> None:
             out = retriever.retrieve_device(
                 q_embs, terms_np, weights, None, 40.0
             )
-        jax.block_until_ready(out[0])
+        float(out[0][0, 0])
         qps = max(qps, BATCH * ITERS / (time.perf_counter() - t0))
 
     # Host-synchronous throughput (download fused ids every batch).
@@ -143,8 +148,8 @@ def main() -> None:
     lat = []
     for _ in range(30):
         t0 = time.perf_counter()
-        jax.block_until_ready(
-            retriever.retrieve_device(q1, t1, weights, None, 40.0)[0]
+        float(
+            retriever.retrieve_device(q1, t1, weights, None, 40.0)[0][0, 0]
         )
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)

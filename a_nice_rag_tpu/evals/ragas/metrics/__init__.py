@@ -69,3 +69,8 @@ from a_nice_rag_tpu.evals.ragas.metrics.misc import (  # noqa: F401
 from a_nice_rag_tpu.evals.ragas.metrics.semantic_similarity import (  # noqa: F401
     AnswerSimilarity,
 )
+from a_nice_rag_tpu.evals.ragas.metrics.multimodal import (  # noqa: F401
+    FaithfulnesswithHHEM,
+    MultiModalFaithfulness,
+    MultiModalRelevance,
+)

@@ -319,6 +319,32 @@ class ShardedRetriever:
         return np.asarray(fvals), np.asarray(fids)
 
 
+def reshard_surviving(
+    sidx: ShardedIndex,
+    devices,
+    dp: int = 1,
+) -> ShardedIndex:
+    """Failure recovery: rebuild the sharded index over surviving devices.
+
+    The reference's graceful-degradation contract (SURVEY.md §5: shard
+    failure => keep serving) maps to SPMD as: the host retains the full
+    base index, so losing chips never loses data — recovery is a
+    re-shard of the document axis over the remaining devices (smaller
+    corpus axis, same results). Callers catch the execution error from a
+    dead chip, call this with the surviving device list, and rebuild
+    their ShardedRetriever.
+    """
+    devices = list(devices)
+    corpus = len(devices) // dp
+    mesh = Mesh(
+        np.asarray(devices).reshape(dp, corpus),
+        (sidx.data_axis, sidx.corpus_axis),
+    )
+    return shard_index(
+        sidx.base_index, mesh, sidx.corpus_axis, sidx.data_axis
+    )
+
+
 def sharded_dense_top_k(
     sidx: ShardedIndex,
     model_name: str,

@@ -38,11 +38,11 @@ struct Rule {
   const char* repl;
 };
 
-// WordNet morphy noun rules, longest-match-first.
+// Morphy noun rules; order mirrors text/preprocess.py (calibrated
+// against real NLTK outputs — see that module's comments).
 const Rule kMorphyRules[] = {
-    {"ches", "ch"}, {"shes", "sh"}, {"ses", "s"}, {"xes", "x"},
-    {"zes", "z"},   {"ies", "y"},   {"ves", "f"}, {"men", "man"},
-    {"s", ""},
+    {"sses", "ss"}, {"ches", "ch"}, {"shes", "sh"}, {"xes", "x"},
+    {"zes", "z"},   {"ies", "y"},   {"ves", "f"},   {"s", ""},
 };
 
 bool ends_with(const std::string& s, const char* suffix) {

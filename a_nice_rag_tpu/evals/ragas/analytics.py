@@ -13,7 +13,7 @@ import json
 import os
 import time
 import threading
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 _OPT_OUT_VAR = "ANR_DO_NOT_TRACK"
 _lock = threading.Lock()

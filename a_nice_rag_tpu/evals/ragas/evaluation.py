@@ -10,7 +10,7 @@ Per-job failures become NaN unless raise_exceptions=True.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from a_nice_rag_tpu.evals.ragas.dataset import (
     EvaluationDataset,

@@ -13,7 +13,7 @@ generated turn is noncommittal. Reference strictness default is 1
 
 from __future__ import annotations
 
-from typing import ClassVar, List
+from typing import ClassVar
 
 import numpy as np
 from pydantic import BaseModel, Field

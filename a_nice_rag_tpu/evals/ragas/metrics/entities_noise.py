@@ -7,7 +7,7 @@ from __future__ import annotations
 from typing import ClassVar, List
 
 import numpy as np
-from pydantic import BaseModel, Field
+from pydantic import BaseModel
 
 from a_nice_rag_tpu.evals.ragas.dataset import SingleTurnSample
 from a_nice_rag_tpu.evals.ragas.metrics.base import (

@@ -13,7 +13,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from typing import Generic, List, Optional, Tuple, Type, TypeVar
+from typing import Generic, List, Tuple, Type, TypeVar
 
 from pydantic import BaseModel, ValidationError
 

@@ -10,8 +10,6 @@ from __future__ import annotations
 import asyncio
 import dataclasses
 import random
-from typing import Optional
-
 
 @dataclasses.dataclass
 class RunConfig:

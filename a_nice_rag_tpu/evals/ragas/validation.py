@@ -4,7 +4,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from a_nice_rag_tpu.evals.ragas.dataset import EvaluationDataset, SingleTurnSample
+from a_nice_rag_tpu.evals.ragas.dataset import EvaluationDataset
 
 # Common legacy column spellings -> canonical sample fields.
 DEFAULT_COLUMN_MAP: Dict[str, str] = {

@@ -20,7 +20,7 @@ import ast
 import json
 import os
 import sqlite3
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
 import numpy as np

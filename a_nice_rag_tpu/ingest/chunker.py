@@ -29,7 +29,7 @@ import dataclasses
 import json
 import os
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence
 
 from a_nice_rag_tpu.ingest.tokens import TokenCounter
 

@@ -22,7 +22,6 @@ SURVEY.md §5 with XLA collectives over ICI/DCN.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax

@@ -14,7 +14,7 @@ from __future__ import annotations
 import json
 import os
 import urllib.request
-from typing import Dict, Generator, Iterable, List, Optional, Protocol
+from typing import Dict, Generator, List, Optional, Protocol
 
 
 class ChatClient(Protocol):

@@ -18,7 +18,7 @@ from __future__ import annotations
 import json
 import os
 import urllib.request
-from typing import Dict, List, Optional, Protocol, Sequence
+from typing import Dict, Optional, Protocol, Sequence
 
 import numpy as np
 

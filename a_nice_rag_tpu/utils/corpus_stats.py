@@ -4,7 +4,7 @@ token counts per guideline and corpus-level summaries."""
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -72,7 +72,7 @@ def dense_top_k_auto(
     k: int,
     mask: Optional[jax.Array] = None,
     backend: str = "auto",
-    block_q: int = 64,
+    block_q: int = 128,
     block_n: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
     """Backend-routing wrapper: the streaming Pallas kernel

@@ -130,7 +130,7 @@ def fused_dense_top_k(
     queries: jax.Array,
     k: int,
     mask: Optional[jax.Array] = None,
-    block_q: int = 64,
+    block_q: int = 128,
     block_n: int = 4096,
     m_fast: int = 4,
     interpret: bool = False,

@@ -1,0 +1,55 @@
+"""Model checkpointing (orbax): save/restore encoder or cross-encoder
+params + optimizer state for resumable training, with step-numbered
+directories and latest-step lookup. This extends the framework's
+checkpoint/resume story (SURVEY.md §5) from index artifacts to trained
+model state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(
+    path: str, step: int, params: Any, opt_state: Optional[Any] = None
+) -> str:
+    """Write {path}/{step} atomically; returns the checkpoint dir."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckpt_dir = os.path.join(path, str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        ckptr.save(ckpt_dir, payload, force=True)
+    return ckpt_dir
+
+
+def latest_step(path: str) -> Optional[int]:
+    try:
+        steps = [int(d) for d in os.listdir(path) if d.isdigit()]
+    except FileNotFoundError:
+        return None
+    return max(steps) if steps else None
+
+
+def restore_checkpoint(
+    path: str, step: Optional[int] = None, template: Any = None
+) -> Tuple[int, Any, Optional[Any]]:
+    """Restore (step, params, opt_state). ``template`` (a matching pytree
+    of arrays) restores with correct shardings/dtypes when given."""
+    step = step if step is not None else latest_step(path)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {path}")
+    ckpt_dir = os.path.join(os.path.abspath(path), str(step))
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            restored = ckptr.restore(
+                ckpt_dir, item={"params": template, "opt_state": None}
+            )
+        else:
+            restored = ckptr.restore(ckpt_dir)
+    return step, restored["params"], restored.get("opt_state")

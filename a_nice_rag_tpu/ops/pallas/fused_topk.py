@@ -144,6 +144,8 @@ def fused_dense_top_k(
     """
     n, d = emb.shape
     b = queries.shape[0]
+    block_n = min(block_n, n)
+    block_q = min(block_q, b)
     assert n % block_n == 0, f"N={n} must be divisible by block_n={block_n}"
     assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
     if mask is None:

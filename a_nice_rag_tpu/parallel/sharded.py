@@ -202,7 +202,11 @@ class ShardedRetriever:
         similarity_k: int = 25,
         common_sections_n: int = 15,
         budget: int = 16384,
+        dense_backend: str = "xla",
     ):
+        """dense_backend="pallas" streams each shard through the fused
+        matmul+top-k kernel (ops.pallas) — use for million-doc shards
+        where materializing [B, N_local] scores is the bottleneck."""
         self.sidx = sidx
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
@@ -215,11 +219,27 @@ class ShardedRetriever:
         n_local = sidx.n_local
         k = similarity_k
         n = common_sections_n
+        use_pallas = dense_backend == "pallas"
+        interpret = jax.default_backend() != "tpu"
 
         def shard_fn(dense_mats, bm25_parts, q_embs, q_terms, mask, bmask,
                      weights, wrrf_k):
             lists = []
             for mat, q in zip(dense_mats, q_embs):
+                if use_pallas:
+                    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
+
+                    vals, lidx = fused_dense_top_k(
+                        mat, q, k, mask=mask, interpret=interpret
+                    )
+                    gidx = jnp.where(
+                        jnp.isfinite(vals),
+                        lidx + jax.lax.axis_index(ca) * n_local,
+                        -1,
+                    )
+                    _, gidx = _gather_merge(vals, gidx, k, ca)
+                    lists.append(gidx)
+                    continue
                 scores = dense_scores(mat, q)
                 scores = jnp.where(mask[None, :], scores, -jnp.inf)
                 _, gidx = _local_to_global_topk(scores, k, n_local, ca)

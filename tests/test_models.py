@@ -101,3 +101,24 @@ def test_sharded_train_step_matches_single_device():
     assert float(loss0) == pytest.approx(ref_loss, rel=0.05)
     _, _, loss1 = step(s_params, s_opt, q_s, d_s)
     assert float(loss1) < float(loss0)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from a_nice_rag_tpu.models.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model, params = init_encoder(CFG, seed=5)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, 0, params)
+    save_checkpoint(path, 10, params)
+    assert latest_step(path) == 10
+    step, restored, opt = restore_checkpoint(path)
+    assert step == 10 and opt is None
+    a = jax.tree.leaves(params)
+    b = jax.tree.leaves(restored)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -123,3 +123,20 @@ def test_sharded_bm25_scores_exact(setup):
         parts.append(np.asarray(bm25_scores(local, terms, budget=4096)))
     stitched = np.concatenate(parts, axis=1)[:, : idx.n_docs_padded]
     np.testing.assert_allclose(stitched, global_scores, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_pallas_backend_matches_xla(setup):
+    c, idx, mesh, sidx = setup
+    weights = {"voyage-3-large": 1.0}
+    q = c.query_embeddings["voyage-3-large"][:8]
+    # Pallas streaming backend per shard (interpret mode on CPU). Batch
+    # and shard sizes must tile (B=8 not divisible by 128 -> pad).
+    qp = np.zeros((128, q.shape[1]), np.float32)
+    qp[:8] = q
+    sr_p = ShardedRetriever(sidx, MODELS, use_bm25=False, similarity_k=16,
+                            common_sections_n=16, dense_backend="pallas")
+    sr_x = ShardedRetriever(sidx, MODELS, use_bm25=False, similarity_k=16,
+                            common_sections_n=16)
+    _, ids_p = sr_p({"voyage-3-large": qp}, None, weights, None, 40.0)
+    _, ids_x = sr_x({"voyage-3-large": qp}, None, weights, None, 40.0)
+    np.testing.assert_array_equal(ids_p[:8], ids_x[:8])

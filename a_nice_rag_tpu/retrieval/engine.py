@@ -374,10 +374,15 @@ class SearchEngine:
         reranker_model: str = "rerank-2-lite",
         reranker_top_k: Optional[int] = 5,
         return_docs: bool = False,
+        min_similarity: Optional[float] = None,
     ) -> List[List]:
         """Batched equivalent of the reference's ``retrieve_documents``
         (src/query_rag_retrieval.py:149-407). Returns, per query, a
         ranked list of section ids (or doc dicts with ``return_docs``).
+
+        ``min_similarity`` drops dense candidates whose cosine score
+        falls below the threshold before fusion (BASELINE config 4's
+        similarity-threshold stage; the reference exposes no equivalent).
         """
         if model_weights is None:
             model_weights = Config.DEFAULT_MODEL_WEIGHTS.copy()
@@ -404,6 +409,8 @@ class SearchEngine:
             vals, idx = self.similarity_search_batch(
                 query_embeddings[m], m, similarity_k, filename_type_filter
             )
+            if min_similarity is not None:
+                idx = np.where(vals >= min_similarity, idx, -1)
             ranked.append((idx, m, vals))
 
         use_bm25 = (

@@ -195,3 +195,25 @@ def test_fused_retriever_matches_engine(setup):
     for b in range(len(c.query_tokens)):
         fused_ids = [idx.meta.ids[i] for i in fids[b] if i >= 0]
         assert set(fused_ids) == set(got_engine[b])
+
+
+def test_min_similarity_threshold(setup):
+    c, idx, eng, _ = setup
+    q = c.query_embeddings["voyage-3-large"][:2]
+    # Impossible threshold -> dense candidates all dropped -> empty lists.
+    got = eng.retrieve(
+        {"voyage-3-large": q},
+        model_weights={"voyage-3-large": 1.0},
+        min_similarity=2.0,
+    )
+    assert all(len(ids) == 0 for ids in got)
+    # Permissive threshold -> unchanged results.
+    base = eng.retrieve(
+        {"voyage-3-large": q}, model_weights={"voyage-3-large": 1.0}
+    )
+    thr = eng.retrieve(
+        {"voyage-3-large": q},
+        model_weights={"voyage-3-large": 1.0},
+        min_similarity=-2.0,
+    )
+    assert base == thr

@@ -154,6 +154,16 @@ def main() -> None:
         lat.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lat) * 1e3)
 
+    # Device-side single-query latency estimate: N serialized dispatches,
+    # one final read — removes the host<->device round-trip (which on
+    # tunneled dev setups is ~25-35ms and dominates p50 above).
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(50):
+        out = retriever.retrieve_device(q1, t1, weights, None, 40.0)
+    float(out[0][0, 0])
+    p50_device_ms = (time.perf_counter() - t0) / 50 * 1e3
+
     # Dispatch round-trip floor (tiny transfer), to contextualize p50.
     rtt = []
     for _ in range(10):
@@ -171,6 +181,7 @@ def main() -> None:
                 "vs_baseline": round(qps / TARGET_QPS, 3),
                 "qps_host_sync": round(qps_sync, 1),
                 "p50_latency_ms": round(p50_ms, 3),
+                "p50_device_ms": round(p50_device_ms, 3),
                 "dispatch_rtt_ms": round(rtt_ms, 3),
                 "batch": BATCH,
                 "n_docs": N_DOCS,

@@ -325,15 +325,22 @@ class RetrievalEvaluator:
                 logger.info("Skipping %s (already in CSV)", config.name)
                 continue
             logger.info("Evaluating: %s", config.name)
-            m = self.evaluate_config(
-                config,
-                query_embeddings,
-                gold_ids,
-                query_token_lists=query_token_lists,
-                query_texts=query_texts,
-                filename_type_filter=filename_type_filter,
-                wrrf_k=wrrf_k,
-            )
+            try:
+                m = self.evaluate_config(
+                    config,
+                    query_embeddings,
+                    gold_ids,
+                    query_token_lists=query_token_lists,
+                    query_texts=query_texts,
+                    filename_type_filter=filename_type_filter,
+                    wrrf_k=wrrf_k,
+                )
+            except ValueError as e:
+                # Configs whose embedding models/tokens are unavailable
+                # skip instead of aborting the sweep (the append/resume
+                # CSV contract keeps completed configs).
+                logger.warning("Skipping %s: %s", config.name, e)
+                continue
             results[config.name] = m
             logger.info(
                 "%s: MRR=%.3f R@10=%.3f", config.name, m["mrr"], m["recall@10"]

@@ -36,6 +36,7 @@ class BatchScheduler:
         max_batch: int = 256,
         max_wait_ms: float = 2.0,
         t_max: int = 32,
+        max_inflight: int = 2,
     ):
         self.retriever = retriever
         self.weights = weights
@@ -46,6 +47,7 @@ class BatchScheduler:
         self.t_max = t_max
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        self._inflight = asyncio.Semaphore(max_inflight)
         self.batches_run = 0
         self.queries_served = 0
 
@@ -98,17 +100,24 @@ class BatchScheduler:
         return batch
 
     async def _loop(self) -> None:
+        # Batches overlap up to max_inflight: while one batch's results
+        # download, the next one launches (device execution serializes,
+        # but host<->device transfers pipeline behind it).
+        async def run_one(batch):
+            async with self._inflight:
+                try:
+                    results = await asyncio.to_thread(self._run_batch, batch)
+                    for pending, (ids, scores) in zip(batch, results):
+                        if not pending.future.done():
+                            pending.future.set_result((ids, scores))
+                except Exception as e:  # noqa: BLE001 — propagate
+                    for pending in batch:
+                        if not pending.future.done():
+                            pending.future.set_exception(e)
+
         while True:
             batch = await self._collect()
-            try:
-                results = await asyncio.to_thread(self._run_batch, batch)
-                for pending, (ids, scores) in zip(batch, results):
-                    if not pending.future.done():
-                        pending.future.set_result((ids, scores))
-            except Exception as e:  # noqa: BLE001 — propagate to callers
-                for pending in batch:
-                    if not pending.future.done():
-                        pending.future.set_exception(e)
+            asyncio.create_task(run_one(batch))
 
     def _run_batch(self, batch: List[_Pending]):
         models = self.retriever.model_names
@@ -127,9 +136,13 @@ class BatchScheduler:
                 if p.q_terms is not None:
                     t = np.asarray(p.q_terms)[: self.t_max]
                     terms[i, : len(t)] = t
-        fids, fvals, _ = self.retriever(
+        # Device path + download of ONLY the fused outputs (the per-list
+        # debug indices stay on device).
+        d_fids, d_fvals, _ = self.retriever.retrieve_device(
             q_embs, terms, self.weights, self.filename_type_filter, self.wrrf_k
         )
+        fids = np.asarray(d_fids)
+        fvals = np.asarray(d_fvals)
         self.batches_run += 1
         self.queries_served += b
         return [(fids[i], fvals[i]) for i in range(b)]

@@ -100,3 +100,33 @@ def test_feedback_log_roundtrip(tmp_path):
     assert entries[1]["query"] == "q2"
     raw = json.load(open(path))
     assert isinstance(raw, list) and len(raw) == 2
+
+
+def test_debug_flags_catch_nans():
+    import jax
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.utils.debugging import disable_debug, enable_debug
+
+    enable_debug(nans=True)
+    try:
+        with pytest.raises(FloatingPointError):
+            jnp.asarray(jnp.log(jnp.zeros(4)) * 0).block_until_ready()
+    finally:
+        disable_debug()
+    # And clean afterwards.
+    assert np.isnan(np.asarray(jnp.asarray(float("nan")))).all()
+
+
+def test_device_profile_writes_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.utils.trace import device_profile
+
+    with device_profile(str(tmp_path)):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    import glob as g
+
+    assert g.glob(str(tmp_path) + "/**/*.pb", recursive=True) or g.glob(
+        str(tmp_path) + "/**/*trace*", recursive=True
+    )

@@ -130,3 +130,39 @@ def test_device_profile_writes_trace(tmp_path):
     assert g.glob(str(tmp_path) + "/**/*.pb", recursive=True) or g.glob(
         str(tmp_path) + "/**/*trace*", recursive=True
     )
+
+
+def test_terminal_app_loop(monkeypatch, tmp_path, capsys):
+    from a_nice_rag_tpu.config import InfoSource
+    from a_nice_rag_tpu.index import build_index
+    from a_nice_rag_tpu.rag import FakeLLMClient, RAGSystem
+    from a_nice_rag_tpu.retrieval.embed import PrecomputedEmbedder
+    from a_nice_rag_tpu.serving import app as app_mod
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(n_docs=80, dim=16, n_queries=2, seed=171)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents, urls=c.urls,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    system = RAGSystem(
+        indexes={InfoSource.NICE: idx},
+        embedder=PrecomputedEmbedder(
+            {"what now?": c.query_embeddings["voyage-3-large"][0]}
+        ),
+        llm_clients={"fake": FakeLLMClient()},
+    )
+    feed = iter(["what now?", "u", ""])
+    monkeypatch.setattr("builtins.input", lambda *a: next(feed))
+    monkeypatch.chdir(tmp_path)
+    app_mod.run_terminal(system, llm_model="fake-llm")
+    out = capsys.readouterr().out
+    assert "[fake:fake-llm]" in out
+    assert "--- sources ---" in out
+    # Thumbs-up got recorded.
+    from a_nice_rag_tpu.serving.feedback import FeedbackLog
+
+    entries = FeedbackLog(
+        str(tmp_path / "feedback/query_feedback.json")
+    ).entries()
+    assert len(entries) == 1 and entries[0]["rating"] == "up"

@@ -19,6 +19,7 @@ from __future__ import annotations
 import ast
 import json
 import os
+import pickle
 import sqlite3
 from typing import Dict, List, Tuple
 
@@ -156,6 +157,104 @@ def load_reference_query_db(db_path: str) -> Tuple[List[str], List[str], np.ndar
         return ids, queries, np.zeros((0, 0), np.float32)
     flat = np.frombuffer(b"".join(r[2] for r in rows), dtype=np.float32)
     return ids, queries, flat.reshape(len(rows), -1)
+
+
+class _StubObject:
+    """Attribute container standing in for unimportable pickled classes."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            # pydantic v1-style state nests the real attrs under __dict__.
+            inner = state.get("__dict__")
+            self.__dict__.update(
+                inner if isinstance(inner, dict) else state
+            )
+        elif isinstance(state, tuple) and state and isinstance(state[0], dict):
+            self.__dict__.update(state[0])
+
+
+class _StubUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            return type(name, (_StubObject,), {"__module__": module})
+
+
+def load_reference_bm25_pickle(path: str):
+    """Import a reference BM25 pickle WITHOUT its dependencies installed.
+
+    The reference persists ``{bm25: rank_bm25.BM25Okapi, sections:
+    [langchain Document], section_ids, config}``
+    (src/processing/bm25_search.py:82-93). Unimportable classes are
+    reconstructed as attribute containers, and the index is rebuilt as
+    Bm25Arrays using the pickle's OWN statistics — the stored IDF values
+    verbatim (no epsilon-rule recomputation), stored k1/b/avgdl — so
+    imported scores match the original index bit-for-bit in f32.
+
+    Returns (bm25_arrays, vocab, stats, section_ids, contents, sources).
+    """
+    with open(path, "rb") as f:
+        payload = _StubUnpickler(f).load()
+    bm25 = payload["bm25"]
+    section_ids = list(payload["section_ids"])
+    sections = payload.get("sections") or []
+    contents, sources = [], []
+    for doc in sections:
+        contents.append(getattr(doc, "page_content", ""))
+        meta = getattr(doc, "metadata", {}) or {}
+        sources.append(meta.get("source", "Unknown"))
+
+    idf: Dict[str, float] = dict(bm25.idf)
+    doc_len = np.asarray(bm25.doc_len, dtype=np.float64)
+    n_docs = int(bm25.corpus_size)
+    avgdl = float(bm25.avgdl)
+    k1 = float(getattr(bm25, "k1", 1.5))
+    b = float(getattr(bm25, "b", 0.75))
+    epsilon = float(getattr(bm25, "epsilon", 0.25))
+    n_pad = -(-n_docs // 128) * 128
+
+    vocab_terms = sorted(idf)
+    vocab = {t: i for i, t in enumerate(vocab_terms)}
+    denom_base = k1 * (1.0 - b + b * doc_len / avgdl)
+    postings: Dict[str, Dict[int, int]] = {t: {} for t in vocab_terms}
+    for d, freqs in enumerate(bm25.doc_freqs):
+        for term, tf in freqs.items():
+            postings[term][d] = tf
+
+    indptr = np.zeros(len(vocab_terms) + 1, dtype=np.int32)
+    ids_parts, imp_parts = [], []
+    for ti, term in enumerate(vocab_terms):
+        docs = np.fromiter(
+            sorted(postings[term]), dtype=np.int32, count=len(postings[term])
+        )
+        tf = np.asarray([postings[term][d] for d in docs], dtype=np.float64)
+        imp = idf[term] * tf * (k1 + 1.0) / (tf + denom_base[docs])
+        ids_parts.append(docs)
+        imp_parts.append(imp)
+        indptr[ti + 1] = indptr[ti] + len(docs)
+    nnz = int(indptr[-1])
+    doc_ids = np.empty(nnz + 1, dtype=np.int32)
+    impact = np.empty(nnz + 1, dtype=np.float32)
+    doc_ids[:nnz] = np.concatenate(ids_parts) if nnz else []
+    impact[:nnz] = np.concatenate(imp_parts).astype(np.float32) if nnz else []
+    doc_ids[nnz] = n_pad
+    impact[nnz] = 0.0
+    arrays = Bm25Arrays(
+        indptr=jnp.asarray(indptr),
+        doc_ids=jnp.asarray(doc_ids),
+        impact=jnp.asarray(impact),
+        n_docs_padded=n_pad,
+    )
+    stats = {
+        "k1": k1, "b": b, "epsilon": epsilon, "avgdl": avgdl,
+        "corpus_size": n_docs, "nnz": nnz,
+        "imported_from": path,
+    }
+    return arrays, vocab, stats, section_ids, contents, sources
 
 
 def load_preprocessed_tokens_csv(

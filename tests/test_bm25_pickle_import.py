@@ -1,0 +1,106 @@
+"""Importing a reference-format BM25 pickle without rank_bm25/langchain
+installed: a pickle referencing those modules is synthesized with
+temporary fake modules, then loaded by the stub unpickler."""
+
+import pickle
+import sys
+import types
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.index.io import load_reference_bm25_pickle
+from a_nice_rag_tpu.ops.bm25 import bm25_scores
+from a_nice_rag_tpu.testing import GoldenBm25Okapi, synth_corpus
+
+
+def _make_reference_pickle(tmp_path, corpus_tokens, ids, sources, contents):
+    """Pickle {bm25, sections, section_ids, config} with objects whose
+    classes claim to live in rank_bm25 / langchain (as the reference's
+    artifact does)."""
+    golden = GoldenBm25Okapi(corpus_tokens, k1=1.7, b=0.83, epsilon=0.05)
+
+    rank_mod = types.ModuleType("rank_bm25")
+
+    class BM25Okapi:
+        pass
+
+    BM25Okapi.__module__ = "rank_bm25"
+    BM25Okapi.__qualname__ = "BM25Okapi"
+    rank_mod.BM25Okapi = BM25Okapi
+
+    lc_doc_mod = types.ModuleType("langchain.schema.document")
+
+    class Document:
+        def __init__(self, page_content, metadata):
+            self.page_content = page_content
+            self.metadata = metadata
+
+    Document.__module__ = "langchain.schema.document"
+    Document.__qualname__ = "Document"
+    lc_doc_mod.Document = Document
+    lc_mod = types.ModuleType("langchain")
+    lc_schema = types.ModuleType("langchain.schema")
+
+    bm25 = BM25Okapi()
+    bm25.idf = golden.idf
+    bm25.doc_freqs = golden.doc_freqs
+    bm25.doc_len = list(map(int, golden.doc_len))
+    bm25.avgdl = golden.avgdl
+    bm25.corpus_size = golden.corpus_size
+    bm25.k1, bm25.b, bm25.epsilon = 1.7, 0.83, 0.05
+
+    sections = [
+        Document(contents[i], {"id": ids[i], "source": sources[i]})
+        for i in range(len(ids))
+    ]
+    payload = {
+        "bm25": bm25,
+        "sections": sections,
+        "section_ids": list(ids),
+        "config": {"k1": 1.7, "b": 0.83, "epsilon": 0.05},
+    }
+    mods = {
+        "rank_bm25": rank_mod,
+        "langchain": lc_mod,
+        "langchain.schema": lc_schema,
+        "langchain.schema.document": lc_doc_mod,
+    }
+    sys.modules.update(mods)
+    try:
+        path = str(tmp_path / "bm25_index.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+    finally:
+        for name in mods:
+            del sys.modules[name]
+    return path, golden
+
+
+def test_import_reference_pickle_exact_scores(tmp_path):
+    c = synth_corpus(n_docs=120, dim=8, n_queries=8, seed=191)
+    path, golden = _make_reference_pickle(
+        tmp_path, c.tokens, c.ids, c.sources, c.contents
+    )
+    # rank_bm25 must NOT be importable for this test to mean anything.
+    with pytest.raises(ImportError):
+        import rank_bm25  # noqa: F401
+
+    arrays, vocab, stats, section_ids, contents, sources = (
+        load_reference_bm25_pickle(path)
+    )
+    assert section_ids == c.ids
+    assert contents == c.contents
+    assert stats["k1"] == 1.7 and stats["corpus_size"] == 120
+
+    terms = np.full((8, 16), -1, np.int32)
+    for i, toks in enumerate(c.query_tokens):
+        tids = [vocab.get(t, -1) for t in toks[:16]]
+        terms[i, : len(tids)] = tids
+    scores = np.asarray(bm25_scores(arrays, jnp.asarray(terms), budget=4096))
+    for i, toks in enumerate(c.query_tokens):
+        expect = golden.get_scores(toks[:16])
+        np.testing.assert_allclose(
+            scores[i, : len(expect)], expect, rtol=1e-6, atol=1e-7
+        )

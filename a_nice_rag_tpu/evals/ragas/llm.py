@@ -41,6 +41,7 @@ class OpenAICompatJudgeLLM(BaseJudgeLLM):
         api_key: Optional[str] = None,
         base_url: str = "https://api.openai.com/v1/",
         timeout: float = 180.0,
+        cost_tracker=None,
     ):
         self.model = model
         self.api_key = api_key or os.getenv("OPENAI_API_KEY")
@@ -48,6 +49,7 @@ class OpenAICompatJudgeLLM(BaseJudgeLLM):
             raise ValueError("OPENAI_API_KEY not set")
         self.base_url = base_url.rstrip("/") + "/"
         self.timeout = timeout
+        self.cost_tracker = cost_tracker
 
     def _call(self, prompt: str, n: int, temperature: float) -> List[str]:
         payload = {
@@ -67,6 +69,10 @@ class OpenAICompatJudgeLLM(BaseJudgeLLM):
         )
         with urllib.request.urlopen(req, timeout=self.timeout) as resp:
             out = json.loads(resp.read().decode("utf-8"))
+        if self.cost_tracker is not None:
+            from a_nice_rag_tpu.evals.ragas.cost import parse_openai_usage
+
+            self.cost_tracker.record(parse_openai_usage(out))
         texts = []
         for choice in out.get("choices", []):
             if choice.get("finish_reason") not in (None, "stop"):

@@ -301,3 +301,84 @@ def test_metric_column_validation():
                 SingleTurnSample(user_input="q")
             )
         )
+
+
+def test_prompt_save_load_and_adapt(tmp_path):
+    import asyncio
+    import os
+
+    from a_nice_rag_tpu.evals.ragas.metrics.faithfulness import (
+        StatementGeneratorPrompt,
+    )
+
+    prompt = StatementGeneratorPrompt()
+    path = os.path.join(tmp_path, "prompt.json")
+    prompt.save(path)
+    fresh = StatementGeneratorPrompt()
+    fresh.instruction = "overwritten"
+    fresh.examples = []
+    fresh.load(path)
+    assert fresh.instruction == prompt.instruction
+    assert len(fresh.examples) == len(prompt.examples)
+    assert fresh.examples[0][0].question == prompt.examples[0][0].question
+
+    def translator(p):
+        # Echo back the JSON with a marker prefix on each string value.
+        import re as _re
+
+        payload = extract_json(p)
+        return _re.sub(r'"((?:[^"\\]|\\.)+)"(?=\s*[,\}\]])',
+                       lambda m: f'"XX {m.group(1)}"' if not m.group(1) in
+                       ("question", "answer", "statements", "input", "output")
+                       else m.group(0), payload)
+
+    adapted = asyncio.run(prompt.adapt(FakeJudgeLLM(translator), "spanish"))
+    assert adapted.examples[0][0].question.startswith("XX ")
+
+
+def test_ensembler_majority_vote():
+    from a_nice_rag_tpu.evals.ragas.metrics import Ensembler
+
+    reps = [
+        [{"verdict": 1, "x": "a"}, {"verdict": 0, "x": "b"}],
+        [{"verdict": 1, "x": "a"}, {"verdict": 1, "x": "b"}],
+        [{"verdict": 0, "x": "a"}, {"verdict": 1, "x": "b"}],
+    ]
+    out = Ensembler.from_discrete(reps, "verdict")
+    assert [o["verdict"] for o in out] == [1, 1]
+    assert Ensembler.from_discrete([], "verdict") == []
+
+
+def test_judge_cost_tracking(monkeypatch):
+    import io as _io
+    import json as _json
+
+    from a_nice_rag_tpu.evals.ragas.cost import CostTracker
+    from a_nice_rag_tpu.evals.ragas.llm import OpenAICompatJudgeLLM
+
+    tracker = CostTracker()
+    judge = OpenAICompatJudgeLLM(api_key="test-key", cost_tracker=tracker)
+
+    class FakeResp(_io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    body = _json.dumps(
+        {
+            "model": "gpt-4o-mini",
+            "choices": [
+                {"message": {"content": "ok"}, "finish_reason": "stop"}
+            ],
+            "usage": {"prompt_tokens": 12, "completion_tokens": 3},
+        }
+    ).encode()
+    monkeypatch.setattr(
+        "urllib.request.urlopen", lambda req, timeout: FakeResp(body)
+    )
+    out = judge._call("hello", 1, 0.0)
+    assert out == ["ok"]
+    assert tracker.total_tokens().input_tokens == 12
+    assert tracker.total_cost(1e-6) > 0

@@ -73,7 +73,7 @@ def dense_top_k_auto(
     mask: Optional[jax.Array] = None,
     backend: str = "auto",
     block_q: int = 128,
-    block_n: int = 4096,
+    block_n: int = 8192,
 ) -> Tuple[jax.Array, jax.Array]:
     """Backend-routing wrapper: the streaming Pallas kernel
     (ops.pallas.fused_dense_top_k) on TPU for large corpora when shapes

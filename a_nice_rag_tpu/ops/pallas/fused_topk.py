@@ -123,7 +123,7 @@ def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "block_q", "block_n", "m_fast", "interpret"),
+    static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes", "interpret"),
 )
 def fused_dense_top_k(
     emb: jax.Array,
@@ -131,8 +131,9 @@ def fused_dense_top_k(
     k: int,
     mask: Optional[jax.Array] = None,
     block_q: int = 128,
-    block_n: int = 4096,
+    block_n: int = 8192,
     m_fast: int = 4,
+    vmem_limit_bytes: int = 96 * 1024 * 1024,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k.
@@ -179,6 +180,9 @@ def fused_dense_top_k(
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=emb.size * emb.dtype.itemsize

@@ -121,6 +121,148 @@ def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
         idx_ref[:] = jnp.where(out_v <= NEG, -1, run_i[:])
 
 
+def _kernel_int8(q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
+                 run_v, run_i, *, k: int, n_tile: int, m_fast: int):
+    """Int8 variant: int8 x int8 -> int32 on the MXU, rescaled by the
+    per-query and per-document quantization scales in the epilogue."""
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, NEG)
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # [Bq, Nt] int32
+    # Scale vectors travel as [_, 1] 2D blocks: 1D f32 blocks demand
+    # 256-aligned slicing on TPU, which small block_q values break.
+    scores = (
+        acc.astype(jnp.float32)
+        * qs_ref[:, 0][:, None]
+        * es_ref[:, 0][None, :]
+    )
+    scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+
+    bq = scores.shape[0]
+    kth_best = run_v[:, k - 1]
+    improving = scores > kth_best[:, None]
+    max_cnt = jnp.max(jnp.sum(improving.astype(jnp.int32), axis=1))
+    local_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (bq, n_tile), 1
+    ) + j * n_tile
+
+    @pl.when((max_cnt > 0) & (max_cnt <= m_fast))
+    def _():
+        cand = jnp.where(improving, scores, NEG)
+        tile_v, tile_i = _select_topk(cand, local_ids, m_fast)
+        merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
+        merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
+        new_v, new_i = _select_topk(merged_v, merged_i, k)
+        run_v[:] = new_v
+        run_i[:] = new_i
+
+    @pl.when(max_cnt > m_fast)
+    def _():
+        tile_v, tile_i = _select_topk(scores, local_ids, k)
+        merged_v = jnp.concatenate([run_v[:], tile_v], axis=1)
+        merged_i = jnp.concatenate([run_i[:], tile_i], axis=1)
+        new_v, new_i = _select_topk(merged_v, merged_i, k)
+        run_v[:] = new_v
+        run_i[:] = new_i
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        out_v = run_v[:]
+        vals_ref[:] = jnp.where(out_v <= NEG, -jnp.inf, out_v)
+        idx_ref[:] = jnp.where(out_v <= NEG, -1, run_i[:])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes",
+                     "interpret"),
+)
+def fused_dense_top_k_int8(
+    values: jax.Array,
+    scales: jax.Array,
+    q_values: jax.Array,
+    q_scales: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    block_q: int = 128,
+    block_n: int = 8192,
+    m_fast: int = 4,
+    vmem_limit_bytes: int = 96 * 1024 * 1024,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Streaming fused scoring+top-k over an int8-quantized index.
+
+    values [N, D] int8 + scales [N] f32 (ops.quantized layout);
+    q_values [B, D] int8 + q_scales [B] f32. Combines int8's 4x memory
+    saving with O(1) HBM for scores — the XLA int8 path materializes
+    [B, N] f32 scores, which is unaffordable at multi-million N with
+    real batch sizes.
+    """
+    n, d = values.shape
+    b = q_values.shape[0]
+    block_n = min(block_n, n)
+    block_q = min(block_q, b)
+    assert n % block_n == 0, f"N={n} must be divisible by block_n={block_n}"
+    assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
+    if mask is None:
+        mask = jnp.ones((n,), jnp.bool_)
+    grid = (b // block_q, n // block_n)
+    kernel = functools.partial(
+        _kernel_int8, k=k, n_tile=block_n, m_fast=m_fast
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_q, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n,), lambda i, j: (j,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=values.size + q_values.size
+            + scales.size * 4 + q_scales.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q_values, q_scales[:, None], values, scales[:, None], mask)
+    return vals, idx
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes", "interpret"),

@@ -58,3 +58,50 @@ def test_fused_k_larger_than_valid_entries():
     assert (idx_p[:, :5] < 5).all()
     assert np.isinf(vals_p[:, 5:]).all()
     assert (idx_p[:, 5:] == -1).all()
+
+
+def test_fused_int8_matches_xla_quantized():
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k_int8
+    from a_nice_rag_tpu.ops.quantized import (
+        quantize_embeddings,
+        quantize_queries,
+        quantized_dense_top_k,
+    )
+
+    rng = np.random.default_rng(211)
+    emb = rng.standard_normal((1024, 128)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((64, 128)).astype(np.float32)
+    qd = quantize_embeddings(jnp.asarray(emb))
+    qv, qsc = quantize_queries(jnp.asarray(q))
+    v_p, i_p = fused_dense_top_k_int8(
+        qd.values, qd.scales, qv, qsc, k=10, block_q=64, block_n=256,
+        interpret=INTERPRET,
+    )
+    v_x, i_x = quantized_dense_top_k(qd, jnp.asarray(q), 10)
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_x))
+    np.testing.assert_allclose(
+        np.asarray(v_p), np.asarray(v_x), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_int8_with_mask():
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k_int8
+    from a_nice_rag_tpu.ops.quantized import (
+        quantize_embeddings,
+        quantize_queries,
+    )
+
+    rng = np.random.default_rng(213)
+    emb = rng.standard_normal((512, 64)).astype(np.float32)
+    q = rng.standard_normal((64, 64)).astype(np.float32)
+    qd = quantize_embeddings(jnp.asarray(emb))
+    qv, qsc = quantize_queries(jnp.asarray(q))
+    mask = np.zeros(512, bool)
+    mask[200:400] = True
+    _, i_p = fused_dense_top_k_int8(
+        qd.values, qd.scales, qv, qsc, k=5, block_q=64, block_n=128,
+        mask=jnp.asarray(mask), interpret=INTERPRET,
+    )
+    i_p = np.asarray(i_p)
+    assert ((i_p >= 200) & (i_p < 400)).all()

@@ -104,3 +104,56 @@ def test_import_reference_pickle_exact_scores(tmp_path):
         np.testing.assert_allclose(
             scores[i, : len(expect)], expect, rtol=1e-6, atol=1e-7
         )
+
+
+def test_full_reference_migration_cli(tmp_path):
+    """chunk DB + pickle (with BM25's own doc ordering/subset) -> artifact,
+    verified against golden scores on the chunk-DB row space."""
+    import os
+    import sqlite3
+
+    from a_nice_rag_tpu.index import load_index
+    from a_nice_rag_tpu.ingest.import_reference import main
+
+    c = synth_corpus(n_docs=90, dim=16, n_queries=6, seed=193)
+    # chunk DB holds ALL docs in corpus order
+    db = str(tmp_path / "chunks.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE chunks (id TEXT PRIMARY KEY, content TEXT, "
+        "source TEXT, embedding BLOB, url TEXT)"
+    )
+    emb = c.embeddings["voyage-3-large"]
+    for i in range(90):
+        conn.execute(
+            "INSERT INTO chunks VALUES (?,?,?,?,?)",
+            (c.ids[i], c.contents[i], c.sources[i],
+             emb[i].astype(np.float32).tobytes(), c.urls[i]),
+        )
+    conn.commit()
+    conn.close()
+    # BM25 pickle over a REVERSED subset ordering (exercises the remap)
+    sub = list(range(89, 4, -1))
+    pkl, golden = _make_reference_pickle(
+        tmp_path,
+        [c.tokens[i] for i in sub],
+        [c.ids[i] for i in sub],
+        [c.sources[i] for i in sub],
+        [c.contents[i] for i in sub],
+    )
+    out = str(tmp_path / "artifact")
+    main(["--chunk-db", f"voyage-3-large={db}", "--bm25-pickle", pkl,
+          "--output", out])
+    idx = load_index(out)
+    assert idx.n_docs == 90
+    assert np.asarray(idx.bm25_doc_mask)[:5].sum() == 0  # not in pickle
+    # Scores land on chunk-DB rows and match golden (pickle ordering).
+    toks = c.query_tokens[0][:16]
+    terms = np.full((1, 16), -1, np.int32)
+    tids = [idx.vocab.get(t, -1) for t in toks]
+    terms[0, : len(tids)] = tids
+    scores = np.asarray(bm25_scores(idx.bm25, jnp.asarray(terms), budget=4096))[0]
+    expect = golden.get_scores(toks)
+    for j, row in enumerate(sub):
+        np.testing.assert_allclose(scores[row], expect[j], rtol=1e-6,
+                                   atol=1e-7)

@@ -1,0 +1,166 @@
+"""HTTP serving API (dependency-free, stdlib http.server).
+
+Production surface over the retrieval/RAG layers:
+
+* ``POST /v1/search``  — {"query": str, ...knobs} -> ranked sections
+  (runs the SearchEngine.retrieve pipeline; supports precomputed
+  "query_embedding" for offline-embedding deployments)
+* ``POST /v1/rag``     — {"query": str, "llm_model": str, ...} -> full
+  answer + sources (non-streaming aggregation of query_rag_stream)
+* ``GET  /v1/health``  — liveness + index stats
+
+The reference serves only a Streamlit session; this endpoint is the
+programmatic equivalent for load balancers / clients.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _make_handler(api: "ServingAPI"):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            logger.debug(fmt, *args)
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/health":
+                self._reply(200, api.health())
+            else:
+                self._reply(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad JSON: {e}"})
+                return
+            try:
+                if self.path == "/v1/search":
+                    self._reply(200, api.search(payload))
+                elif self.path == "/v1/rag":
+                    self._reply(200, api.rag(payload))
+                else:
+                    self._reply(404, {"error": "unknown endpoint"})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                logger.exception("request failed")
+                self._reply(500, {"error": str(e)})
+
+    return Handler
+
+
+class ServingAPI:
+    def __init__(self, rag_system, info_source: str = "NICE"):
+        self.rag_system = rag_system
+        self.info_source = info_source
+
+    # ------------------------------------------------------------------
+
+    def health(self) -> dict:
+        from a_nice_rag_tpu.config import InfoSource
+
+        sources = {}
+        for source, idx in self.rag_system.indexes.items():
+            sources[source.value] = {
+                "n_docs": idx.n_docs,
+                "dense_models": list(idx.dense.keys()),
+                "bm25": idx.bm25 is not None,
+            }
+        return {"status": "ok", "sources": sources}
+
+    def search(self, payload: dict) -> dict:
+        from a_nice_rag_tpu.config import InfoSource
+
+        query = payload.get("query")
+        if not query:
+            raise ValueError("'query' is required")
+        source = InfoSource(payload.get("info_source", self.info_source).lower())
+        engine = self.rag_system.engines[source]
+        if "query_embedding" in payload:
+            q_emb = np.asarray(payload["query_embedding"], np.float32)[None]
+        elif self.rag_system.embedder is not None:
+            q_emb = self.rag_system.embedder.embed_queries([query])
+        else:
+            raise ValueError("no embedder configured; pass 'query_embedding'")
+        model = payload.get("model", "voyage-3-large")
+        docs = engine.retrieve(
+            query_embeddings={model: q_emb},
+            query_texts=[query],
+            similarity_k=int(payload.get("similarity_k", 25)),
+            common_sections_n=int(payload.get("common_sections_n", 15)),
+            wrrf_k=float(payload.get("wrrf_k", 40.0)),
+            model_weights=payload.get("model_weights"),
+            filename_type_filter=payload.get("filename_type_filter"),
+            use_hybrid_search=bool(payload.get("use_hybrid_search", False)),
+            use_reranker=bool(payload.get("use_reranker", False)),
+            return_docs=True,
+        )[0]
+        return {
+            "results": [
+                {
+                    "id": d["id"],
+                    "source": d["source"],
+                    "url": d.get("url"),
+                    "similarity": d.get("similarity"),
+                    "rerank_score": d.get("rerank_score"),
+                    "document": d["document"],
+                }
+                for d in docs
+            ]
+        }
+
+    def rag(self, payload: dict) -> dict:
+        query = payload.get("query")
+        llm_model = payload.get("llm_model", "gpt-4.1-mini")
+        if not query:
+            raise ValueError("'query' is required")
+        chunks = []
+        sources_data = []
+        for chunk, _, _, sources_data in self.rag_system.query_rag_stream(
+            query,
+            llm_model,
+            similarity_k=int(payload.get("similarity_k", 25)),
+            common_sections_n=int(payload.get("common_sections_n", 15)),
+            model_weights=payload.get("model_weights"),
+            use_hybrid_search=bool(payload.get("use_hybrid_search", False)),
+            use_reranker=bool(payload.get("use_reranker", True)),
+        ):
+            chunks.append(chunk)
+        return {"answer": "".join(chunks), "sources": sources_data}
+
+
+def serve(
+    rag_system,
+    host: str = "127.0.0.1",
+    port: int = 8800,
+    background: bool = False,
+) -> Optional[ThreadingHTTPServer]:
+    """Start the HTTP API; returns the server when ``background``."""
+    api = ServingAPI(rag_system)
+    server = ThreadingHTTPServer((host, port), _make_handler(api))
+    if background:
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        return server
+    logger.info("serving on http://%s:%d", host, port)
+    server.serve_forever()
+    return None

@@ -46,10 +46,17 @@ def restore_checkpoint(
         raise FileNotFoundError(f"no checkpoints under {path}")
     ckpt_dir = os.path.join(os.path.abspath(path), str(step))
     with ocp.PyTreeCheckpointer() as ckptr:
-        if template is not None:
-            restored = ckptr.restore(
-                ckpt_dir, item={"params": template, "opt_state": None}
-            )
-        else:
-            restored = ckptr.restore(ckpt_dir)
-    return step, restored["params"], restored.get("opt_state")
+        restored = ckptr.restore(ckpt_dir)
+    params = restored["params"]
+    if template is not None:
+        import jax
+        import jax.numpy as jnp
+
+        leaves, treedef = jax.tree.flatten(template)
+        raw = jax.tree.leaves(params)
+        params = jax.tree.unflatten(
+            treedef,
+            [jnp.asarray(r, getattr(l, "dtype", None))
+             for l, r in zip(leaves, raw)],
+        )
+    return step, params, restored.get("opt_state")

@@ -122,3 +122,25 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_trainer_end_to_end_with_resume(tmp_path):
+    from a_nice_rag_tpu.models.trainer import train_encoder
+
+    queries = [f"question on topic {i} area {i % 4}" for i in range(48)]
+    docs = [f"document covering topic {i} within area {i % 4}" for i in range(48)]
+    ckpt = str(tmp_path / "enc")
+    r1 = train_encoder(
+        queries, docs, cfg=CFG, batch_size=16, epochs=2,
+        checkpoint_dir=ckpt, checkpoint_every=3, eval_every=0,
+    )
+    assert r1.steps == 6
+    assert r1.losses[-1] < r1.losses[0]
+    final_recall = r1.eval_recall[-1][1]
+    assert final_recall > 0.5
+    # Resume: picks up at step 6 and continues.
+    r2 = train_encoder(
+        queries, docs, cfg=CFG, batch_size=16, epochs=1,
+        checkpoint_dir=ckpt, checkpoint_every=100, eval_every=0,
+    )
+    assert r2.steps == 9

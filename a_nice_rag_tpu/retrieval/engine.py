@@ -75,6 +75,10 @@ class FusedRetriever:
     fusion weights, wrrf_k.
     """
 
+    # Above this document count the [B, N] score matrix is streamed
+    # through the Pallas kernel instead of materialized for lax.top_k.
+    PALLAS_THRESHOLD = 1 << 19
+
     def __init__(
         self,
         index: ArrayIndex,
@@ -83,6 +87,7 @@ class FusedRetriever:
         similarity_k: int = 25,
         common_sections_n: int = 15,
         budget: int = 16384,
+        dense_backend: str = "auto",
     ):
         self.index = index
         self.model_names = tuple(model_names)
@@ -95,12 +100,27 @@ class FusedRetriever:
         if n_lists == 0:
             raise ValueError("FusedRetriever needs at least one ranker")
         use_dense_bm25 = use_bm25 and index.bm25_dense is not None
+        use_pallas = dense_backend == "pallas" or (
+            dense_backend == "auto"
+            and jax.default_backend() == "tpu"
+            and n_pad >= self.PALLAS_THRESHOLD
+            and n_pad % 8192 == 0
+            and similarity_k <= 128
+        )
 
         @partial(jax.jit, static_argnames=())
         def run(dense_mats, bm25_arrays, q_embs, q_terms, mask, bm25_mask,
                 weights, wrrf_k):
             lists = []
             for mat, q in zip(dense_mats, q_embs):
+                if use_pallas:
+                    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
+
+                    vals, idx = fused_dense_top_k(
+                        mat, q, similarity_k, mask=mask
+                    )
+                    lists.append(idx)
+                    continue
                 scores = dense_scores(mat, q)
                 scores = jnp.where(mask[None, :], scores, -jnp.inf)
                 vals, idx = masked_top_k(scores, similarity_k)
@@ -117,9 +137,18 @@ class FusedRetriever:
                 ids = lists[0][:, :common_sections_n]
                 return ids, jnp.zeros(ids.shape, jnp.float32), lists[0][None]
             all_idx = jnp.stack(lists)  # [L, B, K]
-            fvals, fids = wrrf_top_n(
-                all_idx, weights, common_sections_n, n_pad, wrrf_k
-            )
+            if use_pallas:
+                # Large corpora: fuse on the id lists directly (the
+                # scatter form would allocate [B, N_pad]).
+                from a_nice_rag_tpu.ops.fusion import wrrf_top_n_sparse
+
+                fvals, fids = wrrf_top_n_sparse(
+                    all_idx, weights, common_sections_n, wrrf_k
+                )
+            else:
+                fvals, fids = wrrf_top_n(
+                    all_idx, weights, common_sections_n, n_pad, wrrf_k
+                )
             fids = jnp.where(jnp.isfinite(fvals), fids, -1)
             return fids, fvals, all_idx
 

@@ -21,6 +21,7 @@ from a_nice_rag_tpu.evals.ragas.metrics.context_precision import (  # noqa: F401
     NonLLMContextPrecisionWithReference,
 )
 from a_nice_rag_tpu.evals.ragas.metrics.context_recall import (  # noqa: F401
+    ContextRecall,
     LLMContextRecall,
     NonLLMContextRecall,
 )

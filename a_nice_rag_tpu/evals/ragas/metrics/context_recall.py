@@ -104,6 +104,10 @@ class LLMContextRecall(MetricWithLLM, SingleTurnMetric):
         return hits / len(out.classifications)
 
 
+class ContextRecall(LLMContextRecall):
+    """Upstream alias."""
+
+
 class NonLLMContextRecall(SingleTurnMetric):
     name: ClassVar[str] = "non_llm_context_recall"
     required_columns: ClassVar[set] = {

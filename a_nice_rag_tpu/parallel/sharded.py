@@ -190,6 +190,20 @@ def _local_to_global_topk(scores, k, n_local, corpus_axis):
     return _gather_merge(vals, gidx, k, corpus_axis)
 
 
+def hierarchical_gather_merge(vals, gidx, k, intra_axis, inter_axis):
+    """Two-level top-k merge for multi-host meshes.
+
+    Merge per-shard candidates over the fast intra-host axis (ICI)
+    FIRST — each host reduces its shards to one k-list — then merge the
+    per-host winners over the slow inter-host axis (DCN). The DCN leg
+    carries k entries per host instead of k per shard, cutting
+    cross-host traffic by the intra-axis size while remaining exact
+    (top-k merge is associative).
+    """
+    v, i = _gather_merge(vals, gidx, k, intra_axis)
+    return _gather_merge(v, i, k, inter_axis)
+
+
 class ShardedRetriever:
     """Sharded equivalent of retrieval.FusedRetriever: every ranker,
     the ICI merge, fusion and final top-n in one pjit program."""

@@ -140,3 +140,41 @@ def test_sharded_pallas_backend_matches_xla(setup):
     _, ids_p = sr_p({"voyage-3-large": qp}, None, weights, None, 40.0)
     _, ids_x = sr_x({"voyage-3-large": qp}, None, weights, None, 40.0)
     np.testing.assert_array_equal(ids_p[:8], ids_x[:8])
+
+
+def test_hierarchical_multihost_merge():
+    """dcn x ici corpus sharding: two-level merge equals brute force."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from a_nice_rag_tpu.ops.dense import dense_scores
+    from a_nice_rag_tpu.ops.topk import masked_top_k
+    from a_nice_rag_tpu.parallel.sharded import hierarchical_gather_merge
+
+    n, d, b, k = 1024, 32, 4, 10
+    rng = np.random.default_rng(47)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    # 2 "hosts" (dcn) x 4 chips (ici) = 8 shards of 128 docs.
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("dcn", "ici"))
+    n_local = n // 8
+
+    def shard_fn(e_l, q_l):
+        scores = dense_scores(jnp.asarray(e_l), q_l)
+        vals, idx = masked_top_k(scores, k)
+        shard = jax.lax.axis_index("dcn") * 4 + jax.lax.axis_index("ici")
+        gidx = idx + shard * n_local
+        return hierarchical_gather_merge(vals, gidx, k, "ici", "dcn")
+
+    run = jax.jit(
+        jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(("dcn", "ici"), None), P(None, None)),
+            out_specs=(P(None, None), P(None, None)),
+            check_vma=False,
+        )
+    )
+    vals, idx = run(jnp.asarray(emb), jnp.asarray(q))
+    scores = q @ emb.T
+    for bq in range(b):
+        expect = np.argsort(scores[bq])[::-1][:k]
+        np.testing.assert_array_equal(np.asarray(idx)[bq], expect)

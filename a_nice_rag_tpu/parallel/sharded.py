@@ -224,6 +224,8 @@ class ShardedRetriever:
         self.sidx = sidx
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
+        similarity_k = min(similarity_k, sidx.n_local)
+        common_sections_n = min(common_sections_n, sidx.n_docs_padded)
         self.similarity_k = similarity_k
         self.common_sections_n = common_sections_n
         self.budget = budget

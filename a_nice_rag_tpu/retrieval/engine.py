@@ -92,6 +92,8 @@ class FusedRetriever:
         self.index = index
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
+        similarity_k = min(similarity_k, index.n_docs)
+        common_sections_n = min(common_sections_n, index.n_docs_padded)
         self.similarity_k = similarity_k
         self.common_sections_n = common_sections_n
         self.budget = budget

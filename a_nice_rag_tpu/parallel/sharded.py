@@ -173,18 +173,22 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
 
 
 def _gather_merge(vals, gidx, k, corpus_axis):
-    """All-gather per-shard (vals, global ids) over ICI and k-way merge."""
-    all_vals = jax.lax.all_gather(vals, corpus_axis)  # [S, B, k]
+    """All-gather per-shard (vals, global ids) over ICI and merge to the
+    best min(k, S * k_local) candidates."""
+    all_vals = jax.lax.all_gather(vals, corpus_axis)  # [S, B, k_local]
     all_idx = jax.lax.all_gather(gidx, corpus_axis)
-    all_vals = jnp.moveaxis(all_vals, 0, 1)  # [B, S, k]
+    all_vals = jnp.moveaxis(all_vals, 0, 1)  # [B, S, k_local]
     all_idx = jnp.moveaxis(all_idx, 0, 1)
-    mvals, midx = merge_top_k(all_vals, all_idx, k)
+    k_out = min(k, all_vals.shape[1] * all_vals.shape[2])
+    mvals, midx = merge_top_k(all_vals, all_idx, k_out)
     return mvals, jnp.where(jnp.isfinite(mvals), midx, -1)
 
 
 def _local_to_global_topk(scores, k, n_local, corpus_axis):
-    """Local masked top-k -> exact global top-k via all-gather + merge."""
-    vals, idx = masked_top_k(scores, k)
+    """Local masked top-k -> exact global top-k via all-gather + merge.
+    Requests with k > shard size take min(k, n_local) per shard, which
+    keeps the GLOBAL top-min(k, S*n_local) exact."""
+    vals, idx = masked_top_k(scores, min(k, scores.shape[-1]))
     gidx = idx + jax.lax.axis_index(corpus_axis) * n_local
     gidx = jnp.where(jnp.isfinite(vals), gidx, -1)
     return _gather_merge(vals, gidx, k, corpus_axis)
@@ -224,7 +228,7 @@ class ShardedRetriever:
         self.sidx = sidx
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
-        similarity_k = min(similarity_k, sidx.n_local)
+        similarity_k = min(similarity_k, sidx.n_docs_padded)
         common_sections_n = min(common_sections_n, sidx.n_docs_padded)
         self.similarity_k = similarity_k
         self.common_sections_n = common_sections_n
@@ -233,7 +237,10 @@ class ShardedRetriever:
         mesh = sidx.mesh
         ca, da = sidx.corpus_axis, sidx.data_axis
         n_local = sidx.n_local
+        # Per-shard lists cannot exceed the shard size; the global merge
+        # still yields up to min(k, S * k_local) candidates.
         k = similarity_k
+        k_local = min(k, n_local)
         n = common_sections_n
         use_pallas = dense_backend == "pallas"
         interpret = jax.default_backend() != "tpu"
@@ -246,7 +253,7 @@ class ShardedRetriever:
                     from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
 
                     vals, lidx = fused_dense_top_k(
-                        mat, q, k, mask=mask, interpret=interpret
+                        mat, q, k_local, mask=mask, interpret=interpret
                     )
                     gidx = jnp.where(
                         jnp.isfinite(vals),
@@ -270,7 +277,7 @@ class ShardedRetriever:
                 # TPU scatter (which serializes); per-query cost depends
                 # on the postings budget only.
                 vals, lidx = bm25_top_k_sparse(
-                    local, q_terms, k, mask=bmask, budget=budget
+                    local, q_terms, k_local, mask=bmask, budget=budget
                 )
                 gidx = jnp.where(
                     jnp.isfinite(vals),

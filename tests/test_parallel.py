@@ -178,3 +178,19 @@ def test_hierarchical_multihost_merge():
     for bq in range(b):
         expect = np.argsort(scores[bq])[::-1][:k]
         np.testing.assert_array_equal(np.asarray(idx)[bq], expect)
+
+
+def test_sharded_k_exceeds_shard_size(setup):
+    """similarity_k > docs-per-shard must still rank the merged corpus
+    exactly (per-shard lists clamp, the merge keeps min(k, S*k_local))."""
+    c, idx, mesh, sidx = setup
+    q = c.query_embeddings["voyage-3-large"][:2]
+    k = sidx.n_local + 50  # exceeds any single shard
+    vals_s, idx_s = sharded_dense_top_k(sidx, "voyage-3-large", q, k)
+    scores = q @ c.embeddings["voyage-3-large"].T
+    for b in range(2):
+        expect = np.argsort(scores[b])[::-1][: idx_s.shape[1]]
+        # All returned entries must be valid and exactly the global order.
+        got = idx_s[b][idx_s[b] >= 0]
+        np.testing.assert_array_equal(got, expect[: len(got)])
+        assert len(got) >= idx.n_docs or len(got) == idx_s.shape[1]

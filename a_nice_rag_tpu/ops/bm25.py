@@ -235,6 +235,108 @@ def bm25_top_k_sparse(
     return jax.vmap(one)(q_terms)
 
 
+@struct.dataclass
+class Bm25TwoTier:
+    """Two-tier postings layout for large sharded corpora.
+
+    High-df ("common") terms — the handful of terms whose posting lists
+    dominate the flattened-gather budget — get dense impact rows scored
+    as an MXU matmul; the long tail stays CSR with a budget bounded by
+    the rare-term df cap. Splitting by df keeps exactness: every posting
+    lives in exactly one tier and the tiers' scores add.
+
+    common_impact: [V_common, N_pad] dense impact rows.
+    common_map:    [V + 1] int32 — full-vocab term id -> common row,
+                   -1 for rare/absent (slot V covers padded queries).
+    rare:          CSR with common terms' ranges emptied.
+    """
+
+    common_impact: jax.Array
+    common_map: jax.Array
+    rare: Bm25Arrays
+
+    @property
+    def n_docs_padded(self) -> int:
+        return self.rare.n_docs_padded
+
+
+def split_two_tier(
+    bm25: Bm25Arrays, v_common: int = 256, dtype: str = "float32"
+) -> Bm25TwoTier:
+    """Split CSR postings into dense-common + rare-CSR tiers by df."""
+    import numpy as np
+
+    indptr = np.asarray(bm25.indptr)
+    doc_ids = np.asarray(bm25.doc_ids)
+    impact = np.asarray(bm25.impact)
+    v = indptr.shape[0] - 1
+    n_pad = bm25.n_docs_padded
+    df = np.diff(indptr)
+    v_common = min(v_common, v)
+    common_terms = np.sort(np.argsort(df)[::-1][:v_common])
+
+    common_map = np.full(v + 1, -1, dtype=np.int32)
+    common_map[common_terms] = np.arange(v_common, dtype=np.int32)
+    dense = np.zeros((v_common, n_pad), dtype=np.float32)
+    for row, t in enumerate(common_terms):
+        lo, hi = indptr[t], indptr[t + 1]
+        dense[row, doc_ids[lo:hi]] = impact[lo:hi]
+
+    # Rare CSR: common terms' ranges removed.
+    keep = np.ones(int(indptr[-1]), dtype=bool)
+    for t in common_terms:
+        keep[indptr[t] : indptr[t + 1]] = False
+    new_df = df.copy()
+    new_df[common_terms] = 0
+    new_ptr = np.zeros(v + 1, dtype=np.int32)
+    np.cumsum(new_df, out=new_ptr[1:])
+    nnz = int(new_ptr[-1])
+    new_ids = np.empty(nnz + 1, dtype=np.int32)
+    new_imp = np.empty(nnz + 1, dtype=np.float32)
+    new_ids[:nnz] = doc_ids[: keep.shape[0]][keep]
+    new_imp[:nnz] = impact[: keep.shape[0]][keep]
+    new_ids[nnz] = n_pad
+    new_imp[nnz] = 0.0
+    rare = Bm25Arrays(
+        indptr=jnp.asarray(new_ptr),
+        doc_ids=jnp.asarray(new_ids),
+        impact=jnp.asarray(new_imp),
+        n_docs_padded=n_pad,
+    )
+    return Bm25TwoTier(
+        common_impact=jnp.asarray(dense, dtype=jnp.dtype(dtype)),
+        common_map=jnp.asarray(common_map),
+        rare=rare,
+    )
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def bm25_scores_two_tier(
+    tt: Bm25TwoTier, q_terms: jax.Array, budget: int = 2048
+) -> jax.Array:
+    """BM25 scores [B, N_pad]: dense-common matmul + rare CSR gather.
+
+    ``budget`` bounds only the RARE tier's flattened postings, typically
+    orders of magnitude below the single-tier requirement.
+    """
+    b, t = q_terms.shape
+    v_common = tt.common_impact.shape[0]
+    safe_terms = jnp.where(q_terms >= 0, q_terms, tt.common_map.shape[0] - 1)
+    rows = tt.common_map[safe_terms]  # [B, T] common row or -1
+    cols = jnp.where(rows >= 0, rows, v_common)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, t))
+    q_tf = jnp.zeros((b, v_common + 1), dtype=tt.common_impact.dtype)
+    q_tf = q_tf.at[bidx.reshape(-1), cols.reshape(-1)].add(1.0)
+    s_common = jax.lax.dot_general(
+        q_tf[:, :v_common],
+        tt.common_impact,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s_rare = bm25_scores(tt.rare, q_terms, budget)
+    return s_common + s_rare
+
+
 def postings_required(bm25: Bm25Arrays, q_terms: jax.Array) -> jax.Array:
     """Total postings each query would touch — for budget validation [B]."""
     valid = q_terms >= 0

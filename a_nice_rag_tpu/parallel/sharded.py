@@ -30,7 +30,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from a_nice_rag_tpu.index.array_index import ArrayIndex
-from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, bm25_top_k_sparse
+from a_nice_rag_tpu.ops.bm25 import (
+    Bm25Arrays,
+    Bm25TwoTier,
+    bm25_scores_two_tier,
+    bm25_top_k_sparse,
+    split_two_tier,
+)
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n_sparse
 from a_nice_rag_tpu.ops.topk import masked_top_k, merge_top_k
@@ -50,6 +56,12 @@ class ShardedIndex:
     n_shards: int
     corpus_axis: str = "corpus"
     data_axis: str = "dp"
+    # Optional two-tier layout (common dense rows + rare CSR per shard).
+    tt_common: Optional[jax.Array] = None  # [S, Vc, N_local]
+    tt_map: Optional[jax.Array] = None  # [S, V+1]
+    tt_rare_indptr: Optional[jax.Array] = None  # [S, V+1]
+    tt_rare_doc_ids: Optional[jax.Array] = None  # [S, rare_nnz_pad+1]
+    tt_rare_impact: Optional[jax.Array] = None  # [S, rare_nnz_pad+1]
 
     def __post_init__(self) -> None:
         self._mask_cache: Dict[Optional[str], jax.Array] = {}
@@ -127,8 +139,15 @@ def _shard_csr(
 
 
 def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
-                data_axis: str = "dp") -> ShardedIndex:
-    """Lay an ArrayIndex out across the mesh's corpus axis."""
+                data_axis: str = "dp", two_tier_common: int = 0,
+                two_tier_dtype: str = "float32") -> ShardedIndex:
+    """Lay an ArrayIndex out across the mesh's corpus axis.
+
+    ``two_tier_common > 0`` additionally builds the per-shard two-tier
+    BM25 layout (that many dense common-term rows per shard + rare CSR),
+    cutting the sharded BM25 postings budget by orders of magnitude
+    (see ops.bm25.split_two_tier).
+    """
     n_shards = mesh.shape[corpus_axis]
     n_pad = index.n_docs_padded
     n_local = -(-n_pad // n_shards)
@@ -158,6 +177,41 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
         bm25_doc_ids = jax.device_put(s_doc_ids, sh)
         bm25_impact = jax.device_put(s_impact, sh)
 
+    tt_common = tt_map = tt_rare_ptr = tt_rare_ids = tt_rare_imp = None
+    if index.bm25 is not None and two_tier_common > 0:
+        commons, maps, rptrs, rids, rimps = [], [], [], [], []
+        for s_i in range(n_shards):
+            local = Bm25Arrays(
+                indptr=jnp.asarray(s_indptr[s_i]),
+                doc_ids=jnp.asarray(s_doc_ids[s_i]),
+                impact=jnp.asarray(s_impact[s_i]),
+                n_docs_padded=n_local,
+            )
+            tt = split_two_tier(local, two_tier_common, two_tier_dtype)
+            commons.append(np.asarray(tt.common_impact))
+            maps.append(np.asarray(tt.common_map))
+            rptrs.append(np.asarray(tt.rare.indptr))
+            rids.append(np.asarray(tt.rare.doc_ids))
+            rimps.append(np.asarray(tt.rare.impact))
+        # Pad rare nnz to a common width across shards.
+        rare_pad = max(a.shape[0] for a in rids)
+        for s_i in range(n_shards):
+            padc = rare_pad - rids[s_i].shape[0]
+            if padc:
+                rids[s_i] = np.concatenate(
+                    [rids[s_i], np.full(padc, n_local, np.int32)]
+                )
+                rimps[s_i] = np.concatenate(
+                    [rimps[s_i], np.zeros(padc, np.float32)]
+                )
+        sh2 = NamedSharding(mesh, P(corpus_axis, None))
+        sh3 = NamedSharding(mesh, P(corpus_axis, None, None))
+        tt_common = jax.device_put(np.stack(commons), sh3)
+        tt_map = jax.device_put(np.stack(maps), sh2)
+        tt_rare_ptr = jax.device_put(np.stack(rptrs), sh2)
+        tt_rare_ids = jax.device_put(np.stack(rids), sh2)
+        tt_rare_imp = jax.device_put(np.stack(rimps), sh2)
+
     return ShardedIndex(
         mesh=mesh,
         dense=dense,
@@ -169,6 +223,11 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
         n_shards=n_shards,
         corpus_axis=corpus_axis,
         data_axis=data_axis,
+        tt_common=tt_common,
+        tt_map=tt_map,
+        tt_rare_indptr=tt_rare_ptr,
+        tt_rare_doc_ids=tt_rare_ids,
+        tt_rare_impact=tt_rare_imp,
     )
 
 
@@ -221,10 +280,15 @@ class ShardedRetriever:
         common_sections_n: int = 15,
         budget: int = 16384,
         dense_backend: str = "xla",
+        bm25_backend: str = "auto",
     ):
         """dense_backend="pallas" streams each shard through the fused
         matmul+top-k kernel (ops.pallas) — use for million-doc shards
-        where materializing [B, N_local] scores is the bottleneck."""
+        where materializing [B, N_local] scores is the bottleneck.
+        bm25_backend: "auto" uses the two-tier layout when the sharded
+        index carries one (see shard_index(two_tier_common=...)),
+        "sparse" forces the sort-based CSR path, "two_tier" requires the
+        layout."""
         self.sidx = sidx
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
@@ -244,9 +308,17 @@ class ShardedRetriever:
         n = common_sections_n
         use_pallas = dense_backend == "pallas"
         interpret = jax.default_backend() != "tpu"
+        has_tt = sidx.tt_common is not None
+        if bm25_backend == "two_tier" and not has_tt:
+            raise ValueError(
+                "two_tier bm25_backend requires "
+                "shard_index(two_tier_common=...)"
+            )
+        use_two_tier = use_bm25 and has_tt and bm25_backend in ("auto",
+                                                                "two_tier")
 
-        def shard_fn(dense_mats, bm25_parts, q_embs, q_terms, mask, bmask,
-                     weights, wrrf_k):
+        def shard_fn(dense_mats, bm25_parts, tt_parts, q_embs, q_terms,
+                     mask, bmask, weights, wrrf_k):
             lists = []
             for mat, q in zip(dense_mats, q_embs):
                 if use_pallas:
@@ -267,7 +339,21 @@ class ShardedRetriever:
                 scores = jnp.where(mask[None, :], scores, -jnp.inf)
                 _, gidx = _local_to_global_topk(scores, k, n_local, ca)
                 lists.append(gidx)
-            if use_bm25:
+            if use_bm25 and use_two_tier:
+                tt_c, tt_m, r_ptr, r_ids, r_imp = (x[0] for x in tt_parts)
+                tt = Bm25TwoTier(
+                    common_impact=tt_c,
+                    common_map=tt_m,
+                    rare=Bm25Arrays(
+                        indptr=r_ptr, doc_ids=r_ids, impact=r_imp,
+                        n_docs_padded=n_local,
+                    ),
+                )
+                scores = bm25_scores_two_tier(tt, q_terms, budget)
+                scores = jnp.where(bmask[None, :], scores, -jnp.inf)
+                _, gidx = _local_to_global_topk(scores, k, n_local, ca)
+                lists.append(gidx)
+            elif use_bm25:
                 indptr, doc_ids, impact = (x[0] for x in bm25_parts)
                 local = Bm25Arrays(
                     indptr=indptr, doc_ids=doc_ids, impact=impact,
@@ -295,9 +381,12 @@ class ShardedRetriever:
 
         n_dense = len(self.model_names)
         bm25_spec = (P(ca, None),) * 3
+        tt_spec = (P(ca, None, None), P(ca, None), P(ca, None),
+                   P(ca, None), P(ca, None))
         in_specs = (
             (P(ca, None),) * n_dense,          # dense shards
             bm25_spec,                          # bm25 stacked arrays
+            tt_spec,                            # two-tier stacked arrays
             (P(da, None),) * n_dense,           # query embeddings
             P(da, None),                        # query terms
             P(ca),                              # mask
@@ -331,18 +420,24 @@ class ShardedRetriever:
             for m in self.model_names
         )
         b = q_tuple[0].shape[0] if q_tuple else np.asarray(q_terms).shape[0]
+        csh = NamedSharding(mesh, P(sidx.corpus_axis, None))
+        csh3 = NamedSharding(mesh, P(sidx.corpus_axis, None, None))
+        z = jax.device_put(jnp.zeros((sidx.n_shards, 1), jnp.int32), csh)
+        zf = jax.device_put(jnp.zeros((sidx.n_shards, 1), jnp.float32), csh)
+        zf3 = jax.device_put(
+            jnp.zeros((sidx.n_shards, 1, 1), jnp.float32), csh3
+        )
         if self.use_bm25:
             terms = jax.device_put(np.asarray(q_terms, np.int32), qsh)
             bm25_parts = (sidx.bm25_indptr, sidx.bm25_doc_ids, sidx.bm25_impact)
         else:
             terms = jax.device_put(np.full((b, 1), -1, np.int32), qsh)
-            z = jnp.zeros((sidx.n_shards, 1), jnp.int32)
-            zf = jnp.zeros((sidx.n_shards, 1), jnp.float32)
-            bm25_parts = (
-                jax.device_put(z, NamedSharding(mesh, P(sidx.corpus_axis, None))),
-                jax.device_put(z, NamedSharding(mesh, P(sidx.corpus_axis, None))),
-                jax.device_put(zf, NamedSharding(mesh, P(sidx.corpus_axis, None))),
-            )
+            bm25_parts = (z, z, zf)
+        if sidx.tt_common is not None:
+            tt_parts = (sidx.tt_common, sidx.tt_map, sidx.tt_rare_indptr,
+                        sidx.tt_rare_doc_ids, sidx.tt_rare_impact)
+        else:
+            tt_parts = (zf3, z, z, z, zf)
         w = jnp.asarray(
             [weights.get(m, 1.0) for m in self.model_names]
             + ([weights.get("BM25", 1.0)] if self.use_bm25 else []),
@@ -355,8 +450,8 @@ class ShardedRetriever:
             else mask
         )
         fvals, fids = self._run(
-            dense_mats, bm25_parts, q_tuple, terms, mask, bmask, w,
-            jnp.float32(wrrf_k),
+            dense_mats, bm25_parts, tt_parts, q_tuple, terms, mask, bmask,
+            w, jnp.float32(wrrf_k),
         )
         return np.asarray(fvals), np.asarray(fids)
 

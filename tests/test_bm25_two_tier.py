@@ -1,0 +1,85 @@
+"""Two-tier BM25 (dense common terms + rare CSR) exactness + budget cut."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.ops.bm25 import (
+    bm25_scores,
+    bm25_scores_two_tier,
+    postings_required,
+    split_two_tier,
+)
+from a_nice_rag_tpu.testing import synth_corpus
+
+
+def _setup(n_docs=500, seed=221):
+    c = synth_corpus(n_docs=n_docs, dim=8, n_queries=16, seed=seed,
+                     vocab_size=400)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    terms = jnp.asarray(idx.pad_term_ids(c.query_tokens, 16))
+    return c, idx, terms
+
+
+def test_two_tier_matches_single_tier():
+    c, idx, terms = _setup()
+    full = np.asarray(bm25_scores(idx.bm25, terms, budget=16384))
+    tt = split_two_tier(idx.bm25, v_common=32)
+    split = np.asarray(bm25_scores_two_tier(tt, terms, budget=4096))
+    np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-5)
+
+
+def test_two_tier_budget_reduction():
+    c, idx, terms = _setup()
+    need_full = int(np.asarray(postings_required(idx.bm25, terms)).max())
+    tt = split_two_tier(idx.bm25, v_common=32)
+    need_rare = int(np.asarray(postings_required(tt.rare, terms)).max())
+    # Zipf head dominates: removing 32 common terms must slash the budget.
+    assert need_rare < need_full / 3, (need_rare, need_full)
+
+
+def test_two_tier_oov_and_padding():
+    c, idx, terms = _setup(n_docs=120, seed=223)
+    tt = split_two_tier(idx.bm25, v_common=16)
+    empty = jnp.full((2, 8), -1, jnp.int32)
+    s = np.asarray(bm25_scores_two_tier(tt, empty, budget=512))
+    assert (s == 0).all()
+
+
+def test_two_tier_v_common_exceeds_vocab():
+    c, idx, terms = _setup(n_docs=80, seed=227)
+    tt = split_two_tier(idx.bm25, v_common=10_000)
+    # Everything common -> rare tier empty, still exact.
+    assert int(np.asarray(tt.rare.indptr)[-1]) == 0
+    full = np.asarray(bm25_scores(idx.bm25, terms, budget=16384))
+    split = np.asarray(bm25_scores_two_tier(tt, terms, budget=64))
+    np.testing.assert_allclose(split, full, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_two_tier_matches_sparse_backend():
+    import jax
+
+    from a_nice_rag_tpu.parallel import make_mesh, shard_index
+    from a_nice_rag_tpu.parallel.sharded import ShardedRetriever
+
+    c, idx, terms_dev = _setup(n_docs=600, seed=229)
+    terms = np.asarray(terms_dev)
+    mesh = make_mesh(shape=(1, 4), axis_names=("dp", "corpus"),
+                     devices=jax.devices()[:4])
+    sidx = shard_index(idx, mesh, two_tier_common=24)
+    assert sidx.tt_common is not None
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+    kw = dict(similarity_k=10, common_sections_n=8, budget=4096)
+    sr_tt = ShardedRetriever(sidx, ["voyage-3-large"], use_bm25=True,
+                             bm25_backend="two_tier", **kw)
+    sr_sp = ShardedRetriever(sidx, ["voyage-3-large"], use_bm25=True,
+                             bm25_backend="sparse", **kw)
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    v_tt, i_tt = sr_tt(q, terms, weights, None, 40.0)
+    v_sp, i_sp = sr_sp(q, terms, weights, None, 40.0)
+    np.testing.assert_allclose(v_tt, v_sp, rtol=1e-5, atol=1e-7)
+    for b in range(i_tt.shape[0]):
+        assert set(i_tt[b][i_tt[b] >= 0]) == set(i_sp[b][i_sp[b] >= 0])

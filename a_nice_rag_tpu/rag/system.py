@@ -240,3 +240,51 @@ class RAGSystem:
                 "LLM completion time: %.4fs", trace.durations.get("llm", 0.0)
             )
             self.last_trace = trace
+
+
+def main() -> None:
+    """CLI demo (reference src/query_rag.py:530-581): stream one query
+    end to end and print the answer + sources. Uses real providers when
+    API keys are set; otherwise answers with the offline fake client."""
+    import argparse
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(levelname)s - %(message)s",
+    )
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--query",
+        default="What are the recommended interventions for smoking "
+        "cessation in adults?",
+    )
+    p.add_argument("--llm-model", default="gpt-4.1-mini")
+    p.add_argument("--filter", default="CG,NG")
+    p.add_argument("--hybrid", action="store_true")
+    p.add_argument("--no-rerank", action="store_true")
+    args = p.parse_args()
+
+    system = RAGSystem()
+    if not system.llm_clients:
+        from a_nice_rag_tpu.rag.providers import FakeLLMClient
+
+        logger.warning("no provider API keys set; using the offline fake LLM")
+        system.llm_clients = {"fake": FakeLLMClient()}
+        args.llm_model = "fake-llm"
+
+    print(f"=== Query: {args.query} ===\n")
+    sources = ""
+    for chunk, sources, _, _ in system.query_rag_stream(
+        args.query,
+        args.llm_model,
+        filename_type_filter=args.filter or None,
+        use_hybrid_search=args.hybrid,
+        use_reranker=not args.no_rerank,
+    ):
+        print(chunk, end="", flush=True)
+    print("\n\n=== Sources ===")
+    print(sources)
+
+
+if __name__ == "__main__":
+    main()

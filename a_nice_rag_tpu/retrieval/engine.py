@@ -27,7 +27,11 @@ import numpy as np
 
 from a_nice_rag_tpu.config import Config
 from a_nice_rag_tpu.index.array_index import ArrayIndex
-from a_nice_rag_tpu.ops.bm25 import bm25_scores, bm25_scores_dense
+from a_nice_rag_tpu.ops.bm25 import (
+    bm25_scores,
+    bm25_scores_dense,
+    bm25_scores_dense_gather,
+)
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n
 from a_nice_rag_tpu.ops.topk import masked_top_k
@@ -60,7 +64,11 @@ def _bm25_list(bm25, q_terms, mask, k, budget):
 
 @partial(jax.jit, static_argnames=("k",))
 def _bm25_list_dense(bm25_dense, q_terms, mask, k):
-    scores = bm25_scores_dense(bm25_dense, q_terms)
+    b, t = q_terms.shape
+    if b * t <= bm25_dense.vocab_size // 2:
+        scores = bm25_scores_dense_gather(bm25_dense, q_terms)
+    else:
+        scores = bm25_scores_dense(bm25_dense, q_terms)
     scores = jnp.where(mask[None, :], scores, -jnp.inf)
     vals, idx = masked_top_k(scores, k)
     return vals, jnp.where(jnp.isfinite(vals), idx, -1)
@@ -129,7 +137,14 @@ class FusedRetriever:
                 lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
             if use_bm25:
                 if use_dense_bm25:
-                    scores = bm25_scores_dense(bm25_arrays, q_terms)
+                    # Small batches read only the query-term impact rows;
+                    # the matmul form amortizes the full-matrix read only
+                    # once B*T approaches the vocab size.
+                    b, t = q_terms.shape
+                    if b * t <= bm25_arrays.vocab_size // 2:
+                        scores = bm25_scores_dense_gather(bm25_arrays, q_terms)
+                    else:
+                        scores = bm25_scores_dense(bm25_arrays, q_terms)
                 else:
                     scores = bm25_scores(bm25_arrays, q_terms, budget)
                 scores = jnp.where(bm25_mask[None, :], scores, -jnp.inf)

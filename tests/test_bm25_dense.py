@@ -5,7 +5,11 @@ import numpy as np
 
 from a_nice_rag_tpu.index import build_index
 from a_nice_rag_tpu.index.array_index import dense_impact_from_csr
-from a_nice_rag_tpu.ops.bm25 import bm25_scores, bm25_scores_dense
+from a_nice_rag_tpu.ops.bm25 import (
+    bm25_scores,
+    bm25_scores_dense,
+    bm25_scores_dense_gather,
+)
 from a_nice_rag_tpu.testing import GoldenBm25Okapi, synth_corpus
 
 
@@ -44,6 +48,35 @@ def test_dense_duplicate_and_oov_terms():
     np.testing.assert_allclose(s[1], 2 * s[0], rtol=1e-5, atol=1e-6)
     oov = np.full((1, 8), -1, dtype=np.int32)
     assert (np.asarray(bm25_scores_dense(bd, jnp.asarray(oov))) == 0).all()
+
+
+def test_gather_path_matches_matmul():
+    """Small-batch impact-row gather equals the matmul form (duplicates,
+    OOV and padding included)."""
+    c = synth_corpus(n_docs=300, dim=16, n_queries=12, seed=57)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    terms = jnp.asarray(idx.pad_term_ids(c.query_tokens, 16))
+    s_mat = np.asarray(bm25_scores_dense(idx.bm25_dense, terms))
+    s_gat = np.asarray(bm25_scores_dense_gather(idx.bm25_dense, terms))
+    np.testing.assert_allclose(s_gat, s_mat, rtol=1e-5, atol=1e-6)
+    # single query with duplicates + padding
+    t = idx.term_ids(c.query_tokens[0][:3])
+    q = np.full((1, 8), -1, dtype=np.int32)
+    q[0, :3] = t
+    q[0, 3] = t[0]  # duplicate
+    np.testing.assert_allclose(
+        np.asarray(bm25_scores_dense_gather(idx.bm25_dense, jnp.asarray(q))),
+        np.asarray(bm25_scores_dense(idx.bm25_dense, jnp.asarray(q))),
+        rtol=1e-5, atol=1e-6,
+    )
+    oov = np.full((1, 8), -1, dtype=np.int32)
+    assert (
+        np.asarray(bm25_scores_dense_gather(idx.bm25_dense, jnp.asarray(oov)))
+        == 0
+    ).all()
 
 
 def test_builder_memory_budget_gate():

@@ -219,42 +219,66 @@ def bm25_top_k_sparse(
     carry no signal), unlike bm25_scores which materializes zeros.
     Returns (scores [B, k], doc ids [B, k], -inf/-1 padded).
     """
-    sentinel_doc = jnp.iinfo(jnp.int32).max
-
     def one(q: jax.Array):
-        g = _flat_postings_indices(bm25.indptr, q, budget, bm25.nnz)
-        ids = bm25.doc_ids[g]
-        vals = bm25.impact[g]
-        # Padding gathers land on the dump row; push them to the end of
-        # the sort instead.
-        ids = jnp.where(ids >= bm25.n_docs_padded, sentinel_doc, ids)
-        order = jnp.argsort(ids)
-        s_ids = ids[order]
-        s_vals = vals[order]
-        # Segment totals WITHOUT a scatter: impacts are positive, so the
-        # running csum is nondecreasing and a cummax broadcasts each
-        # group's starting prefix to all its members. The group total
-        # lands on the group's LAST element.
-        csum = jnp.cumsum(s_vals)
-        csum_before = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
-        first = jnp.concatenate(
-            [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]]
-        )
-        last = jnp.concatenate([s_ids[1:] != s_ids[:-1], jnp.ones((1,), bool)])
-        start_prefix = jax.lax.cummax(
-            jnp.where(first, csum_before, -jnp.inf)
-        )
-        score = jnp.where(
-            last & (s_ids != sentinel_doc), csum - start_prefix, -jnp.inf
-        )
-        if mask is not None:
-            keep = mask[jnp.clip(s_ids, 0, mask.shape[0] - 1)]
-            score = jnp.where(keep, score, -jnp.inf)
+        s_ids, score = _rare_candidates(bm25, q, budget, mask)
         top_s, pos = jax.lax.top_k(score, k)
         top_ids = jnp.where(jnp.isfinite(top_s), s_ids[pos], -1)
         return top_s, top_ids
 
     return jax.vmap(one)(q_terms)
+
+
+_SENTINEL_DOC = jnp.iinfo(jnp.int32).max
+
+
+def _rare_candidates(
+    bm25: Bm25Arrays,
+    q: jax.Array,
+    budget: int,
+    mask: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-document score totals for one query's postings.
+
+    Returns (s_ids [budget] ascending with _SENTINEL_DOC padding,
+    score [budget]) where each document's total sits at its LAST
+    occurrence in s_ids and every other slot is -inf. No top-k is
+    applied — callers that only need the candidate set (e.g. the
+    two-tier streaming merge) skip that sort entirely.
+    """
+    g = _flat_postings_indices(bm25.indptr, q, budget, bm25.nnz)
+    ids = bm25.doc_ids[g]
+    vals = bm25.impact[g]
+    # Padding gathers land on the dump row; push them to the end of
+    # the sort instead.
+    ids = jnp.where(ids >= bm25.n_docs_padded, _SENTINEL_DOC, ids)
+    order = jnp.argsort(ids)
+    s_ids = ids[order]
+    s_vals = vals[order]
+    # Segment totals WITHOUT a scatter: impacts are positive, so the
+    # running csum is nondecreasing and a cummax broadcasts each
+    # group's starting prefix to all its members. The group total
+    # lands on the group's LAST element. Precision note: the
+    # cumsum-difference cancels ~budget*eps absolute (~1e-3 at
+    # budget 4096), the same order as the MXU's default-bf16 matmul
+    # noise on the dense paths; rank order is unaffected in practice.
+    # (A segmented associative_scan is exact-within-group but
+    # measured 2.5x slower end-to-end on TPU v5e.)
+    csum = jnp.cumsum(s_vals)
+    csum_before = jnp.concatenate([jnp.zeros((1,), csum.dtype), csum[:-1]])
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]]
+    )
+    last = jnp.concatenate([s_ids[1:] != s_ids[:-1], jnp.ones((1,), bool)])
+    start_prefix = jax.lax.cummax(
+        jnp.where(first, csum_before, -jnp.inf)
+    )
+    score = jnp.where(
+        last & (s_ids != _SENTINEL_DOC), csum - start_prefix, -jnp.inf
+    )
+    if mask is not None:
+        keep = mask[jnp.clip(s_ids, 0, mask.shape[0] - 1)]
+        score = jnp.where(keep, score, -jnp.inf)
+    return s_ids, score
 
 
 @struct.dataclass
@@ -267,15 +291,22 @@ class Bm25TwoTier:
     the rare-term df cap. Splitting by df keeps exactness: every posting
     lives in exactly one tier and the tiers' scores add.
 
-    common_impact: [V_common, N_pad] dense impact rows.
-    common_map:    [V + 1] int32 — full-vocab term id -> common row,
+    common_impact_t: [N_pad, V_common] dense impact, document-major —
+                   the same layout as a dense embedding matrix, so the
+                   common tier rides the MXU matmul AND the streaming
+                   Pallas top-k kernel unchanged.
+    common_map:    [V + 1] int32 — full-vocab term id -> common column,
                    -1 for rare/absent (slot V covers padded queries).
     rare:          CSR with common terms' ranges emptied.
     """
 
-    common_impact: jax.Array
+    common_impact_t: jax.Array
     common_map: jax.Array
     rare: Bm25Arrays
+
+    @property
+    def v_common(self) -> int:
+        return self.common_impact_t.shape[1]
 
     @property
     def n_docs_padded(self) -> int:
@@ -299,10 +330,10 @@ def split_two_tier(
 
     common_map = np.full(v + 1, -1, dtype=np.int32)
     common_map[common_terms] = np.arange(v_common, dtype=np.int32)
-    dense = np.zeros((v_common, n_pad), dtype=np.float32)
-    for row, t in enumerate(common_terms):
+    dense = np.zeros((n_pad, v_common), dtype=np.float32)
+    for col, t in enumerate(common_terms):
         lo, hi = indptr[t], indptr[t + 1]
-        dense[row, doc_ids[lo:hi]] = impact[lo:hi]
+        dense[doc_ids[lo:hi], col] = impact[lo:hi]
 
     # Rare CSR: common terms' ranges removed.
     keep = np.ones(int(indptr[-1]), dtype=bool)
@@ -326,10 +357,23 @@ def split_two_tier(
         n_docs_padded=n_pad,
     )
     return Bm25TwoTier(
-        common_impact=jnp.asarray(dense, dtype=jnp.dtype(dtype)),
+        common_impact_t=jnp.asarray(dense, dtype=jnp.dtype(dtype)),
         common_map=jnp.asarray(common_map),
         rare=rare,
     )
+
+
+def _two_tier_q_tf(tt: Bm25TwoTier, q_terms: jax.Array) -> jax.Array:
+    """Common-tier term-count matrix [B, V_common] for a term-id batch."""
+    b, t = q_terms.shape
+    v_common = tt.v_common
+    safe_terms = jnp.where(q_terms >= 0, q_terms, tt.common_map.shape[0] - 1)
+    rows = tt.common_map[safe_terms]  # [B, T] common column or -1
+    cols = jnp.where(rows >= 0, rows, v_common)
+    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, t))
+    q_tf = jnp.zeros((b, v_common + 1), dtype=tt.common_impact_t.dtype)
+    q_tf = q_tf.at[bidx.reshape(-1), cols.reshape(-1)].add(1.0)
+    return q_tf[:, :v_common]
 
 
 @partial(jax.jit, static_argnames=("budget",))
@@ -341,22 +385,102 @@ def bm25_scores_two_tier(
     ``budget`` bounds only the RARE tier's flattened postings, typically
     orders of magnitude below the single-tier requirement.
     """
-    b, t = q_terms.shape
-    v_common = tt.common_impact.shape[0]
-    safe_terms = jnp.where(q_terms >= 0, q_terms, tt.common_map.shape[0] - 1)
-    rows = tt.common_map[safe_terms]  # [B, T] common row or -1
-    cols = jnp.where(rows >= 0, rows, v_common)
-    bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, t))
-    q_tf = jnp.zeros((b, v_common + 1), dtype=tt.common_impact.dtype)
-    q_tf = q_tf.at[bidx.reshape(-1), cols.reshape(-1)].add(1.0)
+    q_tf = _two_tier_q_tf(tt, q_terms)
     s_common = jax.lax.dot_general(
-        q_tf[:, :v_common],
-        tt.common_impact,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        q_tf,
+        tt.common_impact_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     s_rare = bm25_scores(tt.rare, q_terms, budget)
     return s_common + s_rare
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "budget", "block_q", "block_n", "interpret"),
+)
+def bm25_top_k_two_tier(
+    tt: Bm25TwoTier,
+    q_terms: jax.Array,
+    k: int,
+    mask: Optional[jax.Array] = None,
+    budget: int = 2048,
+    block_q: int = 128,
+    block_n: int = 8192,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact two-tier BM25 top-k WITHOUT materializing [B, N] scores.
+
+    The common tier is a matmul against ``common_impact_t`` — the same
+    shape as dense retrieval — so it streams through the Pallas fused
+    matmul+top-k kernel (O(1) HBM for scores). The rare tier touches at
+    most ``budget`` postings per query, so every document with a nonzero
+    rare score is enumerable. Exactness: a document in the true top-k
+    either has a rare posting for this query (it is in the rare
+    candidate set, scored with its full common+rare total) or its total
+    equals its common score — and if k or more documents beat that
+    common score in the common ordering, each beats it in totals too, so
+    the common top-k covers all remaining contenders.
+
+    Candidates from both sets are deduplicated by document id keeping
+    the maximum score (the full total dominates the common-only entry
+    because impacts are nonnegative). Returns (scores [B, k],
+    doc ids [B, k]), -inf/-1 padded.
+    """
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
+
+    n_pad = tt.n_docs_padded
+    b = q_terms.shape[0]
+    q_tf = _two_tier_q_tf(tt, q_terms)
+
+    # Common tier: streaming fused matmul+top-k over [N_pad, V_common]
+    # (the kernel zero-pads misaligned doc axes itself).
+    bq = block_q
+    while b % bq:
+        bq //= 2
+    c_vals, c_ids = fused_dense_top_k(
+        tt.common_impact_t, q_tf, k, mask=mask,
+        block_q=bq, block_n=block_n, interpret=interpret,
+    )
+
+    # Rare tier: per-document totals for every touched document,
+    # id-sorted with the total on each document's LAST occurrence
+    # (no top-k sort needed — the merge below consumes the set as-is).
+    r_ids, r_scores = jax.vmap(
+        lambda q: _rare_candidates(tt.rare, q, budget, mask)
+    )(q_terms)
+    # Add the common contribution at the rare candidates' rows.
+    safe = jnp.clip(r_ids, 0, n_pad - 1)
+    rows = jnp.take(tt.common_impact_t, safe.reshape(-1), axis=0)
+    rows = rows.reshape(r_ids.shape + (tt.v_common,))
+    c_at = jnp.einsum(
+        "brv,bv->br", rows.astype(jnp.float32), q_tf.astype(jnp.float32)
+    )
+    r_totals = jnp.where(jnp.isfinite(r_scores), r_scores + c_at, -jnp.inf)
+
+    # Dedup: a common-top-k doc that also has rare postings is already in
+    # the rare set with its full total (which dominates the common-only
+    # entry, impacts being nonnegative). r_ids is sorted ascending, so
+    # membership is a searchsorted probe instead of a joint sort. Slots
+    # whose total is -inf are not live candidates (sentinel padding or
+    # non-last duplicate occurrences) — exclude them from membership.
+    def member(sorted_ids, live, probe):
+        # side="right" - 1 = the LAST occurrence, where the live total
+        # sits (earlier duplicate slots carry -inf).
+        pos = jnp.searchsorted(sorted_ids, probe, side="right") - 1
+        pos = jnp.clip(pos, 0, sorted_ids.shape[0] - 1)
+        return (sorted_ids[pos] == probe) & live[pos]
+
+    live = jnp.isfinite(r_totals)
+    dup = jax.vmap(member)(r_ids, live, jnp.where(c_ids >= 0, c_ids, -1))
+    c_vals = jnp.where(dup, -jnp.inf, c_vals)
+
+    ids = jnp.concatenate([r_ids, jnp.where(c_ids >= 0, c_ids, n_pad)], axis=1)
+    vals = jnp.concatenate([r_totals, c_vals], axis=1)
+    top_v, pos = jax.lax.top_k(vals, k)
+    top_i = jnp.take_along_axis(ids, pos, axis=1)
+    return top_v, jnp.where(jnp.isfinite(top_v), top_i, -1)
 
 
 def postings_required(bm25: Bm25Arrays, q_terms: jax.Array) -> jax.Array:

@@ -32,6 +32,33 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30  # sentinel; cleaner than -inf inside the selection loop
 
+# Mosaic requires the 1D mask operand's block to match XLA's T(1024)
+# layout tile, so the document axis must be 1024-aligned and block_n a
+# multiple of 1024.
+_N_ALIGN = 1024
+
+
+def _align_doc_axis(n: int, block_n: int, mask, *row_arrays):
+    """Pad the doc axis to _N_ALIGN and pick a conforming block_n.
+
+    Returns (n, block_n, mask, *row_arrays). The pad copies row_arrays —
+    cheap for the small corpora that are ever misaligned; large indices
+    should be built 8192-aligned so this is a no-op.
+    """
+    if n % _N_ALIGN:
+        pad = _N_ALIGN - n % _N_ALIGN
+        row_arrays = tuple(
+            jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            for a in row_arrays
+        )
+        mask = jnp.pad(mask, (0, pad))  # False: padded rows never win
+        n += pad
+    for cand in (8192, 4096, 2048, 1024):
+        if cand <= max(block_n, _N_ALIGN) and n % cand == 0:
+            block_n = cand
+            break
+    return (n, block_n, mask) + row_arrays
+
 
 def _select_topk(scores: jax.Array, ids: jax.Array, k: int):
     """Iterative top-k along axis 1. scores [Bq, M], ids [Bq, M] ->
@@ -210,12 +237,13 @@ def fused_dense_top_k_int8(
     """
     n, d = values.shape
     b = q_values.shape[0]
-    block_n = min(block_n, n)
     block_q = min(block_q, b)
-    assert n % block_n == 0, f"N={n} must be divisible by block_n={block_n}"
     assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
     if mask is None:
         mask = jnp.ones((n,), jnp.bool_)
+    n, block_n, mask, values, scales = _align_doc_axis(
+        n, block_n, mask, values, scales
+    )
     grid = (b // block_q, n // block_n)
     kernel = functools.partial(
         _kernel_int8, k=k, n_tile=block_n, m_fast=m_fast
@@ -280,19 +308,20 @@ def fused_dense_top_k(
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k.
 
-    emb: [N, D] (N divisible by block_n), queries: [B, D] (B divisible
+    emb: [N, D] (any N; misaligned doc axes are zero-padded to the
+    1024-aligned layout Mosaic requires — a copy, so build large indices
+    8192-aligned), queries: [B, D] (B divisible
     by block_q; pad externally), mask: [N] bool or None. Returns
     (values [B, k], indices [B, k]) matching ops.dense.dense_top_k up to
     tie order; masked-out/overhang slots report (-inf, -1).
     """
     n, d = emb.shape
     b = queries.shape[0]
-    block_n = min(block_n, n)
     block_q = min(block_q, b)
-    assert n % block_n == 0, f"N={n} must be divisible by block_n={block_n}"
     assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
     if mask is None:
         mask = jnp.ones((n,), jnp.bool_)
+    n, block_n, mask, emb = _align_doc_axis(n, block_n, mask, emb)
 
     grid = (b // block_q, n // block_n)
     kernel = functools.partial(_kernel, k=k, n_tile=block_n, m_fast=m_fast)

@@ -35,6 +35,7 @@ from a_nice_rag_tpu.ops.bm25 import (
     Bm25TwoTier,
     bm25_scores_two_tier,
     bm25_top_k_sparse,
+    bm25_top_k_two_tier,
     split_two_tier,
 )
 from a_nice_rag_tpu.ops.dense import dense_scores
@@ -188,7 +189,7 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
                 n_docs_padded=n_local,
             )
             tt = split_two_tier(local, two_tier_common, two_tier_dtype)
-            commons.append(np.asarray(tt.common_impact))
+            commons.append(np.asarray(tt.common_impact_t))
             maps.append(np.asarray(tt.common_map))
             rptrs.append(np.asarray(tt.rare.indptr))
             rids.append(np.asarray(tt.rare.doc_ids))
@@ -288,7 +289,10 @@ class ShardedRetriever:
         bm25_backend: "auto" uses the two-tier layout when the sharded
         index carries one (see shard_index(two_tier_common=...)),
         "sparse" forces the sort-based CSR path, "two_tier" requires the
-        layout."""
+        layout and materializes per-shard scores,
+        "two_tier_streaming" additionally streams the common tier
+        through the Pallas fused top-k kernel so no [B, N_local] score
+        matrix is ever materialized (exact; for million-doc shards)."""
         self.sidx = sidx
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
@@ -309,13 +313,15 @@ class ShardedRetriever:
         use_pallas = dense_backend == "pallas"
         interpret = jax.default_backend() != "tpu"
         has_tt = sidx.tt_common is not None
-        if bm25_backend == "two_tier" and not has_tt:
+        if bm25_backend in ("two_tier", "two_tier_streaming") and not has_tt:
             raise ValueError(
-                "two_tier bm25_backend requires "
+                f"{bm25_backend} bm25_backend requires "
                 "shard_index(two_tier_common=...)"
             )
-        use_two_tier = use_bm25 and has_tt and bm25_backend in ("auto",
-                                                                "two_tier")
+        use_two_tier = use_bm25 and has_tt and bm25_backend in (
+            "auto", "two_tier", "two_tier_streaming"
+        )
+        tt_streaming = bm25_backend == "two_tier_streaming"
 
         def shard_fn(dense_mats, bm25_parts, tt_parts, q_embs, q_terms,
                      mask, bmask, weights, wrrf_k):
@@ -342,16 +348,28 @@ class ShardedRetriever:
             if use_bm25 and use_two_tier:
                 tt_c, tt_m, r_ptr, r_ids, r_imp = (x[0] for x in tt_parts)
                 tt = Bm25TwoTier(
-                    common_impact=tt_c,
+                    common_impact_t=tt_c,
                     common_map=tt_m,
                     rare=Bm25Arrays(
                         indptr=r_ptr, doc_ids=r_ids, impact=r_imp,
                         n_docs_padded=n_local,
                     ),
                 )
-                scores = bm25_scores_two_tier(tt, q_terms, budget)
-                scores = jnp.where(bmask[None, :], scores, -jnp.inf)
-                _, gidx = _local_to_global_topk(scores, k, n_local, ca)
+                if tt_streaming:
+                    vals, lidx = bm25_top_k_two_tier(
+                        tt, q_terms, k_local, mask=bmask, budget=budget,
+                        interpret=interpret,
+                    )
+                    gidx = jnp.where(
+                        jnp.isfinite(vals),
+                        lidx + jax.lax.axis_index(ca) * n_local,
+                        -1,
+                    )
+                    _, gidx = _gather_merge(vals, gidx, k, ca)
+                else:
+                    scores = bm25_scores_two_tier(tt, q_terms, budget)
+                    scores = jnp.where(bmask[None, :], scores, -jnp.inf)
+                    _, gidx = _local_to_global_topk(scores, k, n_local, ca)
                 lists.append(gidx)
             elif use_bm25:
                 indptr, doc_ids, impact = (x[0] for x in bm25_parts)

@@ -83,3 +83,81 @@ def test_sharded_two_tier_matches_sparse_backend():
     np.testing.assert_allclose(v_tt, v_sp, rtol=1e-5, atol=1e-7)
     for b in range(i_tt.shape[0]):
         assert set(i_tt[b][i_tt[b] >= 0]) == set(i_sp[b][i_sp[b] >= 0])
+
+
+def test_streaming_top_k_exact():
+    """bm25_top_k_two_tier must equal materialized scores + top_k:
+    same score multiset and every returned id carries its true score."""
+    import jax
+
+    from a_nice_rag_tpu.ops.bm25 import bm25_top_k_two_tier
+
+    c, idx, terms = _setup(n_docs=500, seed=229)
+    tt = split_two_tier(idx.bm25, v_common=32)
+    k = 12
+    vals, ids = bm25_top_k_two_tier(
+        tt, terms, k, budget=4096, interpret=True
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    true = np.asarray(bm25_scores_two_tier(tt, terms, budget=16384))
+    ref = np.asarray(jax.lax.top_k(jnp.asarray(true), k)[0])
+    # Zero-score docs are unreachable for the candidate path (they have
+    # neither common nor rare postings) — compare only positive ranks.
+    for b in range(vals.shape[0]):
+        got = np.where(np.isfinite(vals[b]), np.maximum(vals[b], 0.0), 0.0)
+        np.testing.assert_allclose(got, np.maximum(ref[b], 0.0),
+                                   rtol=1e-5, atol=1e-5)
+        for j in range(k):
+            if np.isfinite(vals[b, j]) and vals[b, j] > 0:
+                assert ids[b, j] >= 0
+                np.testing.assert_allclose(
+                    vals[b, j], true[b, ids[b, j]], rtol=1e-5, atol=1e-5
+                )
+    # No duplicate ids among finite entries.
+    for b in range(vals.shape[0]):
+        fin = ids[b][np.isfinite(vals[b]) & (ids[b] >= 0)]
+        assert len(fin) == len(set(fin.tolist()))
+
+
+def test_streaming_top_k_mask_and_oov():
+    from a_nice_rag_tpu.ops.bm25 import bm25_top_k_two_tier
+
+    c, idx, terms = _setup(n_docs=120, seed=231)
+    tt = split_two_tier(idx.bm25, v_common=16)
+    n_pad = tt.n_docs_padded
+    mask = np.zeros(n_pad, bool)
+    mask[:40] = True
+    vals, ids = bm25_top_k_two_tier(
+        tt, terms, 8, mask=jnp.asarray(mask), budget=4096, interpret=True
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert (ids[np.isfinite(vals) & (vals > 0)] < 40).all()
+    empty = jnp.full((2, 8), -1, jnp.int32)
+    v2, i2 = bm25_top_k_two_tier(tt, empty, 5, budget=512, interpret=True)
+    v2 = np.asarray(v2)
+    assert not (np.asarray(v2) > 0).any()
+
+
+def test_sharded_two_tier_streaming_matches_materialized():
+    import jax
+
+    from a_nice_rag_tpu.parallel import make_mesh, shard_index
+    from a_nice_rag_tpu.parallel.sharded import ShardedRetriever
+
+    c, idx, terms_dev = _setup(n_docs=600, seed=233)
+    terms = np.asarray(terms_dev)
+    mesh = make_mesh(shape=(1, 4), axis_names=("dp", "corpus"),
+                     devices=jax.devices()[:4])
+    sidx = shard_index(idx, mesh, two_tier_common=24)
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+    kw = dict(similarity_k=10, common_sections_n=8, budget=4096)
+    sr_st = ShardedRetriever(sidx, ["voyage-3-large"], use_bm25=True,
+                             bm25_backend="two_tier_streaming", **kw)
+    sr_tt = ShardedRetriever(sidx, ["voyage-3-large"], use_bm25=True,
+                             bm25_backend="two_tier", **kw)
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    v_st, i_st = sr_st(q, terms, weights, None, 40.0)
+    v_tt, i_tt = sr_tt(q, terms, weights, None, 40.0)
+    np.testing.assert_allclose(v_st, v_tt, rtol=1e-5, atol=1e-7)
+    for b in range(i_st.shape[0]):
+        assert set(i_st[b][i_st[b] >= 0]) == set(i_tt[b][i_tt[b] >= 0])

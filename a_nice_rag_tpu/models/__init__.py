@@ -25,3 +25,9 @@ from a_nice_rag_tpu.models.train import (  # noqa: F401
     make_train_step,
 )
 from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder  # noqa: F401
+from a_nice_rag_tpu.models.qwen3 import (  # noqa: F401
+    Qwen3Config,
+    Qwen3Encoder,
+    convert_hf_qwen3,
+    load_hf_qwen3_encoder,
+)

@@ -117,17 +117,18 @@ def init_encoder(
 
 
 def load_hf_encoder(name: str = "Qwen/Qwen3-Embedding-0.6B"):
-    """Load a HuggingFace embedding model for on-TPU inference.
+    """Load a HuggingFace Qwen3 embedding model for on-TPU inference.
 
-    Requires the model files in the local HF cache (hermetic
-    environments cannot download); raises with guidance otherwise.
+    Converts the cached checkpoint to the weight-exact flax
+    implementation (models/qwen3.py) and returns (tokenizer, module,
+    params) — the module runs jitted on TPU. Requires the model files in
+    the local HF cache (hermetic environments cannot download); raises
+    with guidance otherwise.
     """
     try:
-        from transformers import AutoModel, AutoTokenizer
+        from a_nice_rag_tpu.models.qwen3 import load_hf_qwen3_encoder
 
-        tok = AutoTokenizer.from_pretrained(name, local_files_only=True)
-        model = AutoModel.from_pretrained(name, local_files_only=True)
-        return tok, model
+        return load_hf_qwen3_encoder(name)
     except Exception as e:  # noqa: BLE001
         raise RuntimeError(
             f"HF model {name} is not in the local cache; pre-download it "

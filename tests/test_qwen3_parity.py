@@ -1,0 +1,127 @@
+"""Weight-import parity: flax Qwen3Encoder vs transformers Qwen3Model.
+
+The real Qwen3-Embedding-0.6B checkpoint cannot be downloaded in this
+hermetic image, so parity is pinned on a locally-constructed random-init
+Qwen3Model with the full architectural feature set exercised: GQA
+(num_kv_heads < num_heads), decoupled head_dim (head_dim * num_heads !=
+hidden_size), per-head q/k RMSNorm, rope_theta=1e6, SwiGLU MLP, causal
+attention, left-padded batches.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp
+
+from a_nice_rag_tpu.models.qwen3 import (
+    Qwen3Config,
+    Qwen3Encoder,
+    convert_hf_qwen3,
+)
+
+
+def _tiny_hf_model(seed=0):
+    from transformers import Qwen3Config as HFConfig
+    from transformers import Qwen3Model
+
+    torch.manual_seed(seed)
+    hf_cfg = HFConfig(
+        vocab_size=211,
+        hidden_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=24,  # decoupled: 4*24 != 64
+        intermediate_size=112,
+        rope_theta=1_000_000.0,
+        rms_norm_eps=1e-6,
+        attention_dropout=0.0,
+    )
+    model = Qwen3Model(hf_cfg)
+    model.eval()
+    return hf_cfg, model
+
+
+def _batch(seed=1):
+    rng = np.random.default_rng(seed)
+    b, s = 3, 10
+    ids = rng.integers(1, 200, size=(b, s)).astype(np.int64)
+    mask = np.ones((b, s), np.int64)
+    mask[0, :3] = 0  # left padding
+    mask[2, :5] = 0
+    ids = np.where(mask > 0, ids, 0)
+    positions = np.maximum(np.cumsum(mask, axis=-1) - 1, 0)
+    return ids, mask, positions
+
+
+def test_hidden_states_match_torch():
+    hf_cfg, model = _tiny_hf_model()
+    ids, mask, positions = _batch()
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            position_ids=torch.tensor(positions),
+        ).last_hidden_state.numpy()
+
+    cfg = Qwen3Config.from_hf(hf_cfg, dtype=jnp.float32)
+    params = convert_hf_qwen3(model.state_dict(), cfg)
+    enc = Qwen3Encoder(cfg, pool="none")
+    got = np.asarray(
+        enc.apply(params, jnp.asarray(ids, jnp.int32),
+                  jnp.asarray(mask, bool))
+    )
+    # Compare only real-token rows (HF computes garbage on padded rows
+    # too but those are never consumed).
+    sel = mask.astype(bool)
+    np.testing.assert_allclose(got[sel], out[sel], rtol=2e-4, atol=2e-4)
+
+
+def test_last_token_embedding_matches_torch_pooling():
+    hf_cfg, model = _tiny_hf_model(seed=3)
+    ids, mask, positions = _batch(seed=4)
+    with torch.no_grad():
+        h = model(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            position_ids=torch.tensor(positions),
+        ).last_hidden_state.numpy()
+    # Qwen3-Embedding pooling: last real token, L2-normalized.
+    last = np.array([np.nonzero(m)[0][-1] for m in mask])
+    ref = h[np.arange(h.shape[0]), last]
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+
+    cfg = Qwen3Config.from_hf(hf_cfg, dtype=jnp.float32)
+    params = convert_hf_qwen3(model.state_dict(), cfg)
+    enc = Qwen3Encoder(cfg, pool="last", normalize=True)
+    got = np.asarray(
+        enc.apply(params, jnp.asarray(ids, jnp.int32),
+                  jnp.asarray(mask, bool))
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(
+        np.linalg.norm(got, axis=-1), 1.0, rtol=1e-5
+    )
+
+
+def test_causal_lm_prefixed_state_dict():
+    """Converter accepts Qwen3ForCausalLM-style 'model.'-prefixed keys."""
+    hf_cfg, model = _tiny_hf_model(seed=7)
+    sd = {f"model.{k}": v for k, v in model.state_dict().items()}
+    cfg = Qwen3Config.from_hf(hf_cfg)
+    params = convert_hf_qwen3(sd, cfg)
+    assert params["params"]["embed"]["embedding"].shape == (211, 64)
+
+
+def test_gqa_and_head_dim_shapes():
+    hf_cfg, model = _tiny_hf_model()
+    cfg = Qwen3Config.from_hf(hf_cfg)
+    assert cfg.head_dim == 24 and cfg.num_kv_heads == 2
+    params = convert_hf_qwen3(model.state_dict(), cfg)
+    lp = params["params"]["layer_0"]
+    assert lp["q_proj"]["kernel"].shape == (64, 96)
+    assert lp["k_proj"]["kernel"].shape == (64, 48)
+    assert lp["q_norm"]["scale"].shape == (24,)

@@ -8,5 +8,8 @@ chat-app surface (Streamlit when installed, terminal otherwise) and the
 thumbs-up/down feedback log.
 """
 
-from a_nice_rag_tpu.serving.scheduler import BatchScheduler  # noqa: F401
+from a_nice_rag_tpu.serving.scheduler import (  # noqa: F401
+    BatchScheduler,
+    SchedulerPool,
+)
 from a_nice_rag_tpu.serving.feedback import FeedbackLog  # noqa: F401

@@ -37,7 +37,14 @@ class BatchScheduler:
         max_wait_ms: float = 2.0,
         t_max: int = 32,
         max_inflight: int = 2,
+        adaptive: bool = True,
     ):
+        """``adaptive`` scales the collect deadline from an EWMA of the
+        arrival rate: under light load the scheduler stops waiting for
+        stragglers that statistically will not come (single queries
+        dispatch immediately); under heavy load it waits only as long as
+        filling ``max_batch`` is expected to take. ``max_wait_ms`` stays
+        the hard upper bound either way."""
         self.retriever = retriever
         self.weights = weights
         self.filename_type_filter = filename_type_filter
@@ -45,9 +52,12 @@ class BatchScheduler:
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.t_max = t_max
+        self.adaptive = adaptive
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._inflight = asyncio.Semaphore(max_inflight)
+        self._last_arrival: Optional[float] = None
+        self._inter_ewma_s: Optional[float] = None  # mean inter-arrival
         self.batches_run = 0
         self.queries_served = 0
 
@@ -70,7 +80,17 @@ class BatchScheduler:
         q_terms: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """One query in, (fused doc rows [n], fused scores [n]) out."""
-        future: asyncio.Future = asyncio.get_running_loop().create_future()
+        loop = asyncio.get_running_loop()
+        now = loop.time()
+        if self._last_arrival is not None:
+            dt = max(now - self._last_arrival, 1e-7)
+            self._inter_ewma_s = (
+                dt
+                if self._inter_ewma_s is None
+                else 0.9 * self._inter_ewma_s + 0.1 * dt
+            )
+        self._last_arrival = now
+        future: asyncio.Future = loop.create_future()
         await self._queue.put(_Pending(q_embs, q_terms, future))
         return await future
 
@@ -83,10 +103,33 @@ class BatchScheduler:
             b <<= 1
         return b
 
+    def _adaptive_wait_s(self) -> float:
+        """Collect deadline from the arrival-rate estimate.
+
+        Expected arrivals within max_wait < 1 -> don't wait (the batch
+        of 1 ships now; waiting would only add latency). Otherwise wait
+        just long enough to fill max_batch at the estimated rate, capped
+        by max_wait.
+        """
+        cap = self.max_wait_ms / 1e3
+        if not self.adaptive or self._inter_ewma_s is None:
+            return cap
+        expected_arrivals = cap / self._inter_ewma_s
+        if expected_arrivals < 1.0:
+            return 0.0
+        return min(cap, self.max_batch * self._inter_ewma_s)
+
     async def _collect(self) -> List[_Pending]:
         first = await self._queue.get()
         batch = [first]
-        deadline = asyncio.get_running_loop().time() + self.max_wait_ms / 1e3
+        # Anything already queued ships in this batch regardless of the
+        # wait policy (a burst arriving after idle still coalesces).
+        while len(batch) < self.max_batch:
+            try:
+                batch.append(self._queue.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+        deadline = asyncio.get_running_loop().time() + self._adaptive_wait_s()
         while len(batch) < self.max_batch:
             timeout = deadline - asyncio.get_running_loop().time()
             if timeout <= 0:
@@ -146,3 +189,78 @@ class BatchScheduler:
         self.batches_run += 1
         self.queries_served += b
         return [(fids[i], fvals[i]) for i in range(b)]
+
+
+class SchedulerPool:
+    """Per-configuration scheduler pool.
+
+    A serving process usually exposes a handful of retrieval
+    configurations (weights / filter / wrrf_k combinations, e.g. the
+    app's default hybrid vs a dense-only eval config). Each distinct
+    configuration gets its own BatchScheduler — so each keeps one
+    compiled program shape-family and its own batching queue — all
+    sharing the same FusedRetriever (and therefore the same device
+    index). Schedulers start lazily on first use.
+    """
+
+    def __init__(self, retriever, **scheduler_kwargs):
+        self.retriever = retriever
+        self.kwargs = scheduler_kwargs
+        self._pool: Dict[tuple, BatchScheduler] = {}
+
+    @staticmethod
+    def _key(weights, filename_type_filter, wrrf_k) -> tuple:
+        return (
+            tuple(sorted(weights.items())),
+            filename_type_filter or None,
+            float(wrrf_k),
+        )
+
+    async def get(
+        self,
+        weights: Dict[str, float],
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+    ) -> BatchScheduler:
+        key = self._key(weights, filename_type_filter, wrrf_k)
+        sched = self._pool.get(key)
+        if sched is None:
+            sched = BatchScheduler(
+                self.retriever,
+                dict(weights),
+                filename_type_filter,
+                wrrf_k,
+                **self.kwargs,
+            )
+            self._pool[key] = sched
+        await sched.start()  # idempotent; revives a stopped scheduler
+        return sched
+
+    async def submit(
+        self,
+        q_embs,
+        q_terms=None,
+        weights: Optional[Dict[str, float]] = None,
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+    ):
+        if weights is None:
+            raise ValueError("SchedulerPool.submit requires weights")
+        sched = await self.get(weights, filename_type_filter, wrrf_k)
+        return await sched.submit(q_embs, q_terms)
+
+    async def stop(self) -> None:
+        # Entries stay for post-mortem stats; their loops are stopped
+        # (get() restarts a scheduler's loop on next use).
+        for sched in self._pool.values():
+            await sched.stop()
+
+    @property
+    def stats(self) -> Dict[str, Dict]:
+        return {
+            str(k): {
+                "batches_run": s.batches_run,
+                "queries_served": s.queries_served,
+            }
+            for k, s in self._pool.items()
+        }

@@ -1,0 +1,117 @@
+"""Device health monitor: fault injection -> automatic reshard + rebuild."""
+
+import numpy as np
+import jax
+
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.parallel import (
+    DeviceHealthMonitor,
+    default_probe,
+    make_mesh,
+    shard_index,
+)
+from a_nice_rag_tpu.parallel.sharded import ShardedRetriever, sharded_dense_top_k
+from a_nice_rag_tpu.testing import synth_corpus
+
+
+def _setup():
+    c = synth_corpus(n_docs=400, dim=16, n_queries=4, seed=91)
+    idx = build_index(ids=c.ids, sources=c.sources, contents=c.contents,
+                      embeddings=c.embeddings, token_lists=c.tokens)
+    mesh = make_mesh(shape=(1, 4), axis_names=("dp", "corpus"),
+                     devices=jax.devices()[:4])
+    return c, idx, shard_index(idx, mesh)
+
+
+def test_all_healthy_no_recovery():
+    c, idx, sidx = _setup()
+    calls = []
+    mon = DeviceHealthMonitor(sidx, rebuild=calls.append,
+                              probe_fn=lambda d, t: True)
+    assert mon.check_and_recover() is False
+    assert not calls
+    assert mon.events[-1]["dead_active"] == 0
+
+
+def test_injected_death_triggers_reshard_and_results_stay_exact():
+    c, idx, sidx = _setup()
+    dead = {jax.devices()[1]}
+    rebuilt = []
+    mon = DeviceHealthMonitor(
+        sidx, rebuild=rebuilt.append,
+        probe_fn=lambda d, t: d not in dead,
+    )
+    assert mon.check_and_recover() is True
+    assert rebuilt and rebuilt[0].n_shards == 3
+    assert mon.events[-1]["recovered"] is True
+    # Retrieval on the recovered index stays exact vs brute force.
+    q = c.query_embeddings["voyage-3-large"][:2]
+    vals, rows = sharded_dense_top_k(rebuilt[0], "voyage-3-large", q, 10)
+    emb = c.embeddings["voyage-3-large"]
+    for b in range(2):
+        ref = np.argsort(-(emb @ q[b]))[:10]
+        np.testing.assert_array_equal(rows[b], ref)
+    # Healthy again afterwards: no further recovery.
+    assert mon.check_and_recover() is False
+
+
+def test_warm_spare_joins_on_recovery():
+    c, idx, _ = _setup()
+    mesh = make_mesh(shape=(1, 3), axis_names=("dp", "corpus"),
+                     devices=jax.devices()[:3])
+    sidx = shard_index(idx, mesh)
+    spare = jax.devices()[3]
+    dead = {jax.devices()[0]}
+    rebuilt = []
+    mon = DeviceHealthMonitor(
+        sidx, rebuild=rebuilt.append,
+        pool=list(jax.devices()[:4]),  # 3 active + 1 spare
+        probe_fn=lambda d, t: d not in dead,
+    )
+    assert mon.check_and_recover() is True
+    new_devs = set(np.asarray(rebuilt[0].mesh.devices).ravel())
+    assert spare in new_devs and not (dead & new_devs)
+    assert rebuilt[0].n_shards == 3  # spare kept the shard count
+
+
+def test_too_few_survivors_reports_unrecovered():
+    c, idx, sidx = _setup()
+    rebuilt = []
+    mon = DeviceHealthMonitor(
+        sidx, rebuild=rebuilt.append, dp=2,
+        probe_fn=lambda d, t: d == jax.devices()[0],
+    )
+    assert mon.check_and_recover() is False
+    assert not rebuilt
+    assert mon.events[-1]["recovered"] is False
+
+
+def test_default_probe_on_real_devices():
+    assert default_probe(jax.devices()[0], timeout_s=30.0) is True
+
+
+def test_retriever_rebuild_path():
+    """End-to-end: monitor drives ShardedRetriever reconstruction."""
+    c, idx, sidx = _setup()
+    terms = idx.pad_term_ids(c.query_tokens, 16)
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+    state = {}
+
+    def rebuild(new_sidx):
+        state["r"] = ShardedRetriever(
+            new_sidx, ["voyage-3-large"], use_bm25=True,
+            similarity_k=10, common_sections_n=8, budget=8192,
+        )
+
+    rebuild(sidx)
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    v0, i0 = state["r"](q, terms, weights, None, 40.0)
+
+    dead = {jax.devices()[2]}
+    mon = DeviceHealthMonitor(sidx, rebuild=rebuild,
+                              probe_fn=lambda d, t: d not in dead)
+    assert mon.check_and_recover() is True
+    v1, i1 = state["r"](q, terms, weights, None, 40.0)
+    np.testing.assert_allclose(v1, v0, rtol=1e-5, atol=1e-7)
+    for b in range(i0.shape[0]):
+        assert set(i0[b][i0[b] >= 0]) == set(i1[b][i1[b] >= 0])

@@ -166,3 +166,87 @@ def test_terminal_app_loop(monkeypatch, tmp_path, capsys):
         str(tmp_path / "feedback/query_feedback.json")
     ).entries()
     assert len(entries) == 1 and entries[0]["rating"] == "up"
+
+
+def test_adaptive_wait_policy(retriever):
+    c, idx, fr = retriever
+    sched = BatchScheduler(fr, {"voyage-3-large": 1.0}, max_wait_ms=2.0,
+                           adaptive=True)
+    # No estimate yet: fall back to the cap.
+    assert sched._adaptive_wait_s() == pytest.approx(0.002)
+    # Light load (1 query / 100 ms): expected arrivals in the window < 1
+    # -> ship immediately.
+    sched._inter_ewma_s = 0.1
+    assert sched._adaptive_wait_s() == 0.0
+    # Heavy load (1 query / us): wait only as long as filling max_batch
+    # takes, well under the cap.
+    sched._inter_ewma_s = 1e-6
+    w = sched._adaptive_wait_s()
+    assert 0 < w <= 256 * 1e-6 + 1e-9
+    # adaptive off: always the cap.
+    sched.adaptive = False
+    assert sched._adaptive_wait_s() == pytest.approx(0.002)
+
+
+def test_adaptive_scheduler_serves_bursts(retriever):
+    c, idx, fr = retriever
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+
+    async def run():
+        sched = BatchScheduler(fr, weights, max_wait_ms=5.0, t_max=16,
+                               adaptive=True)
+        await sched.start()
+        try:
+            async def one(i):
+                terms = idx.term_ids(c.query_tokens[i])[:16]
+                return await sched.submit(
+                    {"voyage-3-large": c.query_embeddings["voyage-3-large"][i]},
+                    terms,
+                )
+            # Burst, pause, single query (exercises the no-wait branch).
+            burst = await asyncio.gather(*(one(i) for i in range(8)))
+            await asyncio.sleep(0.05)
+            single = await one(8)
+            return sched, burst + [single]
+        finally:
+            await sched.stop()
+
+    sched, results = asyncio.run(run())
+    assert len(results) == 9 and sched.queries_served == 9
+    hits = sum(
+        c.gold_ids[i] in [idx.meta.ids[j] for j in ids if j >= 0]
+        for i, (ids, _) in enumerate(results)
+    )
+    assert hits >= 8
+
+
+def test_scheduler_pool_per_configuration(retriever):
+    from a_nice_rag_tpu.serving import SchedulerPool
+
+    c, idx, fr = retriever
+
+    async def run():
+        pool = SchedulerPool(fr, max_wait_ms=2.0, t_max=16)
+        try:
+            terms = idx.term_ids(c.query_tokens[0])[:16]
+            q = {"voyage-3-large": c.query_embeddings["voyage-3-large"][0]}
+            ids_h, _ = await pool.submit(
+                q, terms, weights={"voyage-3-large": 5.0, "BM25": 1.0})
+            ids_d, _ = await pool.submit(
+                q, terms, weights={"voyage-3-large": 1.0})
+            # Same config key -> same scheduler instance (no new entry).
+            await pool.submit(
+                q, terms, weights={"BM25": 1.0, "voyage-3-large": 5.0})
+            return pool, ids_h, ids_d
+        finally:
+            await pool.stop()
+
+    pool, ids_h, ids_d = asyncio.run(run())
+    assert len(pool.stats) == 2  # two distinct configurations
+    # Direct-call parity for the hybrid config.
+    terms = idx.pad_term_ids([c.query_tokens[0]], 16)
+    f_ids, _, _ = fr(
+        {"voyage-3-large": c.query_embeddings["voyage-3-large"][:1]},
+        terms, {"voyage-3-large": 5.0, "BM25": 1.0},
+    )
+    np.testing.assert_array_equal(ids_h, f_ids[0])

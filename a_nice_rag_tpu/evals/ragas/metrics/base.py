@@ -44,6 +44,95 @@ class MetricWithLLM(Metric):
                 "set metric.llm"
             )
 
+    # -- prompt surface (reference MetricWithLLM.get_prompts/train,
+    # ragas_modified/metrics/base.py:345-427) ------------------------
+
+    def get_prompts(self) -> Dict[str, object]:
+        """Named StructuredPrompt attributes of this metric instance."""
+        from a_nice_rag_tpu.evals.ragas.prompt import StructuredPrompt
+
+        return {
+            name: value
+            for name, value in vars(self).items()
+            if isinstance(value, StructuredPrompt)
+        }
+
+    def set_prompts(self, **prompts) -> None:
+        known = self.get_prompts()
+        for name, prompt in prompts.items():
+            if name not in known:
+                raise ValueError(
+                    f"{self.name} has no prompt named {name!r}; "
+                    f"available: {sorted(known)}"
+                )
+            setattr(self, name, prompt)
+
+    async def atrain(
+        self,
+        samples: List[SingleTurnSample],
+        targets: List[float],
+        prompt_name: Optional[str] = None,
+        loss=None,
+        generations: int = 3,
+        population: int = 4,
+        run_config: Optional[RunConfig] = None,
+        seed: int = 42,
+    ):
+        """Optimize one prompt's instruction against labeled samples.
+
+        The reference's train() surface (annotated dataset -> genetic
+        instruction optimizer -> prompt updated in place). ``targets``
+        are the human/gold scores for ``samples``; fitness of a
+        candidate instruction is 1 - loss(metric scores, targets)
+        (default MSE). The best instruction is installed on the metric's
+        prompt before returning the OptimizationResult.
+        """
+        from a_nice_rag_tpu.evals.ragas.losses import MSELoss
+        from a_nice_rag_tpu.evals.ragas.optimizers import (
+            optimize_instruction,
+        )
+
+        if len(samples) != len(targets) or not samples:
+            raise ValueError("samples and targets must align and be nonempty")
+        prompts = self.get_prompts()
+        if not prompts:
+            raise ValueError(f"{self.name} exposes no trainable prompts")
+        if prompt_name is None:
+            prompt_name = sorted(prompts)[0]
+        if prompt_name not in prompts:
+            raise ValueError(
+                f"no prompt {prompt_name!r}; available: {sorted(prompts)}"
+            )
+        prompt = prompts[prompt_name]
+        loss = loss or MSELoss()
+        self.init(run_config or RunConfig())
+
+        async def score_fn(instruction: str) -> float:
+            original = prompt.instruction
+            prompt.instruction = instruction
+            try:
+                preds = []
+                for s in samples:
+                    preds.append(float(await self._single_turn_ascore(s)))
+            finally:
+                prompt.instruction = original
+            return 1.0 - float(loss(preds, list(targets)))
+
+        result = await optimize_instruction(
+            self.llm,
+            prompt.instruction,
+            score_fn,
+            generations=generations,
+            population=population,
+            seed=seed,
+        )
+        prompt.instruction = result.best_instruction
+        return result
+
+    def train(self, samples, targets, **kwargs):
+        """Synchronous wrapper over :meth:`atrain`."""
+        return asyncio.run(self.atrain(samples, targets, **kwargs))
+
 
 class MetricWithEmbeddings(Metric):
     embeddings = None

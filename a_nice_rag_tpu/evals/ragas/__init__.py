@@ -21,6 +21,7 @@ from a_nice_rag_tpu.evals.ragas.run_config import RunConfig  # noqa: F401
 from a_nice_rag_tpu.evals.ragas.llm import (  # noqa: F401
     BaseJudgeLLM,
     FakeJudgeLLM,
+    MultimodalJudgeLLM,
     OpenAICompatJudgeLLM,
 )
 from a_nice_rag_tpu.evals.ragas.embeddings import (  # noqa: F401

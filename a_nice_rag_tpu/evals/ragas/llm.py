@@ -11,6 +11,7 @@ from __future__ import annotations
 import asyncio
 import json
 import os
+import re
 import urllib.request
 from typing import Callable, List, Optional
 
@@ -26,9 +27,10 @@ class BaseJudgeLLM:
         raise NotImplementedError
 
     def generate(self, prompt: str, n: int = 1, temperature: float = 1e-8):
-        return asyncio.get_event_loop().run_until_complete(
-            self.agenerate(prompt, n, temperature)
-        )
+        # asyncio.run, not get_event_loop(): the latter can return a
+        # closed loop left behind by an earlier asyncio.run in the same
+        # process and fail with "Event loop is closed".
+        return asyncio.run(self.agenerate(prompt, n, temperature))
 
 
 class OpenAICompatJudgeLLM(BaseJudgeLLM):
@@ -101,3 +103,74 @@ class FakeJudgeLLM(BaseJudgeLLM):
         if isinstance(out, list):
             return (out * n)[:n]
         return [out] * n
+
+
+_IMAGE_MD = re.compile(r"!\[[^\]]*\]\((https?://[^\s)]+|data:image/[^\s)]+)\)")
+
+
+def prompt_to_content_parts(prompt: str) -> List[dict]:
+    """Split a prompt with markdown image refs into OpenAI content parts.
+
+    ``![...](url-or-data-uri)`` becomes an image_url part in place; the
+    surrounding text stays ordered around it. A prompt with no images
+    yields a single text part.
+    """
+    parts: List[dict] = []
+    pos = 0
+    for m in _IMAGE_MD.finditer(prompt):
+        text = prompt[pos:m.start()]
+        if text.strip():
+            parts.append({"type": "text", "text": text})
+        parts.append(
+            {"type": "image_url", "image_url": {"url": m.group(1)}}
+        )
+        pos = m.end()
+    tail = prompt[pos:]
+    if tail.strip() or not parts:
+        parts.append({"type": "text", "text": tail})
+    return parts
+
+
+class MultimodalJudgeLLM(OpenAICompatJudgeLLM):
+    """Vision-capable chat-completions judge.
+
+    The multimodal metrics (metrics/multimodal.py) render image contexts
+    as markdown image references; a text-only judge sees the URLs, this
+    client instead ships them as proper image_url content parts so the
+    model actually looks at the pixels. Text-only prompts degrade to a
+    single text part (safe as the default judge for mixed suites).
+    """
+
+    def _call(self, prompt: str, n: int, temperature: float) -> List[str]:
+        parts = prompt_to_content_parts(prompt)
+        if len(parts) == 1 and parts[0]["type"] == "text":
+            return super()._call(prompt, n, temperature)
+        payload = {
+            "model": self.model,
+            "messages": [{"role": "user", "content": parts}],
+            "n": n,
+            "temperature": temperature,
+        }
+        req = urllib.request.Request(
+            self.base_url + "chat/completions",
+            data=json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            out = json.loads(resp.read().decode("utf-8"))
+        if self.cost_tracker is not None:
+            from a_nice_rag_tpu.evals.ragas.cost import parse_openai_usage
+
+            self.cost_tracker.record(parse_openai_usage(out))
+        texts = []
+        for choice in out.get("choices", []):
+            if choice.get("finish_reason") not in (None, "stop"):
+                raise LLMDidNotFinishException(
+                    f"finish_reason={choice.get('finish_reason')}"
+                )
+            texts.append(choice["message"]["content"])
+        return texts

@@ -105,3 +105,55 @@ def test_openai_judge_truncation_detection(monkeypatch):
     judge = OpenAICompatJudgeLLM(api_key="k")
     with pytest.raises(LLMDidNotFinishException):
         judge._call("p", 1, 0.0)
+
+
+def test_prompt_to_content_parts():
+    from a_nice_rag_tpu.evals.ragas.llm import prompt_to_content_parts
+
+    parts = prompt_to_content_parts(
+        "Check this:\n![image](https://x.test/a.png)\nand "
+        "![scan](data:image/png;base64,AAAA)\nfaithful?"
+    )
+    assert [p["type"] for p in parts] == [
+        "text", "image_url", "text", "image_url", "text"
+    ]
+    assert parts[1]["image_url"]["url"] == "https://x.test/a.png"
+    assert parts[3]["image_url"]["url"].startswith("data:image/png")
+    # No images -> one text part, verbatim.
+    only = prompt_to_content_parts("plain")
+    assert only == [{"type": "text", "text": "plain"}]
+
+
+def test_multimodal_judge_ships_image_parts(monkeypatch):
+    from a_nice_rag_tpu.evals.ragas.llm import MultimodalJudgeLLM
+
+    sent = {}
+
+    class _Resp:
+        def __init__(self, body):
+            self.body = body
+        def read(self):
+            return self.body
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout):
+        sent["payload"] = json.loads(req.data.decode())
+        return _Resp(json.dumps({
+            "choices": [{"finish_reason": "stop",
+                         "message": {"content": '{"verdict": 1}'}}]
+        }).encode())
+
+    monkeypatch.setattr("urllib.request.urlopen", fake_urlopen)
+    judge = MultimodalJudgeLLM(model="vision-x", api_key="k")
+    out = judge.generate("q ![image](https://x.test/a.png) a")
+    assert out == ['{"verdict": 1}']
+    content = sent["payload"]["messages"][0]["content"]
+    assert isinstance(content, list)
+    assert content[1] == {"type": "image_url",
+                          "image_url": {"url": "https://x.test/a.png"}}
+    # Text-only prompts stay plain strings (upstream-compatible).
+    judge.generate("no images here")
+    assert isinstance(sent["payload"]["messages"][0]["content"], str)

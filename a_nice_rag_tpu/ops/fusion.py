@@ -92,9 +92,9 @@ def wrrf_top_n_sparse(
     flat_c = jnp.swapaxes(contrib, 0, 1).reshape(b, l * k)
 
     def per_query(ids_q: jax.Array, c_q: jax.Array):
-        order = jnp.argsort(ids_q)
-        s_ids = ids_q[order]
-        s_c = c_q[order]
+        # Variadic sort: values ride along with the id keys in one sort
+        # (3.3x over argsort + gathers on TPU, see ops/bm25).
+        s_ids, s_c = jax.lax.sort((ids_q, c_q), dimension=-1, num_keys=1)
         first = jnp.concatenate(
             [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]]
         )

@@ -57,6 +57,11 @@ class ShardedIndex:
     n_shards: int
     corpus_axis: str = "corpus"
     data_axis: str = "dp"
+    # Multi-host layout: when set, the document axis is sharded over
+    # (host_axis, corpus_axis) host-major and top-k merges run
+    # hierarchically — intra-host over ICI first, then across hosts over
+    # DCN (SURVEY.md §7 stage 5 "DCN for multi-host").
+    host_axis: Optional[str] = None
     # Optional two-tier layout (common dense rows + rare CSR per shard).
     tt_common: Optional[jax.Array] = None  # [S, Vc, N_local]
     tt_map: Optional[jax.Array] = None  # [S, V+1]
@@ -71,12 +76,19 @@ class ShardedIndex:
     def n_docs_padded(self) -> int:
         return self.n_local * self.n_shards
 
+    @property
+    def doc_axes(self):
+        """Mesh axes the document dimension is sharded over (host-major)."""
+        if self.host_axis is not None:
+            return (self.host_axis, self.corpus_axis)
+        return self.corpus_axis
+
     def filter_mask(self, filename_type_filter: Optional[str]) -> jax.Array:
         key = filename_type_filter or None
         if key not in self._mask_cache:
             m = self.base_index.meta.filter_mask(filename_type_filter)
             m = np.pad(m, (0, self.n_docs_padded - m.shape[0]))
-            sh = NamedSharding(self.mesh, P(self.corpus_axis))
+            sh = NamedSharding(self.mesh, P(self.doc_axes))
             self._mask_cache[key] = jax.device_put(m, sh)
         return self._mask_cache[key]
 
@@ -87,7 +99,7 @@ class ShardedIndex:
             if self.base_index.bm25_doc_mask is not None:
                 m = m & self.base_index.bm25_doc_mask
             m = np.pad(m, (0, self.n_docs_padded - m.shape[0]))
-            sh = NamedSharding(self.mesh, P(self.corpus_axis))
+            sh = NamedSharding(self.mesh, P(self.doc_axes))
             self._mask_cache[key] = jax.device_put(m, sh)
         return self._mask_cache[key]
 
@@ -141,15 +153,24 @@ def _shard_csr(
 
 def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
                 data_axis: str = "dp", two_tier_common: int = 0,
-                two_tier_dtype: str = "float32") -> ShardedIndex:
+                two_tier_dtype: str = "float32",
+                host_axis: Optional[str] = None) -> ShardedIndex:
     """Lay an ArrayIndex out across the mesh's corpus axis.
 
     ``two_tier_common > 0`` additionally builds the per-shard two-tier
     BM25 layout (that many dense common-term rows per shard + rare CSR),
     cutting the sharded BM25 postings budget by orders of magnitude
     (see ops.bm25.split_two_tier).
+
+    ``host_axis`` shards the document axis over (host, corpus) host-major
+    for multi-host meshes; retrieval then merges hierarchically (ICI
+    within a host first, then one k-list per host over DCN).
     """
     n_shards = mesh.shape[corpus_axis]
+    if host_axis is not None:
+        n_shards *= mesh.shape[host_axis]
+    doc_axes = (host_axis, corpus_axis) if host_axis is not None \
+        else corpus_axis
     n_pad = index.n_docs_padded
     n_local = -(-n_pad // n_shards)
     # Round shard size up to the index pad multiple so every shard keeps
@@ -161,7 +182,7 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
     for m, emb in index.dense.items():
         arr = np.asarray(emb)
         arr = np.pad(arr, ((0, n_total - arr.shape[0]), (0, 0)))
-        sh = NamedSharding(mesh, P(corpus_axis, None))
+        sh = NamedSharding(mesh, P(doc_axes, None))
         dense[m] = jax.device_put(arr, sh)
 
     bm25_indptr = bm25_doc_ids = bm25_impact = None
@@ -173,7 +194,7 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
             n_shards,
             n_local,
         )
-        sh = NamedSharding(mesh, P(corpus_axis, None))
+        sh = NamedSharding(mesh, P(doc_axes, None))
         bm25_indptr = jax.device_put(s_indptr, sh)
         bm25_doc_ids = jax.device_put(s_doc_ids, sh)
         bm25_impact = jax.device_put(s_impact, sh)
@@ -205,8 +226,8 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
                 rimps[s_i] = np.concatenate(
                     [rimps[s_i], np.zeros(padc, np.float32)]
                 )
-        sh2 = NamedSharding(mesh, P(corpus_axis, None))
-        sh3 = NamedSharding(mesh, P(corpus_axis, None, None))
+        sh2 = NamedSharding(mesh, P(doc_axes, None))
+        sh3 = NamedSharding(mesh, P(doc_axes, None, None))
         tt_common = jax.device_put(np.stack(commons), sh3)
         tt_map = jax.device_put(np.stack(maps), sh2)
         tt_rare_ptr = jax.device_put(np.stack(rptrs), sh2)
@@ -229,6 +250,7 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
         tt_rare_indptr=tt_rare_ptr,
         tt_rare_doc_ids=tt_rare_ids,
         tt_rare_impact=tt_rare_imp,
+        host_axis=host_axis,
     )
 
 
@@ -244,14 +266,33 @@ def _gather_merge(vals, gidx, k, corpus_axis):
     return mvals, jnp.where(jnp.isfinite(mvals), midx, -1)
 
 
-def _local_to_global_topk(scores, k, n_local, corpus_axis):
+def _shard_offset(n_local, corpus_axis, host_axis, n_corpus):
+    """Global doc-id offset of this device's shard. With a host axis the
+    document dimension is laid out host-major (P((host, corpus), ...)),
+    so the global shard id is host_idx * n_corpus + corpus_idx."""
+    sid = jax.lax.axis_index(corpus_axis)
+    if host_axis is not None:
+        sid = sid + jax.lax.axis_index(host_axis) * n_corpus
+    return sid * n_local
+
+
+def _merge_over(vals, gidx, k, corpus_axis, host_axis):
+    """Exact global merge of per-shard candidates: single all-gather over
+    ICI, or hierarchical (ICI then DCN) when a host axis is present."""
+    if host_axis is None:
+        return _gather_merge(vals, gidx, k, corpus_axis)
+    return hierarchical_gather_merge(vals, gidx, k, corpus_axis, host_axis)
+
+
+def _local_to_global_topk(scores, k, n_local, corpus_axis,
+                          host_axis=None, n_corpus=1):
     """Local masked top-k -> exact global top-k via all-gather + merge.
     Requests with k > shard size take min(k, n_local) per shard, which
     keeps the GLOBAL top-min(k, S*n_local) exact."""
     vals, idx = masked_top_k(scores, min(k, scores.shape[-1]))
-    gidx = idx + jax.lax.axis_index(corpus_axis) * n_local
+    gidx = idx + _shard_offset(n_local, corpus_axis, host_axis, n_corpus)
     gidx = jnp.where(jnp.isfinite(vals), gidx, -1)
-    return _gather_merge(vals, gidx, k, corpus_axis)
+    return _merge_over(vals, gidx, k, corpus_axis, host_axis)
 
 
 def hierarchical_gather_merge(vals, gidx, k, intra_axis, inter_axis):
@@ -304,6 +345,9 @@ class ShardedRetriever:
 
         mesh = sidx.mesh
         ca, da = sidx.corpus_axis, sidx.data_axis
+        ha = sidx.host_axis
+        n_corpus = mesh.shape[ca]
+        doc_axes = sidx.doc_axes
         n_local = sidx.n_local
         # Per-shard lists cannot exceed the shard size; the global merge
         # still yields up to min(k, S * k_local) candidates.
@@ -335,15 +379,17 @@ class ShardedRetriever:
                     )
                     gidx = jnp.where(
                         jnp.isfinite(vals),
-                        lidx + jax.lax.axis_index(ca) * n_local,
+                        lidx + _shard_offset(n_local, ca, ha, n_corpus),
                         -1,
                     )
-                    _, gidx = _gather_merge(vals, gidx, k, ca)
+                    _, gidx = _merge_over(vals, gidx, k, ca, ha)
                     lists.append(gidx)
                     continue
                 scores = dense_scores(mat, q)
                 scores = jnp.where(mask[None, :], scores, -jnp.inf)
-                _, gidx = _local_to_global_topk(scores, k, n_local, ca)
+                _, gidx = _local_to_global_topk(
+                    scores, k, n_local, ca, ha, n_corpus
+                )
                 lists.append(gidx)
             if use_bm25 and use_two_tier:
                 tt_c, tt_m, r_ptr, r_ids, r_imp = (x[0] for x in tt_parts)
@@ -362,14 +408,16 @@ class ShardedRetriever:
                     )
                     gidx = jnp.where(
                         jnp.isfinite(vals),
-                        lidx + jax.lax.axis_index(ca) * n_local,
+                        lidx + _shard_offset(n_local, ca, ha, n_corpus),
                         -1,
                     )
-                    _, gidx = _gather_merge(vals, gidx, k, ca)
+                    _, gidx = _merge_over(vals, gidx, k, ca, ha)
                 else:
                     scores = bm25_scores_two_tier(tt, q_terms, budget)
                     scores = jnp.where(bmask[None, :], scores, -jnp.inf)
-                    _, gidx = _local_to_global_topk(scores, k, n_local, ca)
+                    _, gidx = _local_to_global_topk(
+                        scores, k, n_local, ca, ha, n_corpus
+                    )
                 lists.append(gidx)
             elif use_bm25:
                 indptr, doc_ids, impact = (x[0] for x in bm25_parts)
@@ -385,10 +433,10 @@ class ShardedRetriever:
                 )
                 gidx = jnp.where(
                     jnp.isfinite(vals),
-                    lidx + jax.lax.axis_index(ca) * n_local,
+                    lidx + _shard_offset(n_local, ca, ha, n_corpus),
                     -1,
                 )
-                _, gidx = _gather_merge(vals, gidx, k, ca)
+                _, gidx = _merge_over(vals, gidx, k, ca, ha)
                 lists.append(gidx)
             if len(lists) == 1:
                 ids = lists[0][:, :n]
@@ -398,17 +446,18 @@ class ShardedRetriever:
             return fvals, jnp.where(jnp.isfinite(fvals), fids, -1)
 
         n_dense = len(self.model_names)
-        bm25_spec = (P(ca, None),) * 3
-        tt_spec = (P(ca, None, None), P(ca, None), P(ca, None),
-                   P(ca, None), P(ca, None))
+        dx = doc_axes
+        bm25_spec = (P(dx, None),) * 3
+        tt_spec = (P(dx, None, None), P(dx, None), P(dx, None),
+                   P(dx, None), P(dx, None))
         in_specs = (
-            (P(ca, None),) * n_dense,          # dense shards
+            (P(dx, None),) * n_dense,          # dense shards
             bm25_spec,                          # bm25 stacked arrays
             tt_spec,                            # two-tier stacked arrays
             (P(da, None),) * n_dense,           # query embeddings
             P(da, None),                        # query terms
-            P(ca),                              # mask
-            P(ca),                              # bm25 mask
+            P(dx),                              # mask
+            P(dx),                              # bm25 mask
             P(None),                            # weights
             P(),                                # wrrf_k
         )
@@ -438,8 +487,8 @@ class ShardedRetriever:
             for m in self.model_names
         )
         b = q_tuple[0].shape[0] if q_tuple else np.asarray(q_terms).shape[0]
-        csh = NamedSharding(mesh, P(sidx.corpus_axis, None))
-        csh3 = NamedSharding(mesh, P(sidx.corpus_axis, None, None))
+        csh = NamedSharding(mesh, P(sidx.doc_axes, None))
+        csh3 = NamedSharding(mesh, P(sidx.doc_axes, None, None))
         z = jax.device_put(jnp.zeros((sidx.n_shards, 1), jnp.int32), csh)
         zf = jax.device_put(jnp.zeros((sidx.n_shards, 1), jnp.float32), csh)
         zf3 = jax.device_put(
@@ -509,19 +558,21 @@ def sharded_dense_top_k(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Exact global dense top-k over the sharded corpus."""
     mesh = sidx.mesh
-    ca, da = sidx.corpus_axis, sidx.data_axis
+    ca, da, ha = sidx.corpus_axis, sidx.data_axis, sidx.host_axis
+    dx = sidx.doc_axes
+    n_corpus = mesh.shape[ca]
     n_local = sidx.n_local
 
     def shard_fn(emb_l, q_l, mask_l):
         scores = dense_scores(emb_l, q_l)
         scores = jnp.where(mask_l[None, :], scores, -jnp.inf)
-        return _local_to_global_topk(scores, k, n_local, ca)
+        return _local_to_global_topk(scores, k, n_local, ca, ha, n_corpus)
 
     run = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(ca, None), P(da, None), P(ca)),
+            in_specs=(P(dx, None), P(da, None), P(dx)),
             out_specs=(P(da, None), P(da, None)),
             check_vma=False,
         )

@@ -194,3 +194,45 @@ def test_sharded_k_exceeds_shard_size(setup):
         got = idx_s[b][idx_s[b] >= 0]
         np.testing.assert_array_equal(got, expect[: len(got)])
         assert len(got) >= idx.n_docs or len(got) == idx_s.shape[1]
+
+
+def test_host_axis_retriever_matches_single_axis(setup):
+    """shard_index(host_axis=...) over a dp x host x corpus mesh must
+    reproduce the single-axis ShardedRetriever results exactly (the
+    hierarchical ICI->DCN merge is associative, so WHERE the merge runs
+    must not change WHAT it returns)."""
+    c, idx, mesh, sidx = setup
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+    terms = idx.pad_term_ids(c.query_tokens, 16)
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+
+    mh_mesh = make_mesh(shape=(2, 2, 2), axis_names=("dp", "host", "corpus"))
+    sidx_mh = shard_index(idx, mh_mesh, host_axis="host")
+    assert sidx_mh.n_shards == 4
+    sr_mh = ShardedRetriever(
+        sidx_mh, MODELS, use_bm25=True, similarity_k=12,
+        common_sections_n=10, budget=4096,
+    )
+    sr_1 = ShardedRetriever(
+        sidx, MODELS, use_bm25=True, similarity_k=12,
+        common_sections_n=10, budget=4096,
+    )
+    v_mh, i_mh = sr_mh(q, terms, weights, None, 40.0)
+    v_1, i_1 = sr_1(q, terms, weights, None, 40.0)
+    np.testing.assert_allclose(v_mh, v_1, rtol=1e-5, atol=1e-7)
+    for b in range(i_mh.shape[0]):
+        assert set(i_mh[b][i_mh[b] >= 0]) == set(i_1[b][i_1[b] >= 0])
+
+
+def test_host_axis_dense_top_k_exact(setup):
+    """sharded_dense_top_k over a host-sharded index equals brute force."""
+    c, idx, mesh, sidx = setup
+    mh_mesh = make_mesh(shape=(1, 2, 4), axis_names=("dp", "host", "corpus"))
+    sidx_mh = shard_index(idx, mh_mesh, host_axis="host")
+    assert sidx_mh.n_shards == 8
+    q = c.query_embeddings["voyage-3-large"][:4]
+    vals, ids = sharded_dense_top_k(sidx_mh, "voyage-3-large", q, 15)
+    scores = q @ c.embeddings["voyage-3-large"].T
+    for b in range(4):
+        expect = np.argsort(scores[b])[::-1][:15]
+        np.testing.assert_array_equal(ids[b], expect)

@@ -66,6 +66,13 @@ def save_index(index: ArrayIndex, path: str) -> None:
 def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
     with open(os.path.join(path, "meta.json"), "r", encoding="utf-8") as f:
         meta_d = json.load(f)
+    found = meta_d.get("format_version")
+    if found != _FORMAT_VERSION:
+        raise ValueError(
+            f"index artifact at {path} has format_version {found!r}; "
+            f"this build reads version {_FORMAT_VERSION}. Rebuild the "
+            "artifact with build_index + save_index."
+        )
     data = np.load(os.path.join(path, "arrays.npz"))
     meta = CorpusMeta(
         ids=meta_d["ids"],
@@ -176,12 +183,40 @@ class _StubObject:
             self.__dict__.update(state[0])
 
 
+# Allowlist of globals a reference BM25 pickle legitimately needs:
+# container/primitive constructors and the numpy array reconstructors.
+# Everything else — importable or not — resolves to a _StubObject
+# subclass, so a hostile pickle (the reference tree is untrusted
+# content) cannot reach os.system / builtins.eval / any other
+# importable callable through REDUCE.
+_SAFE_GLOBALS = (
+    {
+        ("builtins", n)
+        for n in (
+            "set", "frozenset", "list", "tuple", "dict", "bytearray",
+            "complex", "slice", "range", "object", "bytes", "str",
+            "int", "float", "bool",
+        )
+    }
+    | {
+        ("collections", n)
+        for n in ("OrderedDict", "defaultdict", "Counter", "deque")
+    }
+    | {("copyreg", "_reconstructor")}
+)
+_SAFE_NUMPY_MODULES = frozenset(
+    ("numpy", "numpy.core.multiarray", "numpy._core.multiarray")
+)
+_SAFE_NUMPY_NAMES = frozenset(("_reconstruct", "scalar", "ndarray", "dtype"))
+
+
 class _StubUnpickler(pickle.Unpickler):
     def find_class(self, module, name):
-        try:
+        if (module, name) in _SAFE_GLOBALS or (
+            module in _SAFE_NUMPY_MODULES and name in _SAFE_NUMPY_NAMES
+        ):
             return super().find_class(module, name)
-        except (ImportError, AttributeError):
-            return type(name, (_StubObject,), {"__module__": module})
+        return type(name, (_StubObject,), {"__module__": module})
 
 
 def load_reference_bm25_pickle(path: str):

@@ -53,7 +53,23 @@ def restore_checkpoint(
         import jax.numpy as jnp
 
         leaves, treedef = jax.tree.flatten(template)
-        raw = jax.tree.leaves(params)
+        raw, raw_def = jax.tree.flatten(params)
+        # zip would silently truncate/scramble on a count or structure
+        # mismatch (renamed keys, custom nodes) — fail fast instead.
+        if len(raw) != len(leaves):
+            raise ValueError(
+                f"checkpoint at {ckpt_dir} has {len(raw)} leaves but the "
+                f"template has {len(leaves)}; structures: restored="
+                f"{raw_def}, template={treedef}"
+            )
+        for i, (l, r) in enumerate(zip(leaves, raw)):
+            ls = getattr(l, "shape", None)
+            rs = getattr(r, "shape", None)
+            if ls is not None and rs is not None and tuple(ls) != tuple(rs):
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {rs} != template leaf "
+                    f"shape {ls} (restored={raw_def}, template={treedef})"
+                )
         params = jax.tree.unflatten(
             treedef,
             [jnp.asarray(r, getattr(l, "dtype", None))

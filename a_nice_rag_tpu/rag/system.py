@@ -45,9 +45,18 @@ class RAGSystem:
         embedder=None,
         reranker: Optional[Reranker] = None,
         llm_clients: Optional[Dict[str, ChatClient]] = None,
+        embedder_model: Optional[str] = None,
     ):
         self.config = Config()
         self.embedder = embedder
+        # The single online embedder serves ONE embedding space; queries
+        # for other active dense models must arrive precomputed (the
+        # reference's per-model query_embeddings contract,
+        # src/query_rag_retrieval.py:149).
+        inferred = getattr(embedder, "model", None)
+        self.embedder_model = embedder_model or (
+            inferred if isinstance(inferred, str) else "voyage-3-large"
+        )
         self.reranker = reranker
         self.llm_clients = (
             llm_clients if llm_clients is not None else build_default_clients()
@@ -117,18 +126,49 @@ class RAGSystem:
         use_reranker: bool,
         reranker_model: str,
         reranker_top_k: Optional[int],
-        query_embedding: Optional[np.ndarray] = None,
+        query_embedding=None,
     ) -> List[Dict]:
-        """The retrieval sandwich for one query; returns doc dicts."""
+        """The retrieval sandwich for one query; returns doc dicts.
+
+        ``query_embedding`` is either a Dict[model_name, np.ndarray] of
+        per-model query embeddings (the reference's query_embeddings
+        contract — models live in different embedding spaces) or, for
+        back-compat, a single array valid only when exactly one dense
+        model is active.
+        """
         engine = self.engines[source]
         index = self.indexes[source]
+        active = [
+            m for m in MODEL_ORDER
+            if m in index.dense and model_weights.get(m, 0) > 0
+        ]
+        if (
+            query_embedding is not None
+            and not isinstance(query_embedding, dict)
+            and len(active) > 1
+        ):
+            raise ValueError(
+                "A single query_embedding array cannot serve "
+                f"{len(active)} active dense models {active} — they live "
+                "in different embedding spaces. Pass a "
+                "Dict[model_name, np.ndarray]."
+            )
         q_embs: Dict[str, np.ndarray] = {}
-        for m in MODEL_ORDER:
-            if m not in index.dense or model_weights.get(m, 0) <= 0:
-                continue
-            if query_embedding is not None:
+        for m in active:
+            if isinstance(query_embedding, dict):
+                if m in query_embedding:
+                    q_embs[m] = np.atleast_2d(
+                        np.asarray(query_embedding[m])
+                    )
+                elif self.embedder is not None and m == self.embedder_model:
+                    q_embs[m] = self.embedder.embed_queries([query_text])
+                else:
+                    logger.warning(
+                        "No query embedding for model %s - skipping", m
+                    )
+            elif query_embedding is not None:
                 q_embs[m] = np.atleast_2d(np.asarray(query_embedding))
-            elif self.embedder is not None:
+            elif self.embedder is not None and m == self.embedder_model:
                 q_embs[m] = self.embedder.embed_queries([query_text])
             else:
                 logger.warning("No embedder for model %s - skipping", m)
@@ -168,7 +208,7 @@ class RAGSystem:
         use_reranker: bool = True,
         reranker_model: str = "rerank-2",
         reranker_top_k: Optional[int] = 10,
-        query_embedding: Optional[np.ndarray] = None,
+        query_embedding=None,  # np.ndarray | Dict[model, np.ndarray]
     ) -> Generator[Tuple[str, str, str, List[Dict]], None, None]:
         """Stream the answer; yields (chunk, sources, raw_sections,
         sources_data) tuples."""

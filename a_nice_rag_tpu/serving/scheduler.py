@@ -158,9 +158,15 @@ class BatchScheduler:
                         if not pending.future.done():
                             pending.future.set_exception(e)
 
+        # The event loop keeps only a WEAK reference to tasks; without a
+        # strong reference here a pending batch task can be GC'd
+        # mid-flight, dropping the batch and hanging every caller.
+        tasks: set = set()
         while True:
             batch = await self._collect()
-            asyncio.create_task(run_one(batch))
+            t = asyncio.create_task(run_one(batch))
+            tasks.add(t)
+            t.add_done_callback(tasks.discard)
 
     def _run_batch(self, batch: List[_Pending]):
         models = self.retriever.model_names

@@ -157,3 +157,58 @@ def test_full_reference_migration_cli(tmp_path):
     for j, row in enumerate(sub):
         np.testing.assert_allclose(scores[row], expect[j], rtol=1e-6,
                                    atol=1e-7)
+
+
+def test_unpickler_stubs_malicious_globals(tmp_path):
+    """The BM25-pickle importer must never resolve an importable callable
+    outside the allowlist: a REDUCE on os.system becomes an inert stub
+    (the reference tree is untrusted content)."""
+    import pickle
+
+    from a_nice_rag_tpu.index.io import _StubObject, _StubUnpickler
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.system, ("echo pwned > /tmp/pwned_proof",))
+
+    p = tmp_path / "evil.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"bm25": Evil()}, f)
+    import os as _os
+
+    proof = "/tmp/pwned_proof"
+    if _os.path.exists(proof):
+        _os.remove(proof)
+    with open(p, "rb") as f:
+        out = _StubUnpickler(f).load()
+    assert not _os.path.exists(proof), "REDUCE payload executed!"
+    assert isinstance(out["bm25"], _StubObject)
+    # Allowlisted containers and numpy arrays still round-trip.
+    payload = {"a": np.arange(3), "b": {1, 2}, "c": [np.float64(2.5)]}
+    p2 = tmp_path / "ok.pkl"
+    with open(p2, "wb") as f:
+        pickle.dump(payload, f)
+    with open(p2, "rb") as f:
+        back = _StubUnpickler(f).load()
+    np.testing.assert_array_equal(back["a"], payload["a"])
+    assert back["b"] == {1, 2} and float(back["c"][0]) == 2.5
+
+
+def test_load_index_rejects_wrong_format_version(tmp_path):
+    import json
+
+    from a_nice_rag_tpu.index import build_index, load_index, save_index
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(n_docs=50, dim=16, n_queries=2, seed=5)
+    idx = build_index(ids=c.ids, sources=c.sources, contents=c.contents,
+                      embeddings=c.embeddings, token_lists=c.tokens)
+    path = str(tmp_path / "ix")
+    save_index(idx, path)
+    meta = json.load(open(f"{path}/meta.json"))
+    meta["format_version"] = 99
+    json.dump(meta, open(f"{path}/meta.json", "w"))
+    with pytest.raises(ValueError, match="format_version"):
+        load_index(path)

@@ -134,3 +134,41 @@ def test_bm25_only_weights(rag):
     )
     # Falls back to BM25 via query-text preprocessing; still streams.
     assert out and out[0][0]
+
+
+def test_multi_model_query_embedding_contract(rag):
+    """A single embedding array cannot serve 2+ active dense models; a
+    per-model dict (the reference's query_embeddings contract) can."""
+    c, system, queries, fake = rag
+    idx = system.indexes[InfoSource.NICE]
+    # Give the index a second dense model in a different space/dim.
+    rng = np.random.default_rng(9)
+    import jax.numpy as jnp
+    idx.dense["voyage-3.5"] = jnp.asarray(
+        rng.standard_normal((idx.n_docs_padded, 16)).astype(np.float32)
+    )
+    try:
+        weights = {"voyage-3-large": 1.0, "voyage-3.5": 1.0}
+        q32 = c.query_embeddings["voyage-3-large"][0]
+        with pytest.raises(ValueError, match="embedding spaces"):
+            system.retrieve_for_query(
+                queries[0], InfoSource.NICE, 5, 5, 40.0, weights, None,
+                False, False, "rerank-2", None, query_embedding=q32,
+            )
+        q16 = rng.standard_normal(16).astype(np.float32)
+        docs = system.retrieve_for_query(
+            queries[0], InfoSource.NICE, 5, 5, 40.0, weights, None,
+            False, False, "rerank-2", None,
+            query_embedding={"voyage-3-large": q32, "voyage-3.5": q16},
+        )
+        assert docs, "dict-contract retrieval returned nothing"
+        # Missing model in the dict falls back to the embedder only for
+        # the model the embedder serves; the other is skipped.
+        docs2 = system.retrieve_for_query(
+            queries[0], InfoSource.NICE, 5, 5, 40.0, weights, None,
+            False, False, "rerank-2", None,
+            query_embedding={"voyage-3.5": q16},
+        )
+        assert docs2
+    finally:
+        del idx.dense["voyage-3.5"]

@@ -1,0 +1,75 @@
+"""A/B the streaming fused top-k kernel variants on the real TPU.
+
+Chained-dispatch timing (N calls, one value read, /N) per CLAUDE.md —
+fine here because kernel times are >> the ~2 ms dispatch floor.
+
+Usage: python scripts/bench_fused_kernel.py [N] [D] [B] [k]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, n=8):
+    out = fn()
+    jax.block_until_ready(out)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    k = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    print("platform:", jax.devices()[0].platform)
+
+    rng = np.random.default_rng(0)
+    n_pad = -(-n // 8192) * 8192
+    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    emb_bf = jnp.asarray(emb, dtype=jnp.bfloat16)
+    q_bf = jnp.asarray(q, dtype=jnp.bfloat16)
+
+    ref_v = ref_i = None
+    for algo in ("gated", "iterate"):
+        for bq in (128, 256):
+            if b % bq:
+                continue
+            try:
+                fn = lambda: fused_dense_top_k(
+                    emb_bf, q_bf, k, block_q=bq, block_n=8192, algo=algo
+                )
+                ms = timeit(fn)
+                v, i = fn()
+                v, i = np.asarray(v), np.asarray(i)
+                if ref_v is None:
+                    ref_v, ref_i = v, i
+                    ok = "ref"
+                else:
+                    ok = (
+                        "ids-match" if (i == ref_i).all()
+                        else f"IDS-DIFFER({(i != ref_i).mean():.4f})"
+                    )
+                print(f"algo={algo:8s} block_q={bq:4d}: {ms:8.2f} ms  [{ok}]")
+            except Exception as e:
+                print(f"algo={algo:8s} block_q={bq:4d}: FAILED {type(e).__name__}: {e}")
+    # roofline context
+    bytes_ = emb_bf.size * 2
+    print(f"emb bytes {bytes_/1e9:.2f} GB; one-pass DMA floor @819GB/s = "
+          f"{bytes_/819e9*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,103 @@
+"""Micro-profile the two-tier BM25 rare path at N=2M on the real TPU.
+
+Breaks the measured ~120 ms "rare candidates + gather + merge" into its
+stages so the optimization targets the real cost. Chained-dispatch
+timing (n calls, one value read, /n).
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, n=8):
+    out = fn()
+    jax.block_until_ready(out)
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    print("platform:", jax.devices()[0].platform)
+    B, P = 256, 4096
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.integers(0, 2_000_000, size=(B, P)), axis=1).astype(np.int32)
+    vals = rng.random((B, P)).astype(np.float32)
+    ids_shuf = rng.permuted(ids, axis=1)
+    j_ids = jnp.asarray(ids_shuf)
+    j_vals = jnp.asarray(vals)
+
+    sort2 = jax.jit(lambda i, v: jax.lax.sort((i, v), dimension=-1, num_keys=1))
+    print(f"variadic sort [B={B}, P={P}] i32+f32: {timeit(lambda: sort2(j_ids, j_vals)):8.2f} ms")
+
+    sort1 = jax.jit(lambda i: jax.lax.sort(i, dimension=-1))
+    print(f"single sort   [B={B}, P={P}] i32:     {timeit(lambda: sort1(j_ids)):8.2f} ms")
+
+    argsrt = jax.jit(lambda i: jnp.argsort(i, axis=-1))
+    print(f"argsort       [B={B}, P={P}] i32:     {timeit(lambda: argsrt(j_ids)):8.2f} ms")
+
+    @jax.jit
+    def segsum(s_ids, s_vals):
+        csum = jnp.cumsum(s_vals, axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((B, 1), bool), s_ids[:, 1:] != s_ids[:, :-1]], axis=1)
+        last = jnp.concatenate(
+            [s_ids[:, 1:] != s_ids[:, :-1], jnp.ones((B, 1), bool)], axis=1)
+        csum_b = jnp.concatenate([jnp.zeros((B, 1)), csum[:, :-1]], axis=1)
+        sp = jax.lax.cummax(jnp.where(first, csum_b, -jnp.inf), axis=1)
+        return jnp.where(last, csum - sp, -jnp.inf)
+
+    print(f"cumsum segsum [B={B}, P={P}]:         {timeit(lambda: segsum(j_ids, j_vals)):8.2f} ms")
+
+    # candidate gather + einsum against a common tier [N, Vc]
+    for vc in (512,):
+        common = jnp.asarray(
+            rng.standard_normal((2_000_000, vc)).astype(np.float32))
+        q_tf = jnp.asarray(rng.random((B, vc)).astype(np.float32))
+
+        @jax.jit
+        def gath(common, ids, q_tf):
+            safe = jnp.clip(ids, 0, common.shape[0] - 1)
+            rows = jnp.take(common, safe.reshape(-1), axis=0)
+            rows = rows.reshape(ids.shape + (common.shape[1],))
+            return jnp.einsum("brv,bv->br", rows, q_tf)
+
+        print(f"cand gather+einsum Vc={vc}:           {timeit(lambda: gath(common, j_ids, q_tf)):8.2f} ms")
+
+    # top_k over the merged [B, P + k] candidate list
+    topk = jax.jit(lambda v: jax.lax.top_k(v, 25))
+    vv = jnp.asarray(rng.random((B, P + 32)).astype(np.float32))
+    print(f"lax.top_k    [B={B}, {P+32}] k=25:     {timeit(lambda: topk(vv)):8.2f} ms")
+
+    # full rare path from ops.bm25 for an end-to-end number
+    from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, _rare_candidates
+    V = 200_000
+    npost = V * 20
+    indptr = np.zeros(V + 1, np.int64)
+    indptr[1:] = np.cumsum(rng.multinomial(npost, np.ones(V) / V))
+    doc_ids = rng.integers(0, 2_000_000, size=npost + 1).astype(np.int32)
+    for t in range(0, V, max(1, V // 50)):
+        lo, hi = indptr[t], indptr[t + 1]
+        doc_ids[lo:hi] = np.sort(doc_ids[lo:hi])
+    impact = rng.random(npost + 1).astype(np.float32)
+    doc_ids[npost] = 2_000_000
+    impact[npost] = 0.0
+    bm = Bm25Arrays(
+        indptr=jnp.asarray(indptr.astype(np.int32)),
+        doc_ids=jnp.asarray(doc_ids),
+        impact=jnp.asarray(impact),
+        n_docs_padded=2_000_000,
+    )
+    qt = jnp.asarray(rng.integers(0, V, size=(B, 16)).astype(np.int32))
+    rare = jax.jit(lambda q: jax.vmap(
+        lambda qq: _rare_candidates(bm, qq, P, None))(q))
+    print(f"full _rare_candidates [B={B}]:        {timeit(lambda: rare(qt)):8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,7 @@ struct Rule {
 // against real NLTK outputs — see that module's comments).
 const Rule kMorphyRules[] = {
     {"sses", "ss"}, {"ches", "ch"}, {"shes", "sh"}, {"xes", "x"},
-    {"zes", "z"},   {"ies", "y"},   {"ves", "f"},   {"s", ""},
+    {"zes", "z"},   {"ies", "y"},   {"s", ""},
 };
 
 bool ends_with(const std::string& s, const char* suffix) {
@@ -51,6 +51,10 @@ bool ends_with(const std::string& s, const char* suffix) {
 }
 
 std::string lemmatize(const std::string& tok) {
+  // Observed real-NLTK outputs override the rule path (lexicon-
+  // membership decisions; see text/lemma_calibration.py).
+  auto cal = kCalibrated.find(tok);
+  if (cal != kCalibrated.end()) return cal->second;
   auto irr = kIrregular.find(tok);
   if (irr != kIrregular.end()) return irr->second;
   if (tok.size() <= 3 || kNoLemma.count(tok)) return tok;
@@ -87,6 +91,22 @@ int anr_preprocess(const char* text, int use_lemmatization, char* out,
   }
 
   int written = 0;
+  bool overflow = false;
+  auto emit = [&](std::string tok) {
+    if (overflow || tok.size() <= 1) return;
+    if (kStopwords.count(tok)) return;
+    if (all_digits(tok)) return;
+    if (use_lemmatization) tok = lemmatize(tok);
+    int need = static_cast<int>(tok.size()) + 1;
+    if (written + need >= out_cap) {
+      overflow = true;
+      return;
+    }
+    std::memcpy(out + written, tok.data(), tok.size());
+    written += static_cast<int>(tok.size());
+    out[written++] = '\n';
+  };
+
   size_t i = 0;
   const size_t n = cleaned.size();
   std::string tok;
@@ -96,15 +116,16 @@ int anr_preprocess(const char* text, int use_lemmatization, char* out,
     while (i < n && !std::isspace(static_cast<unsigned char>(cleaned[i]))) i++;
     if (i == start) break;
     tok.assign(cleaned, start, i - start);
-    if (tok.size() <= 1) continue;
-    if (kStopwords.count(tok)) continue;
-    if (all_digits(tok)) continue;
-    if (use_lemmatization) tok = lemmatize(tok);
-    int need = static_cast<int>(tok.size()) + 1;
-    if (written + need >= out_cap) return -1;
-    std::memcpy(out + written, tok.data(), tok.size());
-    written += static_cast<int>(tok.size());
-    out[written++] = '\n';
+    // NLTK contraction splits ("cannot" -> can + not); each half goes
+    // through the normal filters.
+    auto split = kContractionSplits.find(tok);
+    if (split != kContractionSplits.end()) {
+      emit(split->second.first);
+      emit(split->second.second);
+    } else {
+      emit(tok);
+    }
+    if (overflow) return -1;
   }
   return written;
 }

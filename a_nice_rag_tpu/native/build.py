@@ -30,7 +30,12 @@ _failed = False
 
 def regenerate_tables() -> None:
     """Regenerate the C++ token tables from the Python source of truth."""
-    from a_nice_rag_tpu.text.preprocess import _IRREGULAR, _NO_LEMMA
+    from a_nice_rag_tpu.text.lemma_calibration import CALIBRATED_LEMMAS
+    from a_nice_rag_tpu.text.preprocess import (
+        _CONTRACTION_SPLITS,
+        _IRREGULAR,
+        _NO_LEMMA,
+    )
     from a_nice_rag_tpu.text.stopwords_en import STOPWORDS_EN
 
     path = os.path.join(_DIR, "anr_text_tables.h")
@@ -54,7 +59,23 @@ def regenerate_tables() -> None:
         )
         f.write(
             "static const std::unordered_map<std::string, std::string> "
-            f"kIrregular = {{\n  {irr}\n}};\n"
+            f"kIrregular = {{\n  {irr}\n}};\n\n"
+        )
+        cal = ",\n  ".join(
+            f'{{"{k}", "{v}"}}' for k, v in sorted(CALIBRATED_LEMMAS.items())
+        )
+        f.write(
+            "static const std::unordered_map<std::string, std::string> "
+            f"kCalibrated = {{\n  {cal}\n}};\n\n"
+        )
+        spl = ",\n  ".join(
+            f'{{"{k}", {{"{a}", "{b}"}}}}'
+            for k, (a, b) in sorted(_CONTRACTION_SPLITS.items())
+        )
+        f.write(
+            "static const std::unordered_map<std::string, "
+            "std::pair<std::string, std::string>> "
+            f"kContractionSplits = {{\n  {spl}\n}};\n"
         )
 
 

@@ -28,11 +28,16 @@ def masked_top_k(
     """Top-k along the last axis, with invalid entries masked to -inf.
 
     Returns (values, indices), values descending. ``mask`` broadcasts
-    against ``scores`` (True = keep).
+    against ``scores`` (True = keep). Slots whose value is -inf (masked
+    out, or k exceeding the valid count) report index -1 — the same
+    contract as the Pallas streaming kernel, and what WRRF fusion's
+    ``indices >= 0`` validity test expects (a phantom id for a -inf slot
+    would otherwise leak into fused rankings).
     """
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
-    return jax.lax.top_k(scores, k)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, jnp.where(jnp.isneginf(vals), -1, idx)
 
 
 @partial(jax.jit, static_argnames=("k", "tile"))
@@ -59,7 +64,7 @@ def hierarchical_top_k(
     cand = tvals.reshape(*lead, -1)
     vals, ci = jax.lax.top_k(cand, k)
     idx = jnp.take_along_axis(gidx, ci, axis=-1)
-    return vals, idx
+    return vals, jnp.where(jnp.isneginf(vals), -1, idx)
 
 
 def merge_top_k(
@@ -77,4 +82,4 @@ def merge_top_k(
     flat_i = indices.reshape(*lead, s * kl)
     vals, ci = jax.lax.top_k(flat_v, k)
     idx = jnp.take_along_axis(flat_i, ci, axis=-1)
-    return vals, idx
+    return vals, jnp.where(jnp.isneginf(vals), -1, idx)

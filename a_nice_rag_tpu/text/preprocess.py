@@ -24,9 +24,32 @@ from __future__ import annotations
 import string
 from typing import List, Optional
 
+from a_nice_rag_tpu.text.lemma_calibration import CALIBRATED_LEMMAS
 from a_nice_rag_tpu.text.stopwords_en import STOPWORDS_EN
 
 _PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+# Unicode quote marks survive the ASCII punctuation strip; NLTK's
+# word_tokenize then emits them as standalone 1-char tokens (splitting
+# "women's" with a curly apostrophe into women + ' + s, the tail dropped
+# by the length filter). Mapping them to spaces reproduces that. Dashes
+# (- -- ...) are NOT separators: NLTK keeps "copd-osahs" joined.
+_UNICODE_QUOTE_TABLE = str.maketrans(
+    {"‘": " ", "’": " ", "“": " ", "”": " "}
+)
+
+# NLTK's word_tokenize (MacIntyreContractions) splits these even in
+# punctuation-free text; after apostrophe deletion only the all-alpha
+# patterns can still match. Reference behavior: "cannot" -> can + not
+# (both stopwords, so the token disappears from BM25 streams).
+_CONTRACTION_SPLITS = {
+    "cannot": ("can", "not"),
+    "gimme": ("gim", "me"),
+    "gonna": ("gon", "na"),
+    "gotta": ("got", "ta"),
+    "lemme": ("lem", "me"),
+    "wanna": ("wan", "na"),
+}
 
 # WordNet noun.exc-style irregular plurals (curated subset, clinical-heavy).
 _IRREGULAR = {
@@ -63,6 +86,26 @@ _IRREGULAR = {
     "vertebrae": "vertebra",
     "larvae": "larva",
     "media": "medium",
+    # True -ves plurals (WordNet noun.exc / lexicon-validated "ves"->"f"
+    # outcomes). The blanket "ves"->"f" rule was removed: without a
+    # lexicon check it mangles -ve singulars (initiatives -> initiatif);
+    # plain "s"-stripping plus this table matches real NLTK far better.
+    "calves": "calf",
+    "dwarves": "dwarf",
+    "elves": "elf",
+    "halves": "half",
+    "hooves": "hoof",
+    "knives": "knife",
+    "leaves": "leaf",
+    "lives": "life",
+    "loaves": "loaf",
+    "scarves": "scarf",
+    "selves": "self",
+    "sheaves": "sheaf",
+    "shelves": "shelf",
+    "thieves": "thief",
+    "wives": "wife",
+    "wolves": "wolf",
 }
 
 # Words that look plural but are not (would be over-stripped by rules).
@@ -90,7 +133,6 @@ _MORPHY_RULES = (
     ("xes", "x"),
     ("zes", "z"),
     ("ies", "y"),
-    ("ves", "f"),
     ("s", ""),
 )
 
@@ -128,14 +170,23 @@ def tokenize(text: str) -> List[str]:
     _try_nltk()
     if _nltk_word_tokenize:
         return _nltk_word_tokenize(text)
-    return text.split()
+    out: List[str] = []
+    for tok in text.split():
+        split = _CONTRACTION_SPLITS.get(tok)
+        if split is None:
+            out.append(tok)
+        else:
+            out.extend(split)
+    return out
 
 
-def lemmatize(token: str) -> str:
-    """Noun lemmatization: WordNet morphy when available, else rules."""
-    _try_nltk()
-    if _nltk_lemmatizer:
-        return _nltk_lemmatizer.lemmatize(token)
+def _lemmatize_rules(token: str) -> str:
+    """Rule-only morphy approximation (no calibration overlay).
+
+    The calibration generator (scripts/gen_lemma_calibration.py) diffs
+    THIS function against observed NLTK outputs, so it must not consult
+    the calibration table itself.
+    """
     if token in _IRREGULAR:
         return _IRREGULAR[token]
     if token in _NO_LEMMA or len(token) <= 3:
@@ -149,6 +200,20 @@ def lemmatize(token: str) -> str:
             if len(lemma) >= 2:
                 return lemma
     return token
+
+
+def lemmatize(token: str) -> str:
+    """Noun lemmatization: WordNet morphy when available, else rules
+    plus a calibration overlay of observed real-NLTK outputs (see
+    text/lemma_calibration.py) — lexicon-membership decisions that
+    suffix rules cannot reproduce without the WordNet data files."""
+    _try_nltk()
+    if _nltk_lemmatizer:
+        return _nltk_lemmatizer.lemmatize(token)
+    hit = CALIBRATED_LEMMAS.get(token)
+    if hit is not None:
+        return hit
+    return _lemmatize_rules(token)
 
 
 def preprocess_text(
@@ -169,7 +234,9 @@ def preprocess_text(
         native = native_preprocess(text, use_lemmatization)
         if native is not None:
             return native
-    text = text.lower().translate(_PUNCT_TABLE)
+    text = text.lower().translate(_PUNCT_TABLE).translate(
+        _UNICODE_QUOTE_TABLE
+    )
     tokens = [
         tok
         for tok in tokenize(text)
@@ -186,7 +253,9 @@ def preprocess_text_python(
     """Pure-Python reference path (authoritative; used by parity tests)."""
     if not text:
         return []
-    text = text.lower().translate(_PUNCT_TABLE)
+    text = text.lower().translate(_PUNCT_TABLE).translate(
+        _UNICODE_QUOTE_TABLE
+    )
     tokens = [
         tok
         for tok in tokenize(text)

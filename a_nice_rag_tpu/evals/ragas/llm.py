@@ -13,7 +13,7 @@ import json
 import os
 import re
 import urllib.request
-from typing import Callable, List, Optional
+from typing import AsyncIterator, Callable, List, Optional
 
 
 class LLMDidNotFinishException(Exception):
@@ -31,6 +31,17 @@ class BaseJudgeLLM:
         # closed loop left behind by an earlier asyncio.run in the same
         # process and fail with "Event loop is closed".
         return asyncio.run(self.agenerate(prompt, n, temperature))
+
+    async def astream(
+        self, prompt: str, temperature: float = 1e-8
+    ) -> AsyncIterator[str]:
+        """Yield response text deltas as they arrive.
+
+        Default implementation degrades to one chunk (the full
+        response), so every judge supports the streaming surface;
+        clients with true server-side streaming override this.
+        """
+        yield (await self.agenerate(prompt, 1, temperature))[0]
 
 
 class OpenAICompatJudgeLLM(BaseJudgeLLM):
@@ -87,6 +98,72 @@ class OpenAICompatJudgeLLM(BaseJudgeLLM):
     async def agenerate(self, prompt, n=1, temperature=1e-8):
         return await asyncio.to_thread(self._call, prompt, n, temperature)
 
+    def _stream_call(self, prompt: str, temperature: float, emit) -> None:
+        """Blocking SSE read; calls ``emit(delta)`` per content chunk."""
+        payload = {
+            "model": self.model,
+            "messages": [{"role": "user", "content": prompt}],
+            "temperature": temperature,
+            "stream": True,
+        }
+        req = urllib.request.Request(
+            self.base_url + "chat/completions",
+            data=json.dumps(payload).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.api_key}",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            for raw_line in resp:
+                line = raw_line.decode("utf-8").strip()
+                if not line.startswith("data:"):
+                    continue
+                data = line[5:].strip()
+                if data == "[DONE]":
+                    break
+                try:
+                    event = json.loads(data)
+                except ValueError:
+                    continue
+                for choice in event.get("choices", []):
+                    fr = choice.get("finish_reason")
+                    if fr not in (None, "stop"):
+                        raise LLMDidNotFinishException(f"finish_reason={fr}")
+                    delta = (choice.get("delta") or {}).get("content")
+                    if delta:
+                        emit(delta)
+
+    async def astream(self, prompt, temperature=1e-8):
+        """True server-side streaming (SSE chat completions)."""
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+        _END = object()
+
+        def worker():
+            try:
+                self._stream_call(
+                    prompt,
+                    temperature,
+                    lambda d: loop.call_soon_threadsafe(queue.put_nowait, d),
+                )
+                loop.call_soon_threadsafe(queue.put_nowait, _END)
+            except BaseException as e:  # delivered to the consumer
+                loop.call_soon_threadsafe(queue.put_nowait, e)
+
+        task = asyncio.ensure_future(asyncio.to_thread(worker))
+        try:
+            while True:
+                item = await queue.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            await task
+
 
 class FakeJudgeLLM(BaseJudgeLLM):
     """Scripted judge for tests: responder(prompt) -> str or list[str]."""
@@ -103,6 +180,14 @@ class FakeJudgeLLM(BaseJudgeLLM):
         if isinstance(out, list):
             return (out * n)[:n]
         return [out] * n
+
+    async def astream(self, prompt, temperature=1e-8):
+        """Stream the scripted response in small chunks so consumers'
+        partial-parse paths get exercised in tests."""
+        text = (await self.agenerate(prompt, 1, temperature))[0]
+        step = max(1, len(text) // 7)
+        for i in range(0, len(text), step):
+            yield text[i : i + step]
 
 
 _IMAGE_MD = re.compile(r"!\[[^\]]*\]\((https?://[^\s)]+|data:image/[^\s)]+)\)")

@@ -41,6 +41,71 @@ def extract_json(text: str) -> str:
     return text
 
 
+def _close_json_prefix(s: str):
+    """Append whatever closers balance the prefix ``s``; None if malformed."""
+    stack = []
+    in_str = escape = False
+    for ch in s:
+        if in_str:
+            if escape:
+                escape = False
+            elif ch == "\\":
+                escape = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "{[":
+            stack.append("}" if ch == "{" else "]")
+        elif ch in "}]":
+            if not stack or stack[-1] != ch:
+                return None
+            stack.pop()
+    if escape:
+        s = s[:-1]
+    if in_str:
+        s += '"'
+    return s + "".join(reversed(stack))
+
+
+_MAX_PARTIAL_BACKTRACK = 256
+
+
+def parse_partial_json(text: str):
+    """Best-effort parse of a PREFIX of a streamed JSON document.
+
+    Closes open strings/containers, and walks the cut point backwards
+    (bounded) past half-written tokens — a dangling ``"key":``, a bare
+    ``tru``, a trailing comma — until a parse succeeds. Returns the
+    parsed snapshot or None when nothing parses yet. Powers streaming
+    structured outputs: each delta yields a progressively larger
+    snapshot of the final object.
+    """
+    start = min(
+        (i for i in (text.find("{"), text.find("[")) if i >= 0),
+        default=-1,
+    )
+    if start < 0:
+        return None
+    text = text[start:]
+    lo = max(1, len(text) - _MAX_PARTIAL_BACKTRACK)
+    for cut in range(len(text), lo - 1, -1):
+        head = text[:cut].rstrip()
+        if not head:
+            break
+        if head[-1] in ",:":
+            continue  # dangling separator: never closeable, keep walking
+        candidate = _close_json_prefix(head)
+        if candidate is None:
+            return None  # structurally malformed, not just incomplete
+        try:
+            return json.loads(candidate)
+        except ValueError:
+            continue
+    return None
+
+
 class StructuredPrompt(Generic[InT, OutT]):
     instruction: str = ""
     input_model: Type[InT]
@@ -100,6 +165,30 @@ class StructuredPrompt(Generic[InT, OutT]):
         for text in raw:
             out.append(await self._parse_with_repair(llm, text, retries))
         return out
+
+    async def generate_stream(
+        self,
+        llm: BaseJudgeLLM,
+        data: InT,
+        temperature: float = 1e-8,
+        retries: int = 3,
+    ):
+        """Stream structured output: yields dict SNAPSHOTS of the object
+        as deltas arrive (each a parse of the JSON prefix seen so far),
+        then the validated ``OutT`` instance as the FINAL item. The
+        repair loop still guards the final parse, so the end state is
+        exactly ``generate()``'s. Works with any judge: clients without
+        server-side streaming yield one snapshot then the final object.
+        """
+        buf = ""
+        last_snapshot = None
+        async for delta in llm.astream(self.render(data), temperature):
+            buf += delta
+            snapshot = parse_partial_json(buf)
+            if snapshot is not None and snapshot != last_snapshot:
+                last_snapshot = snapshot
+                yield snapshot
+        yield await self._parse_with_repair(llm, buf, retries)
 
     async def _parse_with_repair(
         self, llm: BaseJudgeLLM, text: str, retries: int

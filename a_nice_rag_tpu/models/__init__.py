@@ -25,6 +25,12 @@ from a_nice_rag_tpu.models.train import (  # noqa: F401
     make_train_step,
 )
 from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder  # noqa: F401
+from a_nice_rag_tpu.models.nli import (  # noqa: F401
+    NliScorer,
+    nli_scorer_for_corpus,
+    synth_nli_pairs,
+    train_nli_scorer,
+)
 from a_nice_rag_tpu.models.qwen3 import (  # noqa: F401
     Qwen3Config,
     Qwen3Encoder,

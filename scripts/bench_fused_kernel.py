@@ -33,14 +33,21 @@ def main():
     k = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     print("platform:", jax.devices()[0].platform)
 
-    rng = np.random.default_rng(0)
+    # Generate ON DEVICE: a host->device upload of GBs through the
+    # tunnel dominates wall clock and can blow past any timeout.
     n_pad = -(-n // 8192) * 8192
-    emb = rng.standard_normal((n_pad, d)).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    q = rng.standard_normal((b, d)).astype(np.float32)
-    q /= np.linalg.norm(q, axis=1, keepdims=True)
-    emb_bf = jnp.asarray(emb, dtype=jnp.bfloat16)
-    q_bf = jnp.asarray(q, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def make():
+        ke, kq = jax.random.split(jax.random.PRNGKey(0))
+        emb = jax.random.normal(ke, (n_pad, d), dtype=jnp.bfloat16)
+        q = jax.random.normal(kq, (b, d), dtype=jnp.bfloat16)
+        return emb, q
+
+    emb_bf, q_bf = make()
+    jax.block_until_ready(emb_bf)
+    float(np.asarray(q_bf[0, 0]))
+    print("device arrays ready", emb_bf.shape, emb_bf.dtype)
 
     ref_v = ref_i = None
     for algo in ("gated", "iterate"):

@@ -91,8 +91,9 @@ def _select_topk(scores: jax.Array, ids: jax.Array, k: int):
     return vals, out_ids
 
 
-def _fold_tile_iterate(scores, off, run_v_ref, run_i_ref, k: int):
-    """Fold one score tile into the (UNSORTED) running top-k refs.
+def _fold_tile_iterate(scores, off, run_v, run_i):
+    """Fold one score tile into the (UNSORTED) running top-k arrays;
+    returns the updated (run_v, run_i).
 
     Iterate-until-clean selection: each iteration extracts at most one
     improving element per row (max + argmax), inserts it by replacing
@@ -109,11 +110,10 @@ def _fold_tile_iterate(scores, off, run_v_ref, run_i_ref, k: int):
     can improve, so there is no count-cap fallback path.
     """
     bq, nt = scores.shape
+    k = run_v.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, nt), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
     row_max = jnp.max(scores, axis=1)
-    run_v = run_v_ref[:]
-    run_i = run_i_ref[:]
     kth = jnp.min(run_v, axis=1)
 
     def cond(c):
@@ -136,26 +136,59 @@ def _fold_tile_iterate(scores, off, run_v_ref, run_i_ref, k: int):
     _, _, _, rv, ri, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), scores, row_max, run_v, run_i, kth)
     )
-    run_v_ref[:] = rv
-    run_i_ref[:] = ri
+    return rv, ri
 
 
-def _finalize_iterate(run_v_ref, run_i_ref, vals_ref, idx_ref, k: int):
+def _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k: int):
     """Sort the unsorted running buffer descending and emit outputs."""
-    new_v, new_i = _select_topk(run_v_ref[:], run_i_ref[:], k)
+    new_v, new_i = _select_topk(run_v, run_i, k)
     vals_ref[:] = jnp.where(new_v <= NEG, -jnp.inf, new_v)
     idx_ref[:] = jnp.where(new_v <= NEG, -1, new_i)
 
 
-def _kernel_iterate(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i,
-                    *, k: int, n_tile: int):
-    j = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
+def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
+                   k: int, n_tile: int, block_q: int):
+    """Shared doc-major visit: fold this (doc tile, query block)'s scores
+    into the full-batch running scratch and emit at the last doc tile.
 
-    @pl.when(j == 0)
+    The block's rows are read and written through ``pl.ds`` dynamic
+    ref slices at a block_q-aligned sublane offset."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(0)
+    row0 = pl.multiple_of(i * block_q, block_q)
+
+    rv = run_v[pl.ds(row0, block_q), :]
+    ri = run_i[pl.ds(row0, block_q), :]
+    first = (j == 0)
+    rv = jnp.where(first, jnp.full((block_q, k), NEG, jnp.float32), rv)
+    ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
+
+    rv, ri = _fold_tile_iterate(scores, j * n_tile, rv, ri)
+    run_v[pl.ds(row0, block_q), :] = rv
+    run_i[pl.ds(row0, block_q), :] = ri
+
+    @pl.when(j == n_tiles - 1)
     def _():
-        run_v[:] = jnp.full_like(run_v, NEG)
-        run_i[:] = jnp.full_like(run_i, -1)
+        _finalize_iterate(rv, ri, vals_ref, idx_ref, k)
+
+
+def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
+                    has_mask: bool):
+    """Doc-major streaming fold: grid = (n_tiles, b_blocks).
+
+    The doc axis is the OUTER grid dimension and the running top-k
+    scratch holds the FULL batch, so the embedding matrix streams
+    through VMEM exactly once regardless of batch size (the query-major
+    layout re-reads it B/block_q times — at B=2048 that is 16 extra
+    HBM passes). The query tile cycles per doc tile; q is tiny.
+    ``has_mask`` statically removes the mask operand and its
+    whole-tile select pass — the common unfiltered case at scale.
+    """
+    if has_mask:
+        q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i = refs
+    else:
+        q_ref, e_ref, vals_ref, idx_ref, run_v, run_i = refs
 
     scores = jax.lax.dot_general(
         q_ref[:],
@@ -163,23 +196,19 @@ def _kernel_iterate(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    scores = jnp.where(mask_ref[:][None, :], scores, NEG)
-    _fold_tile_iterate(scores, j * n_tile, run_v, run_i, k)
-
-    @pl.when(j == n_tiles - 1)
-    def _():
-        _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k)
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
+                   k=k, n_tile=n_tile, block_q=block_q)
 
 
-def _kernel_iterate_int8(q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref,
-                         idx_ref, run_v, run_i, *, k: int, n_tile: int):
-    j = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-
-    @pl.when(j == 0)
-    def _():
-        run_v[:] = jnp.full_like(run_v, NEG)
-        run_i[:] = jnp.full_like(run_i, -1)
+def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
+                         has_mask: bool):
+    if has_mask:
+        (q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
+         run_v, run_i) = refs
+    else:
+        q_ref, qs_ref, e_ref, es_ref, vals_ref, idx_ref, run_v, run_i = refs
 
     acc = jax.lax.dot_general(
         q_ref[:],
@@ -192,12 +221,10 @@ def _kernel_iterate_int8(q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref,
         * qs_ref[:, 0][:, None]
         * es_ref[:, 0][None, :]
     )
-    scores = jnp.where(mask_ref[:][None, :], scores, NEG)
-    _fold_tile_iterate(scores, j * n_tile, run_v, run_i, k)
-
-    @pl.when(j == n_tiles - 1)
-    def _():
-        _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k)
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
+                   k=k, n_tile=n_tile, block_q=block_q)
 
 
 def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
@@ -349,24 +376,65 @@ def fused_dense_top_k_int8(
     b = q_values.shape[0]
     block_q = min(block_q, b)
     assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
-    if mask is None:
-        mask = jnp.ones((n,), jnp.bool_)
-    n, block_n, mask, values, scales = _align_doc_axis(
-        n, block_n, mask, values, scales
-    )
-    grid = (b // block_q, n // block_n)
     if algo == "iterate":
+        # The mask pass can only be skipped when NO mask was requested
+        # AND no doc-axis padding happens (padded rows score exactly 0.0
+        # and would beat real negative scores).
+        if mask is None and n % _N_ALIGN:
+            mask = jnp.ones((n,), jnp.bool_)
+        has_mask = mask is not None
+        if has_mask:
+            n, block_n, mask, values, scales = _align_doc_axis(
+                n, block_n, mask, values, scales
+            )
+        else:
+            n, block_n, _, values, scales = _align_doc_axis(
+                n, block_n, jnp.ones((0,), jnp.bool_), values, scales
+            )
+        grid = (n // block_n, b // block_q)
         kernel = functools.partial(
-            _kernel_iterate_int8, k=k, n_tile=block_n
+            _kernel_iterate_int8, k=k, n_tile=block_n, block_q=block_q,
+            has_mask=has_mask,
         )
+        in_specs = [
+            pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [q_values, q_scales[:, None], values, scales[:, None]]
+        if has_mask:
+            in_specs.append(
+                pl.BlockSpec((block_n,), lambda j, i: (j,),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(mask)
+        out_specs = [
+            pl.BlockSpec((block_q, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ]
     else:
+        has_mask = True
+        if mask is None:
+            mask = jnp.ones((n,), jnp.bool_)
+        n, block_n, mask, values, scales = _align_doc_axis(
+            n, block_n, mask, values, scales
+        )
+        grid = (b // block_q, n // block_n)
         kernel = functools.partial(
             _kernel_int8, k=k, n_tile=block_n, m_fast=m_fast
         )
-    vals, idx = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+        in_specs = [
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, 1), lambda i, j: (i, 0),
@@ -377,21 +445,28 @@ def fused_dense_top_k_int8(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n,), lambda i, j: (j,),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+        ]
+        operands = [q_values, q_scales[:, None], values, scales[:, None], mask]
+        out_specs = [
             pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        scratch = [
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ]
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((b, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, k), jnp.float32),
-            pltpu.VMEM((block_q, k), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
         ),
@@ -402,7 +477,7 @@ def fused_dense_top_k_int8(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q_values, q_scales[:, None], values, scales[:, None], mask)
+    )(*operands)
     return vals, idx
 
 
@@ -436,50 +511,93 @@ def fused_dense_top_k(
     b = queries.shape[0]
     block_q = min(block_q, b)
     assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
-    if mask is None:
-        mask = jnp.ones((n,), jnp.bool_)
-    n, block_n, mask, emb = _align_doc_axis(n, block_n, mask, emb)
-
-    grid = (b // block_q, n // block_n)
     if algo == "iterate":
-        kernel = functools.partial(_kernel_iterate, k=k, n_tile=block_n)
+        # Skip the whole-tile mask select only when no mask was asked
+        # for AND no padding happens (padded zero rows score 0.0, which
+        # beats real negative scores).
+        if mask is None and n % _N_ALIGN:
+            mask = jnp.ones((n,), jnp.bool_)
+        has_mask = mask is not None
+        if has_mask:
+            n, block_n, mask, emb = _align_doc_axis(n, block_n, mask, emb)
+        else:
+            n, block_n, _, emb = _align_doc_axis(
+                n, block_n, jnp.ones((0,), jnp.bool_), emb
+            )
+        grid = (n // block_n, b // block_q)
+        kernel = functools.partial(
+            _kernel_iterate, k=k, n_tile=block_n, block_q=block_q,
+            has_mask=has_mask,
+        )
+        in_specs = [
+            pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda j, i: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        operands = [queries, emb]
+        if has_mask:
+            in_specs.append(
+                pl.BlockSpec((block_n,), lambda j, i: (j,),
+                             memory_space=pltpu.VMEM)
+            )
+            operands.append(mask)
+        out_specs = [
+            pl.BlockSpec((block_q, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_q, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        scratch = [
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ]
     else:
-        kernel = functools.partial(_kernel, k=k, n_tile=block_n, m_fast=m_fast)
-    flops = 2 * b * n * d
-    vals, idx = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+        if mask is None:
+            mask = jnp.ones((n,), jnp.bool_)
+        n, block_n, mask, emb = _align_doc_axis(n, block_n, mask, emb)
+        grid = (b // block_q, n // block_n)
+        kernel = functools.partial(
+            _kernel, k=k, n_tile=block_n, m_fast=m_fast
+        )
+        in_specs = [
             pl.BlockSpec((block_q, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_n,), lambda i, j: (j,),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
+        ]
+        operands = [queries, emb, mask]
+        out_specs = [
             pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_q, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        scratch = [
+            pltpu.VMEM((block_q, k), jnp.float32),
+            pltpu.VMEM((block_q, k), jnp.int32),
+        ]
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((b, k), jnp.float32),
             jax.ShapeDtypeStruct((b, k), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, k), jnp.float32),
-            pltpu.VMEM((block_q, k), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=flops,
+            flops=2 * b * n * d,
             bytes_accessed=emb.size * emb.dtype.itemsize
             + queries.size * queries.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries, emb, mask)
+    )(*operands)
     return vals, idx

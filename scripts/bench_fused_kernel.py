@@ -50,28 +50,33 @@ def main():
     print("device arrays ready", emb_bf.shape, emb_bf.dtype)
 
     ref_v = ref_i = None
-    for algo in ("gated", "iterate"):
-        for bq in (128, 256):
-            if b % bq:
-                continue
-            try:
-                fn = lambda: fused_dense_top_k(
-                    emb_bf, q_bf, k, block_q=bq, block_n=8192, algo=algo
+    configs = [("gated", 128, 8192)] + [
+        ("iterate", bq, bn)
+        for bq in (128, 256)
+        for bn in (8192, 16384)
+    ]
+    for algo, bq, bn in configs:
+        if b % bq:
+            continue
+        try:
+            fn = lambda: fused_dense_top_k(
+                emb_bf, q_bf, k, block_q=bq, block_n=bn, algo=algo
+            )
+            ms = timeit(fn)
+            v, i = fn()
+            v, i = np.asarray(v), np.asarray(i)
+            if ref_v is None:
+                ref_v, ref_i = v, i
+                ok = "ref"
+            else:
+                ok = (
+                    "ids-match" if (i == ref_i).all()
+                    else f"IDS-DIFFER({(i != ref_i).mean():.4f})"
                 )
-                ms = timeit(fn)
-                v, i = fn()
-                v, i = np.asarray(v), np.asarray(i)
-                if ref_v is None:
-                    ref_v, ref_i = v, i
-                    ok = "ref"
-                else:
-                    ok = (
-                        "ids-match" if (i == ref_i).all()
-                        else f"IDS-DIFFER({(i != ref_i).mean():.4f})"
-                    )
-                print(f"algo={algo:8s} block_q={bq:4d}: {ms:8.2f} ms  [{ok}]")
-            except Exception as e:
-                print(f"algo={algo:8s} block_q={bq:4d}: FAILED {type(e).__name__}: {e}")
+            print(f"algo={algo:8s} bq={bq:4d} bn={bn:6d}: {ms:8.2f} ms  [{ok}]")
+        except Exception as e:
+            print(f"algo={algo:8s} bq={bq:4d} bn={bn:6d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:120]}")
     # roofline context
     bytes_ = emb_bf.size * 2
     print(f"emb bytes {bytes_/1e9:.2f} GB; one-pass DMA floor @819GB/s = "

@@ -74,6 +74,51 @@ def main():
     vv = jnp.asarray(rng.random((B, P + 32)).astype(np.float32))
     print(f"lax.top_k    [B={B}, {P+32}] k=25:     {timeit(lambda: topk(vv)):8.2f} ms")
 
+    # permutation scatter: the building block of a searchsorted-based
+    # 2-way merge (out[pos] = val with pos a permutation). If this is
+    # fast, a k-way merge tree beats the full sort; if it serializes
+    # like add-scatter, it does not.
+    perm = np.stack([rng.permutation(P) for _ in range(B)]).astype(np.int32)
+    j_perm = jnp.asarray(perm)
+
+    @jax.jit
+    def perm_scatter(vals, perm):
+        rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, P))
+        return jnp.zeros((B, P), vals.dtype).at[
+            rows.reshape(-1), perm.reshape(-1)
+        ].set(vals.reshape(-1), unique_indices=True)
+
+    print(f"perm scatter  [B={B}, P={P}]:         {timeit(lambda: perm_scatter(j_vals, j_perm)):8.2f} ms")
+
+    @jax.jit
+    def merge2(a_ids, b_ids, a_vals, b_vals):
+        # searchsorted-based 2-way merge of row-sorted halves
+        pa = jnp.vmap(lambda a, b: jnp.searchsorted(b, a, side="left"))(
+            a_ids, b_ids) + jnp.arange(a_ids.shape[1])
+        pb = jnp.vmap(lambda b, a: jnp.searchsorted(a, b, side="right"))(
+            b_ids, a_ids) + jnp.arange(b_ids.shape[1])
+        m = a_ids.shape[1] + b_ids.shape[1]
+        rows = jnp.broadcast_to(
+            jnp.arange(B)[:, None], (B, a_ids.shape[1]))
+        out_i = jnp.zeros((B, m), a_ids.dtype)
+        out_v = jnp.zeros((B, m), a_vals.dtype)
+        out_i = out_i.at[rows.reshape(-1), pa.reshape(-1)].set(
+            a_ids.reshape(-1), unique_indices=True)
+        out_i = out_i.at[rows.reshape(-1), pb.reshape(-1)].set(
+            b_ids.reshape(-1), unique_indices=True)
+        out_v = out_v.at[rows.reshape(-1), pa.reshape(-1)].set(
+            a_vals.reshape(-1), unique_indices=True)
+        out_v = out_v.at[rows.reshape(-1), pb.reshape(-1)].set(
+            b_vals.reshape(-1), unique_indices=True)
+        return out_i, out_v
+
+    half = P // 2
+    a_i = jnp.asarray(np.sort(ids_shuf[:, :half], axis=1))
+    b_i = jnp.asarray(np.sort(ids_shuf[:, half:], axis=1))
+    a_v = j_vals[:, :half]
+    b_v = j_vals[:, half:]
+    print(f"2-way merge   [B={B}, {half}+{half}]:      {timeit(lambda: merge2(a_i, b_i, a_v, b_v)):8.2f} ms")
+
     # full rare path from ops.bm25 for an end-to-end number
     from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, _rare_candidates
     V = 200_000

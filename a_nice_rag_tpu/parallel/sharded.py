@@ -153,7 +153,7 @@ def _shard_csr(
 
 def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
                 data_axis: str = "dp", two_tier_common: int = 0,
-                two_tier_dtype: str = "float32",
+                two_tier_dtype: str = "bfloat16",
                 host_axis: Optional[str] = None) -> ShardedIndex:
     """Lay an ArrayIndex out across the mesh's corpus axis.
 
@@ -366,6 +366,17 @@ class ShardedRetriever:
             "auto", "two_tier", "two_tier_streaming"
         )
         tt_streaming = bm25_backend == "two_tier_streaming"
+        # Rare-tier max df (over all shards) enables the per-term
+        # window-slice postings fetch; fall back to the flat budget
+        # gather when the rare tier is skewed enough that T*df_cap
+        # would dwarf the budget (decided per trace, where T is known).
+        rare_df_cap = None
+        if use_two_tier:
+            import numpy as _np
+
+            diffs = _np.diff(_np.asarray(sidx.tt_rare_indptr), axis=-1)
+            cap = int(diffs.max()) if diffs.size else 0
+            rare_df_cap = max(cap, 1)
 
         def shard_fn(dense_mats, bm25_parts, tt_parts, q_embs, q_terms,
                      mask, bmask, weights, wrrf_k):
@@ -402,9 +413,16 @@ class ShardedRetriever:
                     ),
                 )
                 if tt_streaming:
+                    t_slots = q_terms.shape[1]
+                    df_cap = (
+                        rare_df_cap
+                        if rare_df_cap is not None
+                        and t_slots * rare_df_cap <= 4 * budget
+                        else None
+                    )
                     vals, lidx = bm25_top_k_two_tier(
                         tt, q_terms, k_local, mask=bmask, budget=budget,
-                        interpret=interpret,
+                        interpret=interpret, df_cap=df_cap,
                     )
                     gidx = jnp.where(
                         jnp.isfinite(vals),

@@ -4,7 +4,10 @@ Breaks the measured ~120 ms "rare candidates + gather + merge" into its
 stages so the optimization targets the real cost. Chained-dispatch
 timing (n calls, one value read, /n).
 """
+import functools
 import time
+
+print = functools.partial(print, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +35,9 @@ def main():
     j_ids = jnp.asarray(ids_shuf)
     j_vals = jnp.asarray(vals)
 
+    floor = jax.jit(lambda v: v.sum())
+    print(f"dispatch floor (trivial sum):         {timeit(lambda: floor(j_vals)):8.2f} ms")
+
     sort2 = jax.jit(lambda i, v: jax.lax.sort((i, v), dimension=-1, num_keys=1))
     print(f"variadic sort [B={B}, P={P}] i32+f32: {timeit(lambda: sort2(j_ids, j_vals)):8.2f} ms")
 
@@ -56,8 +62,12 @@ def main():
 
     # candidate gather + einsum against a common tier [N, Vc]
     for vc in (512,):
-        common = jnp.asarray(
-            rng.standard_normal((2_000_000, vc)).astype(np.float32))
+        import jax.random as jrandom
+        common = jax.jit(
+            lambda: jrandom.normal(jrandom.PRNGKey(0), (2_000_000, vc),
+                                   dtype=jnp.float32),
+        )()
+        jax.block_until_ready(common)
         q_tf = jnp.asarray(rng.random((B, vc)).astype(np.float32))
 
         @jax.jit
@@ -68,6 +78,36 @@ def main():
             return jnp.einsum("brv,bv->br", rows, q_tf)
 
         print(f"cand gather+einsum Vc={vc}:           {timeit(lambda: gath(common, j_ids, q_tf)):8.2f} ms")
+
+        # element-gather alternative: per (candidate, query term slot)
+        # element reads instead of full [Vc] rows; T<=16 slots are
+        # contiguous within a candidate's row.
+        T = 16
+        rowmap = jnp.asarray(rng.integers(0, vc, size=(B, T)).astype(np.int32))
+
+        @jax.jit
+        def gath_elem(common, ids, rowmap):
+            flat = common.reshape(-1)
+            safe = jnp.clip(ids, 0, common.shape[0] - 1)
+            gidx = safe[:, :, None] * vc + rowmap[:, None, :]
+            vals = jnp.take(flat, gidx.reshape(B, -1)).reshape(
+                B, ids.shape[1], T)
+            return vals.sum(-1)
+
+        print(f"cand elem-gather T={T}:               {timeit(lambda: gath_elem(common, j_ids, rowmap)):8.2f} ms")
+
+        common_bf = common.astype(jnp.bfloat16)
+
+        @jax.jit
+        def gath_elem_bf(common, ids, rowmap):
+            flat = common.reshape(-1)
+            safe = jnp.clip(ids, 0, common.shape[0] - 1)
+            gidx = safe[:, :, None] * vc + rowmap[:, None, :]
+            vals = jnp.take(flat, gidx.reshape(B, -1)).reshape(
+                B, ids.shape[1], T)
+            return vals.astype(jnp.float32).sum(-1)
+
+        print(f"cand elem-gather bf16:                {timeit(lambda: gath_elem_bf(common_bf, j_ids, rowmap)):8.2f} ms")
 
     # top_k over the merged [B, P + k] candidate list
     topk = jax.jit(lambda v: jax.lax.top_k(v, 25))
@@ -93,9 +133,9 @@ def main():
     @jax.jit
     def merge2(a_ids, b_ids, a_vals, b_vals):
         # searchsorted-based 2-way merge of row-sorted halves
-        pa = jnp.vmap(lambda a, b: jnp.searchsorted(b, a, side="left"))(
+        pa = jax.vmap(lambda a, b: jnp.searchsorted(b, a, side="left"))(
             a_ids, b_ids) + jnp.arange(a_ids.shape[1])
-        pb = jnp.vmap(lambda b, a: jnp.searchsorted(a, b, side="right"))(
+        pb = jax.vmap(lambda b, a: jnp.searchsorted(a, b, side="right"))(
             b_ids, a_ids) + jnp.arange(b_ids.shape[1])
         m = a_ids.shape[1] + b_ids.shape[1]
         rows = jnp.broadcast_to(

@@ -161,3 +161,64 @@ def test_sharded_two_tier_streaming_matches_materialized():
     np.testing.assert_allclose(v_st, v_tt, rtol=1e-5, atol=1e-7)
     for b in range(i_st.shape[0]):
         assert set(i_st[b][i_st[b] >= 0]) == set(i_tt[b][i_tt[b] >= 0])
+
+
+def test_df_cap_sliced_fetch_matches_flat_gather():
+    """The per-term window-slice rare fetch (df_cap) must produce the
+    same top-k as the flat budget gather, in the two-tier streaming
+    path and in bm25_top_k_sparse."""
+    import jax
+
+    from a_nice_rag_tpu.ops.bm25 import (
+        bm25_top_k_sparse,
+        bm25_top_k_two_tier,
+    )
+
+    c, idx, terms = _setup(n_docs=400, seed=233)
+    tt = split_two_tier(idx.bm25, v_common=32)
+    cap = int(np.diff(np.asarray(tt.rare.indptr)).max())
+    k = 10
+    v_flat, i_flat = bm25_top_k_two_tier(
+        tt, terms, k, budget=4096, interpret=True
+    )
+    v_cap, i_cap = bm25_top_k_two_tier(
+        tt, terms, k, budget=4096, interpret=True, df_cap=max(cap, 1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(v_cap), np.asarray(v_flat), rtol=1e-5, atol=1e-5
+    )
+    # id sets match up to ties at the k-th value
+    for b in range(terms.shape[0]):
+        fa = set(np.asarray(i_flat)[b][np.isfinite(np.asarray(v_flat)[b])])
+        fc = set(np.asarray(i_cap)[b][np.isfinite(np.asarray(v_cap)[b])])
+        assert len(fa ^ fc) <= 2, (b, fa ^ fc)
+
+    cap_full = int(np.diff(np.asarray(idx.bm25.indptr)).max())
+    v1, i1 = bm25_top_k_sparse(idx.bm25, terms, k, budget=16384)
+    v2, i2 = bm25_top_k_sparse(
+        idx.bm25, terms, k, budget=16384, df_cap=cap_full
+    )
+    np.testing.assert_allclose(
+        np.asarray(v2), np.asarray(v1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_df_cap_with_mask():
+    from a_nice_rag_tpu.ops.bm25 import bm25_top_k_sparse
+
+    c, idx, terms = _setup(n_docs=300, seed=239)
+    cap = int(np.diff(np.asarray(idx.bm25.indptr)).max())
+    n_pad = idx.bm25.n_docs_padded
+    mask = np.zeros(n_pad, bool)
+    mask[: n_pad // 2] = True
+    v1, i1 = bm25_top_k_sparse(
+        idx.bm25, terms, 8, mask=jnp.asarray(mask), budget=16384
+    )
+    v2, i2 = bm25_top_k_sparse(
+        idx.bm25, terms, 8, mask=jnp.asarray(mask), budget=16384,
+        df_cap=cap,
+    )
+    np.testing.assert_allclose(
+        np.asarray(v2), np.asarray(v1), rtol=1e-5, atol=1e-5
+    )
+    assert (np.asarray(i2)[np.isfinite(np.asarray(v2))] < n_pad // 2).all()

@@ -371,12 +371,17 @@ class ShardedRetriever:
         # gather when the rare tier is skewed enough that T*df_cap
         # would dwarf the budget (decided per trace, where T is known).
         rare_df_cap = None
-        if use_two_tier:
-            import numpy as _np
+        csr_df_cap = None
+        import numpy as _np
 
+        if use_two_tier:
             diffs = _np.diff(_np.asarray(sidx.tt_rare_indptr), axis=-1)
             cap = int(diffs.max()) if diffs.size else 0
             rare_df_cap = max(cap, 1)
+        elif use_bm25 and sidx.bm25_indptr is not None:
+            diffs = _np.diff(_np.asarray(sidx.bm25_indptr), axis=-1)
+            cap = int(diffs.max()) if diffs.size else 0
+            csr_df_cap = max(cap, 1)
 
         def shard_fn(dense_mats, bm25_parts, tt_parts, q_embs, q_terms,
                      mask, bmask, weights, wrrf_k):
@@ -445,9 +450,19 @@ class ShardedRetriever:
                 )
                 # Sort-based sparse scoring: no [N_local] accumulator, no
                 # TPU scatter (which serializes); per-query cost depends
-                # on the postings budget only.
+                # on the postings budget only. Window-slice fetch when
+                # the corpus's df skew allows (full-vocab caps usually
+                # include head terms, so this mostly stays flat).
+                t_slots = q_terms.shape[1]
+                df_cap = (
+                    csr_df_cap
+                    if csr_df_cap is not None
+                    and t_slots * csr_df_cap <= 4 * budget
+                    else None
+                )
                 vals, lidx = bm25_top_k_sparse(
-                    local, q_terms, k_local, mask=bmask, budget=budget
+                    local, q_terms, k_local, mask=bmask, budget=budget,
+                    df_cap=df_cap,
                 )
                 gidx = jnp.where(
                     jnp.isfinite(vals),

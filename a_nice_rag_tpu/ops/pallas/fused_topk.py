@@ -147,7 +147,7 @@ def _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k: int):
 
 
 def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
-                   k: int, n_tile: int, block_q: int):
+                   k: int, n_tile: int, block_q: int, subtiles: int = 1):
     """Shared doc-major visit: fold this (doc tile, query block)'s scores
     into the full-batch running scratch and emit at the last doc tile.
 
@@ -164,7 +164,19 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
     rv = jnp.where(first, jnp.full((block_q, k), NEG, jnp.float32), rv)
     ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
 
-    rv, ri = _fold_tile_iterate(scores, j * n_tile, rv, ri)
+    # Sub-tile decoupling: folding S static column slices sequentially
+    # keeps the total trigger work identical but runs each extraction
+    # iteration on an S-times-smaller array, and a slice without
+    # improvements skips its extraction entirely.
+    n_sub = subtiles
+    width = scores.shape[1]
+    while width % n_sub:
+        n_sub //= 2
+    w = width // n_sub
+    for s in range(n_sub):
+        rv, ri = _fold_tile_iterate(
+            scores[:, s * w:(s + 1) * w], j * n_tile + s * w, rv, ri
+        )
     run_v[pl.ds(row0, block_q), :] = rv
     run_i[pl.ds(row0, block_q), :] = ri
 
@@ -174,7 +186,7 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
 
 
 def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
-                    has_mask: bool):
+                    has_mask: bool, subtiles: int = 1):
     """Doc-major streaming fold: grid = (n_tiles, b_blocks).
 
     The doc axis is the OUTER grid dimension and the running top-k
@@ -199,11 +211,11 @@ def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
     if has_mask:
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
-                   k=k, n_tile=n_tile, block_q=block_q)
+                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
 
 
 def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
-                         has_mask: bool):
+                         has_mask: bool, subtiles: int = 1):
     if has_mask:
         (q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
          run_v, run_i) = refs
@@ -224,7 +236,7 @@ def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
     if has_mask:
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
-                   k=k, n_tile=n_tile, block_q=block_q)
+                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
 
 
 def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
@@ -348,7 +360,7 @@ def _kernel_int8(q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes",
-                     "interpret", "algo"),
+                     "interpret", "algo", "subtiles"),
 )
 def fused_dense_top_k_int8(
     values: jax.Array,
@@ -363,6 +375,7 @@ def fused_dense_top_k_int8(
     vmem_limit_bytes: int = 96 * 1024 * 1024,
     interpret: bool = False,
     algo: str = "iterate",
+    subtiles: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k over an int8-quantized index.
 
@@ -394,7 +407,7 @@ def fused_dense_top_k_int8(
         grid = (n // block_n, b // block_q)
         kernel = functools.partial(
             _kernel_iterate_int8, k=k, n_tile=block_n, block_q=block_q,
-            has_mask=has_mask,
+            has_mask=has_mask, subtiles=subtiles,
         )
         in_specs = [
             pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
@@ -484,7 +497,7 @@ def fused_dense_top_k_int8(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes",
-                     "interpret", "algo"),
+                     "interpret", "algo", "subtiles"),
 )
 def fused_dense_top_k(
     emb: jax.Array,
@@ -497,6 +510,7 @@ def fused_dense_top_k(
     vmem_limit_bytes: int = 96 * 1024 * 1024,
     interpret: bool = False,
     algo: str = "iterate",
+    subtiles: int = 2,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k.
 
@@ -527,7 +541,7 @@ def fused_dense_top_k(
         grid = (n // block_n, b // block_q)
         kernel = functools.partial(
             _kernel_iterate, k=k, n_tile=block_n, block_q=block_q,
-            has_mask=has_mask,
+            has_mask=has_mask, subtiles=subtiles,
         )
         in_specs = [
             pl.BlockSpec((block_q, d), lambda j, i: (i, 0),

@@ -222,3 +222,36 @@ def test_df_cap_with_mask():
         np.asarray(v2), np.asarray(v1), rtol=1e-5, atol=1e-5
     )
     assert (np.asarray(i2)[np.isfinite(np.asarray(v2))] < n_pad // 2).all()
+
+
+def test_df_cap_fuzz_across_corpora():
+    """Window-slice fetch == flat gather across random corpora, caps,
+    and term paddings (incl. all-OOV rows and duplicate terms)."""
+    import jax
+
+    from a_nice_rag_tpu.ops.bm25 import bm25_top_k_sparse
+
+    rng = np.random.default_rng(999)
+    for seed in (41, 43, 47):
+        c, idx, terms = _setup(
+            n_docs=int(rng.integers(60, 400)), seed=seed
+        )
+        t = np.asarray(terms).copy()
+        # inject OOV rows and duplicated terms
+        t[0, :] = -1
+        if t.shape[0] > 2:
+            t[2, 1::2] = t[2, 0]
+        terms = jnp.asarray(t)
+        cap = int(np.diff(np.asarray(idx.bm25.indptr)).max())
+        k = int(rng.integers(3, 12))
+        v1, i1 = bm25_top_k_sparse(idx.bm25, terms, k, budget=16384)
+        v2, i2 = bm25_top_k_sparse(
+            idx.bm25, terms, k, budget=16384, df_cap=cap
+        )
+        np.testing.assert_allclose(
+            np.asarray(v2), np.asarray(v1), rtol=1e-5, atol=1e-5,
+            err_msg=f"seed={seed}",
+        )
+        # all-OOV row produces no candidates on both paths
+        assert not np.isfinite(np.asarray(v1)[0]).any()
+        assert not np.isfinite(np.asarray(v2)[0]).any()

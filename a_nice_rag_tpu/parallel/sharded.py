@@ -323,6 +323,7 @@ class ShardedRetriever:
         budget: int = 16384,
         dense_backend: str = "xla",
         bm25_backend: str = "auto",
+        pallas_config=None,
     ):
         """dense_backend="pallas" streams each shard through the fused
         matmul+top-k kernel (ops.pallas) — use for million-doc shards
@@ -355,6 +356,7 @@ class ShardedRetriever:
         k_local = min(k, n_local)
         n = common_sections_n
         use_pallas = dense_backend == "pallas"
+        pallas_kwargs = pallas_config.as_kwargs() if pallas_config else {}
         interpret = jax.default_backend() != "tpu"
         has_tt = sidx.tt_common is not None
         if bm25_backend in ("two_tier", "two_tier_streaming") and not has_tt:
@@ -391,7 +393,8 @@ class ShardedRetriever:
                     from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
 
                     vals, lidx = fused_dense_top_k(
-                        mat, q, k_local, mask=mask, interpret=interpret
+                        mat, q, k_local, mask=mask, interpret=interpret,
+                        **pallas_kwargs,
                     )
                     gidx = jnp.where(
                         jnp.isfinite(vals),

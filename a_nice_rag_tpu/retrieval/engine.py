@@ -96,10 +96,15 @@ class FusedRetriever:
         common_sections_n: int = 15,
         budget: int = 16384,
         dense_backend: str = "auto",
+        pallas_config=None,
     ):
+        """``pallas_config``: optional ops.pallas.FusedKernelConfig
+        (e.g. from tune_fused_blocks) overriding the streaming kernel's
+        block shape for this corpus/batch signature."""
         self.index = index
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
+        pallas_kwargs = pallas_config.as_kwargs() if pallas_config else {}
         similarity_k = min(similarity_k, index.n_docs)
         common_sections_n = min(common_sections_n, index.n_docs_padded)
         self.similarity_k = similarity_k
@@ -127,7 +132,7 @@ class FusedRetriever:
                     from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
 
                     vals, idx = fused_dense_top_k(
-                        mat, q, similarity_k, mask=mask
+                        mat, q, similarity_k, mask=mask, **pallas_kwargs
                     )
                     lists.append(idx)
                     continue

@@ -20,6 +20,11 @@ class LLMDidNotFinishException(Exception):
     """The judge stopped for a non-'stop' reason (truncation etc.)."""
 
 
+# Strong references to in-flight streaming worker tasks (asyncio holds
+# tasks weakly; see serving/scheduler.py for the same pattern).
+_STREAM_TASKS: set = set()
+
+
 class BaseJudgeLLM:
     async def agenerate(
         self, prompt: str, n: int = 1, temperature: float = 1e-8
@@ -136,23 +141,47 @@ class OpenAICompatJudgeLLM(BaseJudgeLLM):
                         emit(delta)
 
     async def astream(self, prompt, temperature=1e-8):
-        """True server-side streaming (SSE chat completions)."""
+        """True server-side streaming (SSE chat completions).
+
+        Abandoning the generator early (break / wait_for timeout) must
+        not block on the rest of the server stream: the blocking SSE
+        read cannot be cancelled mid-recv, so cleanup sets a closed
+        flag that makes the NEXT delta raise inside the worker thread
+        (tearing the connection down via the response context manager)
+        and returns immediately without awaiting the worker.
+        """
         loop = asyncio.get_running_loop()
         queue: asyncio.Queue = asyncio.Queue()
+        closed = False
         _END = object()
+
+        class _Abandoned(Exception):
+            pass
+
+        def emit(delta):
+            if closed:
+                raise _Abandoned()
+            loop.call_soon_threadsafe(queue.put_nowait, delta)
 
         def worker():
             try:
-                self._stream_call(
-                    prompt,
-                    temperature,
-                    lambda d: loop.call_soon_threadsafe(queue.put_nowait, d),
-                )
-                loop.call_soon_threadsafe(queue.put_nowait, _END)
+                self._stream_call(prompt, temperature, emit)
+                tail = _END
+            except _Abandoned:
+                return  # consumer went away; nothing to deliver
             except BaseException as e:  # delivered to the consumer
-                loop.call_soon_threadsafe(queue.put_nowait, e)
+                tail = e
+            if not closed:
+                try:
+                    loop.call_soon_threadsafe(queue.put_nowait, tail)
+                except RuntimeError:
+                    pass  # loop already gone
 
+        # Strong reference so the event loop's weak task refs cannot GC
+        # the wrapper mid-flight (the thread itself always runs on).
         task = asyncio.ensure_future(asyncio.to_thread(worker))
+        _STREAM_TASKS.add(task)
+        task.add_done_callback(_STREAM_TASKS.discard)
         try:
             while True:
                 item = await queue.get()
@@ -162,7 +191,7 @@ class OpenAICompatJudgeLLM(BaseJudgeLLM):
                     raise item
                 yield item
         finally:
-            await task
+            closed = True
 
 
 class FakeJudgeLLM(BaseJudgeLLM):

@@ -208,6 +208,11 @@ def bm25_top_k_sparse(
 ) -> Tuple[jax.Array, jax.Array]:
     """BM25 top-k without an N-sized score vector OR a scatter.
 
+    ``df_cap`` (optional) switches the postings fetch to per-term
+    window slices — ~10x faster than the flat budget gather, but the
+    cap MUST be >= every queried term's df (:func:`max_df`); a smaller
+    cap silently truncates longer posting lists.
+
     XLA scatter serializes on TPU (the bm25_scores path costs seconds at
     large budgets) and a dense [B, N] accumulator is HBM-hostile at
     sharded scale. Instead: gather the query's (doc id, impact) postings,
@@ -225,8 +230,18 @@ def bm25_top_k_sparse(
             s_ids, score = _rare_candidates_sliced(bm25, q, df_cap, mask)
         else:
             s_ids, score = _rare_candidates(bm25, q, budget, mask)
-        top_s, pos = jax.lax.top_k(score, k)
+        # The sliced candidate set can be narrower than k (few term
+        # slots x small df_cap): top_k over min(k, width), -inf/-1 pad.
+        kk = min(k, score.shape[0])
+        top_s, pos = jax.lax.top_k(score, kk)
         top_ids = jnp.where(jnp.isfinite(top_s), s_ids[pos], -1)
+        if kk < k:
+            top_s = jnp.concatenate(
+                [top_s, jnp.full((k - kk,), -jnp.inf, top_s.dtype)]
+            )
+            top_ids = jnp.concatenate(
+                [top_ids, jnp.full((k - kk,), -1, top_ids.dtype)]
+            )
         return top_s, top_ids
 
     return jax.vmap(one)(q_terms)
@@ -258,6 +273,17 @@ def _rare_candidates(
     return _segment_totals(ids, vals, mask)
 
 
+def max_df(bm25: Bm25Arrays) -> int:
+    """Largest document frequency over the vocabulary — the df_cap a
+    caller must pass for the window-slice fetch to be lossless. (A
+    df_cap below a queried term's df silently truncates that posting
+    list; derive caps with this helper, as ShardedRetriever does.)"""
+    import numpy as np
+
+    diffs = np.diff(np.asarray(bm25.indptr))
+    return int(diffs.max()) if diffs.size else 0
+
+
 def _rare_candidates_sliced(
     bm25: Bm25Arrays,
     q: jax.Array,
@@ -265,6 +291,10 @@ def _rare_candidates_sliced(
     mask: Optional[jax.Array],
 ) -> Tuple[jax.Array, jax.Array]:
     """_rare_candidates via per-term contiguous window reads.
+
+    CONTRACT: ``df_cap`` must be >= the df of every queried term (use
+    :func:`max_df`); a smaller cap silently truncates longer posting
+    lists and undercounts the affected documents' scores.
 
     Posting lists are contiguous CSR runs, so the T query terms' lists
     are T batched ``lax.dynamic_slice`` windows of static width

@@ -19,11 +19,9 @@ import dataclasses
 import json
 import logging
 import os
-import time
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
-import numpy as np
 
 logger = logging.getLogger(__name__)
 
@@ -53,17 +51,6 @@ _memory_cache: Dict[str, FusedKernelConfig] = {}
 def _signature(n: int, d: int, b: int, k: int, dtype: str) -> str:
     platform = jax.devices()[0].platform
     return f"{platform}:n{n}:d{d}:b{b}:k{k}:{dtype}"
-
-
-def _time_once(fn, reps: int) -> float:
-    out = fn()
-    jax.block_until_ready(out)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    return (time.perf_counter() - t0) / reps
 
 
 def tune_fused_blocks(
@@ -111,7 +98,9 @@ def tune_fused_blocks(
             fn = lambda: fused_dense_top_k(
                 emb, queries, k, block_q=bq, block_n=bn, subtiles=st
             )
-            ms = min(_time_once(fn, reps) for _ in range(trials)) * 1e3
+            from a_nice_rag_tpu.testing.timing import chained_dispatch_ms
+
+            ms = chained_dispatch_ms(fn, n=reps, trials=trials)
         except Exception as e:  # compile failure on exotic shapes
             logger.info("autotune: (%d, %d, %d) failed: %s", bq, bn, st, e)
             continue

@@ -426,6 +426,7 @@ class ShardedRetriever:
                         rare_df_cap
                         if rare_df_cap is not None
                         and t_slots * rare_df_cap <= 4 * budget
+                        and t_slots * rare_df_cap >= k_local
                         else None
                     )
                     vals, lidx = bm25_top_k_two_tier(
@@ -461,6 +462,7 @@ class ShardedRetriever:
                     csr_df_cap
                     if csr_df_cap is not None
                     and t_slots * csr_df_cap <= 4 * budget
+                    and t_slots * csr_df_cap >= k_local
                     else None
                 )
                 vals, lidx = bm25_top_k_sparse(

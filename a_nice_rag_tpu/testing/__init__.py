@@ -6,3 +6,4 @@ from a_nice_rag_tpu.testing.golden import (  # noqa: F401
     golden_wrrf,
 )
 from a_nice_rag_tpu.testing.synth import synth_corpus  # noqa: F401
+from a_nice_rag_tpu.testing.timing import chained_dispatch_ms  # noqa: F401,E501

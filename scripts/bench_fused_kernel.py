@@ -6,22 +6,12 @@ fine here because kernel times are >> the ~2 ms dispatch floor.
 Usage: python scripts/bench_fused_kernel.py [N] [D] [B] [k]
 """
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(fn, n=8):
-    out = fn()
-    jax.block_until_ready(out)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    return (time.perf_counter() - t0) / n * 1e3
+from a_nice_rag_tpu.testing.timing import chained_dispatch_ms as timeit
 
 
 def main():

@@ -7,7 +7,6 @@ shape-faithful; large device arrays are generated on-device (host
 uploads through the tunnel dominate wall clock otherwise).
 """
 import functools
-import time
 
 print = functools.partial(print, flush=True)
 
@@ -15,19 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from a_nice_rag_tpu.testing.timing import chained_dispatch_ms
+
 
 def timeit(fn, n=8, trials=3):
-    out = fn()
-    jax.block_until_ready(out)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn()
-        float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-        best = min(best, (time.perf_counter() - t0) / n * 1e3)
-    return best
+    return chained_dispatch_ms(fn, n=n, trials=trials)
 
 
 def main():
@@ -95,9 +86,11 @@ def main():
             ck = lambda: fused_dense_top_k(
                 tt.common_impact_t, qtf, K, block_q=128, block_n=8192)
             print(f"  common streaming kernel:      {timeit(ck):8.2f} ms")
-            rc = jax.jit(lambda q: jax.vmap(
-                lambda qq: _rare_candidates(rare, qq, BUDGET, None))(q))
-            print(f"  rare candidates (sort+seg):   {timeit(lambda: rc(q_terms)):8.2f} ms")
+            # Pass the CSR as an ARGUMENT, never close over it
+            # (CLAUDE.md: closures embed arrays as compile constants).
+            rc = jax.jit(lambda bm, q: jax.vmap(
+                lambda qq: _rare_candidates(bm, qq, BUDGET, None))(q))
+            print(f"  rare candidates (sort+seg):   {timeit(lambda: rc(rare, q_terms)):8.2f} ms")
             r_ids = jnp.asarray(
                 np.sort(rng.integers(0, N, size=(B, BUDGET)), axis=1)
                 .astype(np.int32))

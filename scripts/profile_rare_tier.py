@@ -5,7 +5,6 @@ stages so the optimization targets the real cost. Chained-dispatch
 timing (n calls, one value read, /n).
 """
 import functools
-import time
 
 print = functools.partial(print, flush=True)
 
@@ -13,16 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-
-def timeit(fn, n=8):
-    out = fn()
-    jax.block_until_ready(out)
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    float(np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0])
-    return (time.perf_counter() - t0) / n * 1e3
+from a_nice_rag_tpu.testing.timing import chained_dispatch_ms as timeit
 
 
 def main():
@@ -179,9 +169,9 @@ def main():
         n_docs_padded=2_000_000,
     )
     qt = jnp.asarray(rng.integers(0, V, size=(B, 16)).astype(np.int32))
-    rare = jax.jit(lambda q: jax.vmap(
-        lambda qq: _rare_candidates(bm, qq, P, None))(q))
-    print(f"full _rare_candidates [B={B}]:        {timeit(lambda: rare(qt)):8.2f} ms")
+    rare = jax.jit(lambda bm_arg, q: jax.vmap(
+        lambda qq: _rare_candidates(bm_arg, qq, P, None))(q))
+    print(f"full _rare_candidates [B={B}]:        {timeit(lambda: rare(bm, qt)):8.2f} ms")
 
 
 if __name__ == "__main__":

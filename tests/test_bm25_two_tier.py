@@ -255,3 +255,30 @@ def test_df_cap_fuzz_across_corpora():
         # all-OOV row produces no candidates on both paths
         assert not np.isfinite(np.asarray(v1)[0]).any()
         assert not np.isfinite(np.asarray(v2)[0]).any()
+
+
+def test_df_cap_narrower_than_k():
+    """t_slots * df_cap < k must pad with -inf/-1, not crash (the
+    sharded auto-route also refuses such caps, but the op itself must
+    hold up for direct callers)."""
+    from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, bm25_top_k_sparse
+
+    # every term df=1
+    v, n = 8, 16
+    indptr = np.arange(v + 1, dtype=np.int32)
+    doc_ids = np.concatenate(
+        [np.arange(v, dtype=np.int32), [n]]).astype(np.int32)
+    impact = np.concatenate(
+        [np.linspace(1.0, 2.0, v, dtype=np.float32), [0.0]])
+    bm = Bm25Arrays(
+        indptr=jnp.asarray(indptr), doc_ids=jnp.asarray(doc_ids),
+        impact=jnp.asarray(impact), n_docs_padded=n,
+    )
+    q = jnp.asarray([[0, 3, -1, -1]], jnp.int32)  # 4 slots, df_cap=1
+    vals, ids = bm25_top_k_sparse(bm, q, k=8, df_cap=1)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert vals.shape == (1, 8)
+    assert np.isfinite(vals[0, :2]).all()
+    assert set(ids[0, :2]) == {0, 3}
+    assert not np.isfinite(vals[0, 2:]).any()
+    assert (ids[0, 2:] == -1).all()

@@ -106,3 +106,35 @@ def test_default_astream_single_chunk():
         return chunks
 
     assert asyncio.run(run()) == ['{"x": 1}']
+
+
+def test_astream_abandon_does_not_block():
+    """Breaking out of an astream must not hang waiting for the rest of
+    the server stream (the worker is torn down lazily via the closed
+    flag)."""
+    import time
+
+    from a_nice_rag_tpu.evals.ragas.llm import OpenAICompatJudgeLLM
+
+    llm = OpenAICompatJudgeLLM.__new__(OpenAICompatJudgeLLM)
+
+    def fake_stream_call(prompt, temperature, emit):
+        for i in range(1000):
+            emit(f"chunk{i} ")
+            time.sleep(0.001)
+
+    llm._stream_call = fake_stream_call
+
+    async def run():
+        chunks = []
+        t0 = time.perf_counter()
+        async for c in llm.astream("p"):
+            chunks.append(c)
+            if len(chunks) >= 3:
+                break
+        return chunks, time.perf_counter() - t0
+
+    chunks, elapsed = asyncio.run(run())
+    assert len(chunks) == 3
+    # 1000 chunks x 1ms would be ~1s if close blocked on the worker
+    assert elapsed < 0.5, elapsed

@@ -22,3 +22,8 @@ from a_nice_rag_tpu.index.io import (  # noqa: F401
     load_reference_chunk_db,
     load_reference_query_db,
 )
+from a_nice_rag_tpu.index.updates import (  # noqa: F401
+    append_documents,
+    delete_documents,
+    undelete_documents,
+)

@@ -36,14 +36,19 @@ class CorpusMeta:
     def __post_init__(self) -> None:
         self.id_to_row: Dict[str, int] = {d: i for i, d in enumerate(self.ids)}
         self._sources_upper = np.array([s.upper() for s in self.sources])
+        # Tombstones: deleted documents stay in the device arrays but are
+        # excluded from every candidate mask (O(1) online deletes; see
+        # index/updates.delete_documents).
+        self.deleted = np.zeros(self.n_docs, dtype=bool)
 
     def filter_mask(self, filename_type_filter: Optional[str]) -> np.ndarray:
         """Boolean [N_pad] mask of documents whose source starts with any
         of the comma-separated prefixes (reference semantics,
-        src/search_engine.py:36-55). None/empty -> all valid docs."""
+        src/search_engine.py:36-55). None/empty -> all valid docs.
+        Tombstoned (deleted) documents are always excluded."""
         mask = np.zeros(self.n_docs_padded, dtype=bool)
         if not filename_type_filter:
-            mask[: self.n_docs] = True
+            mask[: self.n_docs] = ~self.deleted
             return mask
         prefixes = tuple(
             p.strip().upper() for p in filename_type_filter.split(",")
@@ -51,7 +56,7 @@ class CorpusMeta:
         m = np.zeros(self.n_docs, dtype=bool)
         for p in prefixes:
             m |= np.char.startswith(self._sources_upper, p)
-        mask[: self.n_docs] = m
+        mask[: self.n_docs] = m & ~self.deleted
         return mask
 
     def doc(self, row: int) -> Dict[str, str]:

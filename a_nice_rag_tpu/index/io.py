@@ -58,6 +58,7 @@ def save_index(index: ArrayIndex, path: str) -> None:
         "dense_models": list(index.dense.keys()),
         "vocab": index.vocab,
         "bm25_stats": index.bm25_stats,
+        "deleted_rows": np.flatnonzero(index.meta.deleted).tolist(),
     }
     with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
         json.dump(meta, f)
@@ -82,6 +83,8 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
         n_docs=meta_d["n_docs"],
         n_docs_padded=meta_d["n_docs_padded"],
     )
+    for row in meta_d.get("deleted_rows", []):
+        meta.deleted[row] = True
     dense = {
         m: jnp.asarray(data[f"dense/{m}"], dtype=jnp.dtype(emb_dtype))
         for m in meta_d["dense_models"]

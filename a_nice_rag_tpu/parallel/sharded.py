@@ -83,6 +83,12 @@ class ShardedIndex:
             return (self.host_axis, self.corpus_axis)
         return self.corpus_axis
 
+    def refresh_masks(self) -> None:
+        """Drop cached device masks so base-index tombstone changes
+        (index.updates.delete_documents) become visible to sharded
+        retrieval."""
+        self._mask_cache.clear()
+
     def filter_mask(self, filename_type_filter: Optional[str]) -> jax.Array:
         key = filename_type_filter or None
         if key not in self._mask_cache:

@@ -202,6 +202,9 @@ class ArrayIndex:
 
     def __post_init__(self) -> None:
         self._filter_cache: Dict[Optional[str], np.ndarray] = {}
+        # Bumped by index.updates tombstone mutations so retriever-side
+        # derived-mask caches (e.g. FusedRetriever's bm25 mask) refresh.
+        self._version = 0
 
     @property
     def n_docs(self) -> int:

@@ -51,6 +51,7 @@ def delete_documents(index: ArrayIndex, doc_ids: Sequence[str]) -> int:
             n_new += 1
     if n_new:
         index._filter_cache.clear()
+        index._version += 1
     return n_new
 
 
@@ -64,6 +65,7 @@ def undelete_documents(index: ArrayIndex, doc_ids: Sequence[str]) -> int:
             n_new += 1
     if n_new:
         index._filter_cache.clear()
+        index._version += 1
     return n_new
 
 

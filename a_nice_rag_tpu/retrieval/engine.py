@@ -210,7 +210,8 @@ class FusedRetriever:
         q_tuple = tuple(jnp.asarray(q_embs[m]) for m in self.model_names)
         mask = idx.filter_mask(filename_type_filter)
         if self.use_bm25:
-            key = ("bm25_mask", filename_type_filter or None)
+            key = ("bm25_mask", filename_type_filter or None,
+                   getattr(idx, "_version", 0))
             if key not in self._const_cache:
                 self._const_cache[key] = mask & jnp.asarray(idx.bm25_doc_mask)
             bm25_mask = self._const_cache[key]

@@ -127,3 +127,20 @@ def test_append_dense_only_index():
     )
     assert idx2.meta.n_docs == idx.meta.n_docs + 1
     assert idx2.bm25 is None
+
+
+def test_delete_invalidates_live_retriever_masks():
+    """A FusedRetriever built BEFORE a delete must stop returning the
+    tombstoned docs (its derived bm25 mask cache is version-keyed)."""
+    c, idx = _index(n_docs=120, seed=41)
+    fr = FusedRetriever(idx, ("voyage-3-large",), use_bm25=True,
+                        similarity_k=8, common_sections_n=8)
+    terms = jnp.asarray(idx.pad_term_ids(c.query_tokens, 16))
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    w = {"voyage-3-large": 5.0, "BM25": 1.0}
+    ids, _, _ = fr(q, terms, w, None, 40.0)
+    victims_rows = sorted({int(np.asarray(ids)[b, 0]) for b in range(4)})
+    delete_documents(idx, [c.ids[r] for r in victims_rows])
+    ids2, _, _ = fr(q, terms, w, None, 40.0)
+    returned = {int(i) for i in np.asarray(ids2).ravel() if i >= 0}
+    assert not set(victims_rows) & returned

@@ -31,6 +31,12 @@ from a_nice_rag_tpu.models.nli import (  # noqa: F401
     synth_nli_pairs,
     train_nli_scorer,
 )
+from a_nice_rag_tpu.models.pipeline import (  # noqa: F401
+    make_pipeline_forward,
+    make_pipeline_train_step,
+    merge_pipeline_params,
+    split_pipeline_params,
+)
 from a_nice_rag_tpu.models.qwen3 import (  # noqa: F401
     Qwen3Config,
     Qwen3Encoder,

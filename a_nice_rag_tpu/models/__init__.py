@@ -31,6 +31,12 @@ from a_nice_rag_tpu.models.nli import (  # noqa: F401
     synth_nli_pairs,
     train_nli_scorer,
 )
+from a_nice_rag_tpu.models.moe import (  # noqa: F401
+    MoEEncoderConfig,
+    MoETransformerEncoder,
+    init_moe_encoder,
+    make_moe_train_step,
+)
 from a_nice_rag_tpu.models.pipeline import (  # noqa: F401
     make_pipeline_forward,
     make_pipeline_train_step,

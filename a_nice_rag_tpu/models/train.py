@@ -79,12 +79,19 @@ def make_sharded_train_step(
     temperature: float = 0.05,
     dp_axis: str = "dp",
     tp_axis: str = "tp",
+    sp_axis: Optional[str] = None,
 ):
-    """dp x tp sharded train step.
+    """dp x tp (x optionally sp) sharded train step.
 
     Returns (step, sharded_params, sharded_opt_state). Batches passed to
     ``step`` must be shardable over ``dp`` (leading dim divisible by the
     dp axis size); put them on device with the returned ``batch_sharding``.
+
+    ``sp_axis`` additionally shards the SEQUENCE dimension of the token
+    batch (sequence parallelism, GSPMD-style): XLA propagates the
+    seq-dim sharding through embedding/norm/FFN and inserts the
+    all-gathers attention needs — activation memory per device drops by
+    the sp factor for the elementwise portions.
     """
     optimizer = optimizer or optax.adamw(1e-3)
     p_shard = param_shardings(params, mesh, tp_axis)
@@ -92,7 +99,7 @@ def make_sharded_train_step(
     opt_state = jax.jit(
         optimizer.init, out_shardings=None
     )(params)
-    batch_sharding = NamedSharding(mesh, P(dp_axis, None))
+    batch_sharding = NamedSharding(mesh, P(dp_axis, sp_axis))
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, q_ids, d_ids):

@@ -39,9 +39,9 @@ def delete_documents(index: ArrayIndex, doc_ids: Sequence[str]) -> int:
     """Tombstone documents by id; returns how many were newly deleted.
 
     Unknown ids are ignored. The update is visible to every retrieval
-    path that consumes ``filter_mask`` (all of them); sharded indexes
-    cache device masks — call ``ShardedIndex.refresh_masks()`` (or
-    rebuild the sharded layout) after deleting from their base index.
+    path that consumes ``filter_mask`` (all of them): derived-mask
+    caches (FusedRetriever, ShardedIndex) are version-keyed and refresh
+    on their next call.
     """
     n_new = 0
     for d in doc_ids:
@@ -70,10 +70,26 @@ def undelete_documents(index: ArrayIndex, doc_ids: Sequence[str]) -> int:
 
 
 def _frozen_idf(df: int, stats: Dict[str, float]) -> float:
-    raw = math.log(stats["corpus_size"] - df + 0.5) - math.log(df + 0.5)
+    num = stats["corpus_size"] - df + 0.5
+    # df at or beyond the frozen corpus size (possible when appends
+    # outgrow the original build) means raw idf <= 0: epsilon floor.
+    raw = math.log(num) - math.log(df + 0.5) if num > 0 else -1.0
     if raw < 0:
         return stats["epsilon"] * stats["average_idf"]
     return raw
+
+
+def _ensure_average_idf(stats: Dict[str, float], indptr) -> None:
+    """Imported stats dicts (reference BM25 pickles) lack average_idf;
+    derive it from the frozen df distribution so the epsilon floor
+    works for appended postings too."""
+    if "average_idf" in stats:
+        return
+    df = np.diff(np.asarray(indptr)).astype(np.float64)
+    df = df[df > 0]
+    cs = stats["corpus_size"]
+    raw = np.log(np.maximum(cs - df + 0.5, 1e-9)) - np.log(df + 0.5)
+    stats["average_idf"] = float(raw.mean()) if raw.size else 1.0
 
 
 def append_documents(
@@ -85,6 +101,7 @@ def append_documents(
     urls: Optional[Sequence[str]] = None,
     token_lists: Optional[Sequence[Sequence[str]]] = None,
     pad_multiple: int = 128,
+    bm25_dense_max_bytes: int = 4 << 30,
 ) -> ArrayIndex:
     """A new ArrayIndex with the documents appended (see module doc).
 
@@ -99,6 +116,10 @@ def append_documents(
     dup = [d for d in ids if d in index.meta.id_to_row]
     if dup:
         raise ValueError(f"ids already present: {dup[:5]}")
+    if len(set(ids)) != m:
+        seen = set()
+        repeats = [d for d in ids if d in seen or seen.add(d)]
+        raise ValueError(f"duplicate ids within batch: {repeats[:5]}")
     old_n = index.meta.n_docs
     n = old_n + m
     n_pad = _pad_to(n, pad_multiple)
@@ -141,6 +162,7 @@ def append_documents(
                 "index has a BM25 component; token_lists required"
             )
         stats = dict(index.bm25_stats)
+        _ensure_average_idf(stats, index.bm25.indptr)
         k1, b = stats["k1"], stats["b"]
         avgdl = stats["avgdl"]
 
@@ -227,7 +249,11 @@ def append_documents(
         bm25_doc_mask[:old_n] = old_mask[:old_n]
         bm25_doc_mask[old_n:n] = dl > 0
 
-        if index.bm25_dense is not None:
+        # Same size gate as build_index: the dense MXU fast path is a
+        # convenience, not worth OOMing an online append over.
+        dense_bytes = len(vocab) * n_pad * 4
+        if (index.bm25_dense is not None
+                and dense_bytes <= bm25_dense_max_bytes):
             bm25_dense = dense_impact_from_csr(
                 bm25, dtype=str(index.bm25_dense.impact.dtype)
             )

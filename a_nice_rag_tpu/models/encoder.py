@@ -54,28 +54,48 @@ class RMSNorm(nn.Module):
         return (x * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype) * scale
 
 
+def attention_sublayer(cfg, x, mask, positions):
+    """Pre-norm multi-head attention + residual.
+
+    Must be called inside an ``nn.compact`` ``__call__``; submodule
+    creation order (RMSNorm, qkv Dense, proj Dense) fixes the parameter
+    names, shared by the dense Block and the MoE block so the attention
+    numerics live in exactly one place.
+    """
+    head_dim = cfg.dim // cfg.n_heads
+    h = RMSNorm(cfg.dim)(x)
+    qkv = nn.Dense(3 * cfg.dim, use_bias=False, dtype=cfg.dtype)(h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    b, s, _ = q.shape
+    q = _rope(q.reshape(b, s, cfg.n_heads, head_dim), positions)
+    k = _rope(k.reshape(b, s, cfg.n_heads, head_dim), positions)
+    v = v.reshape(b, s, cfg.n_heads, head_dim)
+    attn = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(head_dim)
+    attn = jnp.where(mask[:, None, None, :], attn, -1e30)
+    attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, cfg.dim)
+    return x + nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype)(out)
+
+
+def pooled_projection(cfg, x, mask):
+    """Final RMSNorm + masked mean pool + projection + L2 normalize
+    (shared by the dense and MoE encoders; compact-context only)."""
+    x = RMSNorm(cfg.dim)(x)
+    w = mask.astype(jnp.float32)[:, :, None]
+    pooled = (x.astype(jnp.float32) * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+    out = nn.Dense(cfg.out_dim, use_bias=False, dtype=jnp.float32)(pooled)
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True).clip(1e-6)
+
+
 class Block(nn.Module):
     cfg: EncoderConfig
 
     @nn.compact
     def __call__(self, x, mask, positions):
         cfg = self.cfg
-        head_dim = cfg.dim // cfg.n_heads
-        h = RMSNorm(cfg.dim)(x)
-        qkv = nn.Dense(3 * cfg.dim, use_bias=False, dtype=cfg.dtype)(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, s, _ = q.shape
-        q = _rope(q.reshape(b, s, cfg.n_heads, head_dim), positions)
-        k = _rope(k.reshape(b, s, cfg.n_heads, head_dim), positions)
-        v = v.reshape(b, s, cfg.n_heads, head_dim)
-        attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(head_dim)
-        attn = jnp.where(mask[:, None, None, :], attn, -1e30)
-        attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, cfg.dim)
-        x = x + nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype)(out)
-
+        x = attention_sublayer(cfg, x, mask, positions)
         h = RMSNorm(cfg.dim)(x)
         gate = nn.Dense(cfg.mlp_ratio * cfg.dim, use_bias=False, dtype=cfg.dtype)(h)
         up = nn.Dense(cfg.mlp_ratio * cfg.dim, use_bias=False, dtype=cfg.dtype)(h)
@@ -96,14 +116,7 @@ class TransformerEncoder(nn.Module):
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
         for _ in range(cfg.n_layers):
             x = Block(cfg)(x, mask, positions)
-        x = RMSNorm(cfg.dim)(x)
-        # Masked mean pooling.
-        w = mask.astype(jnp.float32)[:, :, None]
-        pooled = (x.astype(jnp.float32) * w).sum(1) / jnp.maximum(
-            w.sum(1), 1.0
-        )
-        out = nn.Dense(cfg.out_dim, use_bias=False, dtype=jnp.float32)(pooled)
-        return out / jnp.linalg.norm(out, axis=-1, keepdims=True).clip(1e-6)
+        return pooled_projection(cfg, x, mask)
 
 
 def init_encoder(

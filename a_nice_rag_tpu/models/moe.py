@@ -27,7 +27,11 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from a_nice_rag_tpu.models.encoder import RMSNorm, _rope
+from a_nice_rag_tpu.models.encoder import (
+    RMSNorm,
+    attention_sublayer,
+    pooled_projection,
+)
 from a_nice_rag_tpu.models.train import contrastive_loss
 
 
@@ -51,7 +55,9 @@ class MoEFFN(nn.Module):
     cfg: MoEEncoderConfig
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(
+        self, x: jax.Array, valid: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.cfg
         b, s, d = x.shape
         e = cfg.n_experts
@@ -64,10 +70,22 @@ class MoEFFN(nn.Module):
         expert = jnp.argmax(probs, axis=-1)  # [B, S]
         gate = jnp.max(probs, axis=-1)  # [B, S]
 
-        # Load-balance aux loss (GShard eq. 4): mean prob * mean count.
+        # Padding tokens are not routed: they consume no capacity, get
+        # zero combine weight (residual passthrough), and are excluded
+        # from the balance statistics so the router is not trained to
+        # balance garbage positions.
+        valid_f = valid.astype(jnp.float32)
         onehot = jax.nn.one_hot(expert, e, dtype=jnp.float32)
-        frac_tokens = onehot.mean(axis=(0, 1))
-        frac_probs = probs.mean(axis=(0, 1))
+        onehot = onehot * valid_f[..., None]
+        gate = gate * valid_f
+        n_valid = jnp.maximum(valid_f.sum(), 1.0)
+
+        # Load-balance aux loss (GShard eq. 4): mean prob * mean count
+        # over VALID tokens.
+        frac_tokens = onehot.sum(axis=(0, 1)) / n_valid
+        frac_probs = (
+            probs * valid_f[..., None]
+        ).sum(axis=(0, 1)) / n_valid
         aux = e * jnp.sum(frac_tokens * frac_probs)
 
         # Position of each token within its expert's capacity buffer.
@@ -108,24 +126,9 @@ class MoEBlock(nn.Module):
     @nn.compact
     def __call__(self, x, mask, positions):
         cfg = self.cfg
-        head_dim = cfg.dim // cfg.n_heads
+        x = attention_sublayer(cfg, x, mask, positions)
         h = RMSNorm(cfg.dim)(x)
-        qkv = nn.Dense(3 * cfg.dim, use_bias=False, dtype=cfg.dtype)(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        b, s, _ = q.shape
-        q = _rope(q.reshape(b, s, cfg.n_heads, head_dim), positions)
-        k = _rope(k.reshape(b, s, cfg.n_heads, head_dim), positions)
-        v = v.reshape(b, s, cfg.n_heads, head_dim)
-        attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(head_dim)
-        attn = jnp.where(mask[:, None, None, :], attn, -1e30)
-        attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, cfg.dim)
-        x = x + nn.Dense(cfg.dim, use_bias=False, dtype=cfg.dtype)(out)
-
-        h = RMSNorm(cfg.dim)(x)
-        y, aux = MoEFFN(cfg)(h)
+        y, aux = MoEFFN(cfg)(h, mask)
         return x + y, aux
 
 
@@ -145,13 +148,7 @@ class MoETransformerEncoder(nn.Module):
         for _ in range(cfg.n_layers):
             x, aux = MoEBlock(cfg)(x, mask, positions)
             aux_total = aux_total + aux
-        x = RMSNorm(cfg.dim)(x)
-        w = mask.astype(jnp.float32)[:, :, None]
-        pooled = (x.astype(jnp.float32) * w).sum(1) / jnp.maximum(
-            w.sum(1), 1.0
-        )
-        out = nn.Dense(cfg.out_dim, use_bias=False, dtype=jnp.float32)(pooled)
-        out = out / jnp.linalg.norm(out, axis=-1, keepdims=True).clip(1e-6)
+        out = pooled_projection(cfg, x, mask)
         return out, aux_total / cfg.n_layers
 
 

@@ -84,14 +84,22 @@ class ShardedIndex:
         return self.corpus_axis
 
     def refresh_masks(self) -> None:
-        """Drop cached device masks so base-index tombstone changes
-        (index.updates.delete_documents) become visible to sharded
-        retrieval."""
+        """Drop cached device masks immediately (the version-keyed
+        caches below also refresh lazily on their next call)."""
         self._mask_cache.clear()
 
+    def _evict_stale(self, version: int) -> None:
+        for k in [k for k in self._mask_cache if k[-1] != version]:
+            del self._mask_cache[k]
+
     def filter_mask(self, filename_type_filter: Optional[str]) -> jax.Array:
-        key = filename_type_filter or None
+        # Version-keyed on the base index so tombstone deletes
+        # (index.updates) are visible on the next call; stale-version
+        # entries are evicted, not leaked.
+        version = getattr(self.base_index, "_version", 0)
+        key = (filename_type_filter or None, version)
         if key not in self._mask_cache:
+            self._evict_stale(version)
             m = self.base_index.meta.filter_mask(filename_type_filter)
             m = np.pad(m, (0, self.n_docs_padded - m.shape[0]))
             sh = NamedSharding(self.mesh, P(self.doc_axes))
@@ -99,8 +107,10 @@ class ShardedIndex:
         return self._mask_cache[key]
 
     def bm25_mask(self, filename_type_filter: Optional[str]) -> jax.Array:
-        key = ("bm25", filename_type_filter or None)
+        version = getattr(self.base_index, "_version", 0)
+        key = ("bm25", filename_type_filter or None, version)
         if key not in self._mask_cache:
+            self._evict_stale(version)
             m = self.base_index.meta.filter_mask(filename_type_filter)
             if self.base_index.bm25_doc_mask is not None:
                 m = m & self.base_index.bm25_doc_mask

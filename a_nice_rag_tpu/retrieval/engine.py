@@ -210,9 +210,17 @@ class FusedRetriever:
         q_tuple = tuple(jnp.asarray(q_embs[m]) for m in self.model_names)
         mask = idx.filter_mask(filename_type_filter)
         if self.use_bm25:
-            key = ("bm25_mask", filename_type_filter or None,
-                   getattr(idx, "_version", 0))
+            version = getattr(idx, "_version", 0)
+            key = ("bm25_mask", filename_type_filter or None, version)
             if key not in self._const_cache:
+                # Evict masks from older index versions (tombstone
+                # mutations) so repeated deletes cannot leak device
+                # arrays in a long-lived retriever.
+                for stale in [
+                    k for k in self._const_cache
+                    if k[0] == "bm25_mask" and k[-1] != version
+                ]:
+                    del self._const_cache[stale]
                 self._const_cache[key] = mask & jnp.asarray(idx.bm25_doc_mask)
             bm25_mask = self._const_cache[key]
             terms = jnp.asarray(q_terms)

@@ -31,6 +31,7 @@ from a_nice_rag_tpu.ops.bm25 import (
     bm25_scores,
     bm25_scores_dense,
     bm25_scores_dense_gather,
+    bm25_top_k_sparse,
 )
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n
@@ -115,6 +116,10 @@ class FusedRetriever:
         if n_lists == 0:
             raise ValueError("FusedRetriever needs at least one ranker")
         use_dense_bm25 = use_bm25 and index.bm25_dense is not None
+        csr_df_cap = None
+        if use_bm25 and not use_dense_bm25 and index.bm25_stats:
+            cap = int(index.bm25_stats.get("max_df", 0) or 0)
+            csr_df_cap = max(cap, 1) if cap else None
         use_pallas = dense_backend == "pallas" or (
             dense_backend == "auto"
             and jax.default_backend() == "tpu"
@@ -122,6 +127,9 @@ class FusedRetriever:
             and n_pad % 8192 == 0
             and similarity_k <= 128
         )
+        interpret = jax.default_backend() != "tpu"
+        if interpret:
+            pallas_kwargs = dict(pallas_kwargs, interpret=True)
 
         @partial(jax.jit, static_argnames=())
         def run(dense_mats, bm25_arrays, q_embs, q_terms, mask, bm25_mask,
@@ -150,10 +158,34 @@ class FusedRetriever:
                         scores = bm25_scores_dense_gather(bm25_arrays, q_terms)
                     else:
                         scores = bm25_scores_dense(bm25_arrays, q_terms)
+                    scores = jnp.where(
+                        bm25_mask[None, :], scores, -jnp.inf
+                    )
+                    vals, idx = masked_top_k(scores, similarity_k)
+                elif use_pallas:
+                    # Million-doc CSR index: sort-based sparse top-k —
+                    # the scatter scoring path would serialize and the
+                    # [B, N_pad] score matrix is the thing the Pallas
+                    # route exists to avoid. Window-slice fetch when the
+                    # corpus's df skew allows.
+                    t = q_terms.shape[1]
+                    cap = (
+                        csr_df_cap
+                        if csr_df_cap is not None
+                        and t * csr_df_cap <= 4 * budget
+                        and t * csr_df_cap >= similarity_k
+                        else None
+                    )
+                    vals, idx = bm25_top_k_sparse(
+                        bm25_arrays, q_terms, similarity_k,
+                        mask=bm25_mask, budget=budget, df_cap=cap,
+                    )
                 else:
                     scores = bm25_scores(bm25_arrays, q_terms, budget)
-                scores = jnp.where(bm25_mask[None, :], scores, -jnp.inf)
-                vals, idx = masked_top_k(scores, similarity_k)
+                    scores = jnp.where(
+                        bm25_mask[None, :], scores, -jnp.inf
+                    )
+                    vals, idx = masked_top_k(scores, similarity_k)
                 lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
             if len(lists) == 1:
                 ids = lists[0][:, :common_sections_n]

@@ -239,3 +239,39 @@ def test_fused_retriever_pallas_backend(setup):
     v1, i1 = wrrf_top_n(jnp.asarray(lists), w, 8, idx.n_docs_padded, 40.0)
     v2, i2 = wrrf_top_n_sparse(jnp.asarray(lists), w, 8, 40.0)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+
+
+def test_fused_pallas_csr_bm25_matches_xla_path():
+    """At scale without a dense impact matrix the Pallas route scores
+    BM25 via the sort-based sparse top-k; results must match the XLA
+    scatter path."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from a_nice_rag_tpu.index import build_index
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(n_docs=1024, dim=32, n_queries=8, seed=51,
+                     vocab_size=500)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+        bm25_dense_max_bytes=0,  # force the CSR-only layout
+    )
+    assert idx.bm25_dense is None
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    terms = jnp.asarray(idx.pad_term_ids(c.query_tokens, 16))
+    w = {"voyage-3-large": 5.0, "BM25": 1.0}
+    fr_x = FusedRetriever(idx, ("voyage-3-large",), use_bm25=True,
+                          similarity_k=10, common_sections_n=10,
+                          dense_backend="xla")
+    fr_p = FusedRetriever(idx, ("voyage-3-large",), use_bm25=True,
+                          similarity_k=10, common_sections_n=10,
+                          dense_backend="pallas")
+    ids_x, _, _ = fr_x(q, terms, w, None, 40.0)
+    ids_p, _, _ = fr_p(q, terms, w, None, 40.0)
+    for b in range(8):
+        a = [i for i in np.asarray(ids_x)[b] if i >= 0]
+        p = [i for i in np.asarray(ids_p)[b] if i >= 0]
+        assert len(set(a) ^ set(p)) <= 2, (b, a, p)

@@ -108,4 +108,16 @@ with urllib.request.urlopen(req, timeout=30) as resp:
     out = json.loads(resp.read())
 print(f"http: /v1/search returned {len(out['results'])} results")
 server.shutdown()
+
+# 7. Online index updates: O(1) tombstone deletes, frozen-stats appends.
+from a_nice_rag_tpu.index import append_documents, delete_documents
+
+delete_documents(index, [c.ids[0]])
+index2 = append_documents(
+    index,
+    ["new_doc"], ["NG999"], ["a brand new guideline chunk"],
+    {"voyage-3-large": c.embeddings["voyage-3-large"][:1]},
+    token_lists=[c.tokens[0]],
+)
+print(f"updates: deleted 1, appended 1 -> {index2.meta.n_docs} docs")
 print("quickstart OK")

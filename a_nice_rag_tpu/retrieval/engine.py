@@ -101,7 +101,15 @@ class FusedRetriever:
     ):
         """``pallas_config``: optional ops.pallas.FusedKernelConfig
         (e.g. from tune_fused_blocks) overriding the streaming kernel's
-        block shape for this corpus/batch signature."""
+        block shape for this corpus/batch signature.
+
+        Backend semantics note: on the Pallas route a CSR-only BM25 list
+        reports -1 for zero-score slots (docs with no matching term are
+        not candidates), while the XLA scatter path surfaces arbitrary
+        zero-score filler ids to fill k — so a query matching fewer than
+        similarity_k docs can yield a shorter fused list under
+        dense_backend="pallas". Zero-score docs carry no ranking signal
+        either way."""
         self.index = index
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
@@ -118,8 +126,7 @@ class FusedRetriever:
         use_dense_bm25 = use_bm25 and index.bm25_dense is not None
         csr_df_cap = None
         if use_bm25 and not use_dense_bm25 and index.bm25_stats:
-            cap = int(index.bm25_stats.get("max_df", 0) or 0)
-            csr_df_cap = max(cap, 1) if cap else None
+            csr_df_cap = int(index.bm25_stats.get("max_df", 0) or 0) or None
         use_pallas = dense_backend == "pallas" or (
             dense_backend == "auto"
             and jax.default_backend() == "tpu"
@@ -168,12 +175,16 @@ class FusedRetriever:
                     # [B, N_pad] score matrix is the thing the Pallas
                     # route exists to avoid. Window-slice fetch when the
                     # corpus's df skew allows.
+                    # Window slices are lossless whenever df_cap covers
+                    # every term's df (it does: derived from max_df) and
+                    # the op pads when the candidate set is narrower
+                    # than k, so the only routing criterion is width vs
+                    # the flat budget.
                     t = q_terms.shape[1]
                     cap = (
                         csr_df_cap
                         if csr_df_cap is not None
                         and t * csr_df_cap <= 4 * budget
-                        and t * csr_df_cap >= similarity_k
                         else None
                     )
                     vals, idx = bm25_top_k_sparse(

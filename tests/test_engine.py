@@ -226,12 +226,22 @@ def test_fused_retriever_pallas_backend(setup):
 
     if jax.default_backend() != "cpu":
         pytest.skip("interpret-mode check is for the CPU suite")
-    # Monkey-free: force backend and rely on interpret fallback inside
-    # the kernel call? fused kernel needs interpret=True on CPU, which
-    # FusedRetriever doesn't pass; instead verify the sparse-fusion path
-    # equivalence through ops directly.
+    # FusedRetriever now passes interpret=True automatically off-TPU,
+    # so the forced-pallas retriever runs end to end here; also pin the
+    # sparse-fusion op equivalence the pallas route relies on.
     from a_nice_rag_tpu.ops.fusion import wrrf_top_n, wrrf_top_n_sparse
+    from a_nice_rag_tpu.retrieval import FusedRetriever
     import jax.numpy as jnp
+
+    fr = FusedRetriever(idx, ("voyage-3-large",), use_bm25=True,
+                        similarity_k=8, common_sections_n=8,
+                        dense_backend="pallas")
+    terms = jnp.asarray(idx.pad_term_ids(c.query_tokens, 16))
+    ids, _, _ = fr(
+        {"voyage-3-large": c.query_embeddings["voyage-3-large"]}, terms,
+        {"voyage-3-large": 5.0, "BM25": 1.0}, None, 40.0,
+    )
+    assert (np.asarray(ids)[:, 0] >= 0).all()
 
     rng = np.random.default_rng(219)
     lists = rng.integers(0, 300, size=(2, 6, 12)).astype(np.int32)
@@ -269,8 +279,21 @@ def test_fused_pallas_csr_bm25_matches_xla_path():
     fr_p = FusedRetriever(idx, ("voyage-3-large",), use_bm25=True,
                           similarity_k=10, common_sections_n=10,
                           dense_backend="pallas")
-    ids_x, _, _ = fr_x(q, terms, w, None, 40.0)
-    ids_p, _, _ = fr_p(q, terms, w, None, 40.0)
+    ids_x, _, lists_x = fr_x(q, terms, w, None, 40.0)
+    ids_p, _, lists_p = fr_p(q, terms, w, None, 40.0)
+    # Compare the BM25 PER-LIST ids between backends (the fused set is
+    # dense-dominated at 5:1, so comparing only it cannot catch a broken
+    # sparse path). The sparse path reports -1 for zero-score docs the
+    # scatter path surfaces as filler, so compare positive-score ranks.
+    bm25_x = np.asarray(lists_x)[-1]
+    bm25_p = np.asarray(lists_p)[-1]
+    for b in range(8):
+        a = [i for i in bm25_x[b] if i >= 0]
+        p = [i for i in bm25_p[b] if i >= 0]
+        n = min(len(a), len(p))
+        assert n > 0
+        assert len(set(a[:n]) ^ set(p[:n])) <= 2, (b, a, p)
+    # Fused output matches too.
     for b in range(8):
         a = [i for i in np.asarray(ids_x)[b] if i >= 0]
         p = [i for i in np.asarray(ids_p)[b] if i >= 0]

@@ -90,3 +90,26 @@ def test_bubble_schedule_odd_micro(setup):
     with mesh:
         got = np.asarray(fwd(head, blocks, tail, tokens))
     np.testing.assert_allclose(got, ref, atol=2e-2)
+
+
+def test_pipeline_params_checkpoint_roundtrip(tmp_path, setup):
+    """Pipelined (head, blocks, tail) tuple trees round-trip through the
+    orbax checkpoint layer and merge back into a working encoder."""
+    from a_nice_rag_tpu.models.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model, params, mesh, toks = setup
+    head, blocks, tail = split_pipeline_params(params, 4)
+    pipe = (head, blocks, tail)
+    save_checkpoint(str(tmp_path / "ck"), 3, pipe, None)
+    step, restored, _ = restore_checkpoint(
+        str(tmp_path / "ck"), template=pipe
+    )
+    assert step == 3
+    for a, b in zip(jax.tree.leaves(pipe), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    merged = merge_pipeline_params(*restored)
+    out = model.apply(merged, toks())
+    assert np.isfinite(np.asarray(out)).all()

@@ -531,6 +531,23 @@ class ShardedRetriever:
         filename_type_filter: Optional[str] = None,
         wrrf_k: float = 40.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        fids, fvals, _ = self.retrieve_device(
+            q_embs, q_terms, weights, filename_type_filter, wrrf_k
+        )
+        return np.asarray(fvals), np.asarray(fids)
+
+    def retrieve_device(
+        self,
+        q_embs: Dict[str, np.ndarray],
+        q_terms: Optional[np.ndarray],
+        weights: Dict[str, float],
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+    ):
+        """Device-resident fast path with the serving scheduler's
+        contract: returns (fused ids, fused scores, None) as jax arrays
+        (BatchScheduler downloads only the fused outputs). Batch sizes
+        must be divisible by the mesh's dp axis."""
         sidx = self.sidx
         mesh = sidx.mesh
         da = sidx.data_axis
@@ -574,7 +591,7 @@ class ShardedRetriever:
             dense_mats, bm25_parts, tt_parts, q_tuple, terms, mask, bmask,
             w, jnp.float32(wrrf_k),
         )
-        return np.asarray(fvals), np.asarray(fids)
+        return fids, fvals, None
 
 
 def reshard_surviving(

@@ -250,3 +250,52 @@ def test_scheduler_pool_per_configuration(retriever):
         terms, {"voyage-3-large": 5.0, "BM25": 1.0},
     )
     np.testing.assert_array_equal(ids_h, f_ids[0])
+
+
+def test_scheduler_over_sharded_retriever():
+    """The micro-batch scheduler serves a mesh-sharded retriever: the
+    serving-at-scale composition (SURVEY §7 stage 6 over stage 5)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from a_nice_rag_tpu.parallel import shard_index
+    from a_nice_rag_tpu.parallel.sharded import ShardedRetriever
+
+    c = synth_corpus(n_docs=512, dim=32, n_queries=16, seed=95)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    mesh = Mesh(np.array(jax.devices()).reshape(1, 8), ("dp", "corpus"))
+    sidx = shard_index(idx, mesh)
+    sr = ShardedRetriever(
+        sidx, model_names=("voyage-3-large",), use_bm25=True,
+        similarity_k=10, common_sections_n=5, budget=2048,
+    )
+
+    async def run():
+        sched = BatchScheduler(
+            sr, {"voyage-3-large": 5.0, "BM25": 1.0}, max_wait_ms=20.0,
+            t_max=16,
+        )
+        await sched.start()
+        try:
+            async def one(i):
+                terms = idx.term_ids(c.query_tokens[i])[:16]
+                return await sched.submit(
+                    {"voyage-3-large": c.query_embeddings["voyage-3-large"][i]},
+                    terms,
+                )
+
+            return sched, await asyncio.gather(*(one(i) for i in range(12)))
+        finally:
+            await sched.stop()
+
+    sched, results = asyncio.run(run())
+    assert len(results) == 12 and sched.queries_served == 12
+    hits = 0
+    for i, (ids, scores) in enumerate(results):
+        got = [idx.meta.ids[j] for j in ids if j >= 0]
+        hits += c.gold_ids[i] in got
+    assert hits >= 8, hits

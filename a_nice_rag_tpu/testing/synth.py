@@ -58,14 +58,27 @@ def synth_corpus(
     zipf_p /= zipf_p.sum()
 
     ids, sources, contents, urls, tokens = [], [], [], [], []
+    # Per-doc rng.choice over the string vocab rebuilds the 20k-entry
+    # CDF per call (minutes at 100k+ docs); past a size threshold draw
+    # ALL token indices in one vectorized call. The small-corpus path
+    # keeps its original RNG stream so seeded benchmark corpora (and
+    # their asserted planted-gold floors) are byte-identical.
+    big = n_docs > 50_000
+    if big:
+        lengths = rng.integers(20, 120, size=n_docs)
+        draws = rng.choice(vocab_size, size=int(lengths.sum()), p=zipf_p)
+        offsets = np.concatenate([[0], np.cumsum(lengths)])
     for i in range(n_docs):
         prefix = prefixes[i % len(prefixes)]
         source = f"{prefix}{i // 7 + 1}"
         ids.append(f"{source}_Section {i}")
         sources.append(source)
         urls.append(f"https://www.nice.org.uk/guidance/{source.lower()}")
-        length = int(rng.integers(20, 120))
-        toks = list(rng.choice(vocab, size=length, p=zipf_p))
+        if big:
+            toks = [vocab[t] for t in draws[offsets[i]:offsets[i + 1]]]
+        else:
+            length = int(rng.integers(20, 120))
+            toks = list(rng.choice(vocab, size=length, p=zipf_p))
         tokens.append(toks)
         contents.append(" ".join(toks))
 

@@ -144,3 +144,49 @@ def test_delete_invalidates_live_retriever_masks():
     ids2, _, _ = fr(q, terms, w, None, 40.0)
     returned = {int(i) for i in np.asarray(ids2).ravel() if i >= 0}
     assert not set(victims_rows) & returned
+
+
+def test_interleaved_update_rounds_fuzz():
+    """Multiple delete/append/undelete rounds keep retrieval consistent:
+    live docs retrievable, tombstoned docs never returned, metadata and
+    row mapping intact."""
+    rng = np.random.default_rng(71)
+    c, idx = _index(n_docs=100, seed=53)
+    from a_nice_rag_tpu.index import undelete_documents
+
+    alive = set(idx.meta.ids)
+    dead = set()
+    for round_i in range(4):
+        # delete a few random live docs
+        victims = list(rng.choice(sorted(alive), size=5, replace=False))
+        delete_documents(idx, victims)
+        alive -= set(victims)
+        dead |= set(victims)
+        # resurrect one
+        back = victims[0]
+        undelete_documents(idx, [back])
+        alive.add(back)
+        dead.discard(back)
+        # append a couple of new docs
+        c2 = synth_corpus(n_docs=2, dim=32, n_queries=1,
+                          seed=100 + round_i, vocab_size=300)
+        new_ids = [f"r{round_i}_{d}" for d in c2.ids]
+        idx = append_documents(
+            idx, new_ids, c2.sources, c2.contents,
+            {"voyage-3-large": c2.embeddings["voyage-3-large"]},
+            token_lists=c2.tokens,
+        )
+        alive |= set(new_ids)
+
+        mask = np.asarray(idx.filter_mask(None))
+        live_rows = {idx.meta.id_to_row[d] for d in alive}
+        dead_rows = {idx.meta.id_to_row[d] for d in dead}
+        assert all(mask[r] for r in live_rows)
+        assert not any(mask[r] for r in dead_rows)
+        # id_to_row is a bijection over all docs
+        assert len(idx.meta.id_to_row) == idx.meta.n_docs
+
+    # BM25 still retrieves a live appended doc by its own tokens
+    probe = jnp.asarray(idx.pad_term_ids([c2.tokens[0][:8]], 16))
+    s = np.asarray(bm25_scores(idx.bm25, probe, budget=8192))[0]
+    assert s[idx.meta.id_to_row[new_ids[0]]] > 0

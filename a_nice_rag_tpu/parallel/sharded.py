@@ -68,6 +68,11 @@ class ShardedIndex:
     tt_rare_indptr: Optional[jax.Array] = None  # [S, V+1]
     tt_rare_doc_ids: Optional[jax.Array] = None  # [S, rare_nnz_pad+1]
     tt_rare_impact: Optional[jax.Array] = None  # [S, rare_nnz_pad+1]
+    # Build kwargs retained so failure recovery (reshard_surviving) can
+    # rebuild the *same* layout — notably the two-tier streaming BM25
+    # configuration — over the surviving devices.
+    two_tier_common: int = 0
+    two_tier_dtype: str = "bfloat16"
 
     def __post_init__(self) -> None:
         self._mask_cache: Dict[Optional[str], jax.Array] = {}
@@ -267,6 +272,8 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
         tt_rare_doc_ids=tt_rare_ids,
         tt_rare_impact=tt_rare_imp,
         host_axis=host_axis,
+        two_tier_common=two_tier_common if index.bm25 is not None else 0,
+        two_tier_dtype=two_tier_dtype,
     )
 
 
@@ -608,15 +615,41 @@ def reshard_surviving(
     corpus axis, same results). Callers catch the execution error from a
     dead chip, call this with the surviving device list, and rebuild
     their ShardedRetriever.
+
+    The rebuilt index carries the original build configuration — the
+    two-tier streaming BM25 layout (``two_tier_common``/``two_tier_dtype``)
+    and, when the surviving devices still factor over the original host
+    count, the multi-host ``host_axis`` — so a deployment running the
+    flagship ``bm25_backend="two_tier_streaming"`` keeps serving with the
+    same backend after recovery.
     """
     devices = list(devices)
-    corpus = len(devices) // dp
-    mesh = Mesh(
-        np.asarray(devices).reshape(dp, corpus),
-        (sidx.data_axis, sidx.corpus_axis),
-    )
+    host_axis = sidx.host_axis
+    n_hosts = sidx.mesh.shape[host_axis] if host_axis is not None else 1
+    if host_axis is not None and len(devices) % (dp * n_hosts) == 0:
+        corpus = len(devices) // (dp * n_hosts)
+        mesh = Mesh(
+            np.asarray(devices).reshape(dp, n_hosts, corpus),
+            (sidx.data_axis, host_axis, sidx.corpus_axis),
+        )
+    else:
+        # Survivors no longer factor over hosts (or single-host): collapse
+        # to a flat corpus axis. Results are unchanged — only the merge
+        # topology degrades from hierarchical to a single all-gather.
+        host_axis = None
+        corpus = len(devices) // dp
+        mesh = Mesh(
+            np.asarray(devices).reshape(dp, corpus),
+            (sidx.data_axis, sidx.corpus_axis),
+        )
     return shard_index(
-        sidx.base_index, mesh, sidx.corpus_axis, sidx.data_axis
+        sidx.base_index,
+        mesh,
+        sidx.corpus_axis,
+        sidx.data_axis,
+        two_tier_common=sidx.two_tier_common,
+        two_tier_dtype=sidx.two_tier_dtype,
+        host_axis=host_axis,
     )
 
 

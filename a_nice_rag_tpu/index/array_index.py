@@ -254,6 +254,8 @@ def build_index(
     normalize: bool = False,
     bm25_dense_max_bytes: int = 4 << 30,
     bm25_dense_dtype: str = "float32",
+    streaming_align: int = 8192,
+    streaming_threshold: int = 1 << 19,
 ) -> ArrayIndex:
     """Build the hybrid array index.
 
@@ -261,8 +263,16 @@ def build_index(
     produced by the embedding APIs; set ``normalize=True`` to force it).
     ``token_lists``: preprocessed (lemmatized) tokens per document for the
     BM25 component; omit for a dense-only index.
+
+    Corpora at or above ``streaming_threshold`` documents pad the doc
+    axis to ``streaming_align`` (instead of ``pad_multiple``) so the
+    streaming Pallas top-k kernels get their native lane-aligned layout
+    without a per-call zero-pad copy; relative waste is < 1.6% at the
+    threshold and shrinks with N.
     """
     n = len(ids)
+    if n >= streaming_threshold:
+        pad_multiple = max(pad_multiple, streaming_align)
     n_pad = _pad_to(n, pad_multiple)
     meta = CorpusMeta(
         ids=list(ids),

@@ -88,6 +88,25 @@ class FusedRetriever:
     # through the Pallas kernel instead of materialized for lax.top_k.
     PALLAS_THRESHOLD = 1 << 19
 
+    @classmethod
+    def _route_pallas(cls, dense_backend: str, n_pad: int,
+                      similarity_k: int, backend: str) -> bool:
+        """Backend routing decision, factored out for direct testing.
+
+        Any n_pad at or past the threshold auto-routes: the streaming
+        kernel zero-pads misaligned doc axes itself (build_index aligns
+        large corpora to 8192 so real indices avoid even that copy) —
+        the old `n_pad % 8192 == 0` gate silently left 8192-misaligned
+        million-doc indices on the score-materializing XLA path."""
+        if dense_backend == "pallas":
+            return True
+        return (
+            dense_backend == "auto"
+            and backend == "tpu"
+            and n_pad >= cls.PALLAS_THRESHOLD
+            and similarity_k <= 128
+        )
+
     def __init__(
         self,
         index: ArrayIndex,
@@ -127,12 +146,8 @@ class FusedRetriever:
         csr_df_cap = None
         if use_bm25 and not use_dense_bm25 and index.bm25_stats:
             csr_df_cap = int(index.bm25_stats.get("max_df", 0) or 0) or None
-        use_pallas = dense_backend == "pallas" or (
-            dense_backend == "auto"
-            and jax.default_backend() == "tpu"
-            and n_pad >= self.PALLAS_THRESHOLD
-            and n_pad % 8192 == 0
-            and similarity_k <= 128
+        use_pallas = self._route_pallas(
+            dense_backend, n_pad, similarity_k, jax.default_backend()
         )
         interpret = jax.default_backend() != "tpu"
         if interpret:
@@ -190,6 +205,20 @@ class FusedRetriever:
                     vals, idx = bm25_top_k_sparse(
                         bm25_arrays, q_terms, similarity_k,
                         mask=bm25_mask, budget=budget, df_cap=cap,
+                    )
+                elif csr_df_cap is not None \
+                        and q_terms.shape[1] * csr_df_cap <= 4 * budget:
+                    # CSR-only index (vocab x N too big for the dense
+                    # impact matrix) on the XLA route: the scatter
+                    # scoring path serializes on TPU, so use the
+                    # sort-based sparse top-k with per-term window-slice
+                    # postings fetches (lossless — the cap is the
+                    # corpus max_df). Same -1-for-zero-score semantics
+                    # as the Pallas route (documented above).
+                    vals, idx = bm25_top_k_sparse(
+                        bm25_arrays, q_terms, similarity_k,
+                        mask=bm25_mask, budget=budget,
+                        df_cap=csr_df_cap,
                     )
                 else:
                     scores = bm25_scores(bm25_arrays, q_terms, budget)

@@ -7,6 +7,12 @@ Production surface over the retrieval/RAG layers:
   "query_embedding" for offline-embedding deployments)
 * ``POST /v1/rag``     — {"query": str, "llm_model": str, ...} -> full
   answer + sources (non-streaming aggregation of query_rag_stream)
+* ``POST /v1/rag/stream`` (or ``/v1/rag`` with ``"stream": true``) —
+  Server-Sent Events: one ``sources`` event after retrieval, then a
+  ``data: {"delta": ...}`` event per LLM chunk as it is generated,
+  terminated by ``data: [DONE]``. Mirrors the reference's incremental
+  delta streaming to its UI (reference src/query_rag.py:434-513);
+  client disconnects abort the upstream generation (generator close).
 * ``GET  /v1/health``  — liveness + index stats
 
 The reference serves only a Streamlit session; this endpoint is the
@@ -15,8 +21,11 @@ programmatic equivalent for load balancers / clients.
 
 from __future__ import annotations
 
+import itertools
 import json
 import logging
+import select
+import socket
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -45,6 +54,58 @@ def _make_handler(api: "ServingAPI"):
             else:
                 self._reply(404, {"error": "unknown endpoint"})
 
+        def _stream_rag(self, payload: dict) -> None:
+            """SSE: flush each LLM delta to the client as it arrives.
+
+            HTTP/1.0 close-delimited body (no Content-Length); a broken
+            pipe (client abandoned the stream) closes the upstream
+            generator so the LLM call is not run to completion."""
+            gen = api.rag_stream(payload)
+            # Pull the first tuple BEFORE committing the 200/SSE headers
+            # so validation/retrieval errors still surface as clean JSON
+            # error responses (the outer handler catches them).
+            first = next(gen, None)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+            def emit(event: Optional[str], data: str) -> None:
+                # Small writes into a closed socket land in the OS buffer
+                # without error, so a vanished client would otherwise
+                # keep the LLM generating. The client sends nothing after
+                # the request, so a readable socket means EOF (or RST):
+                # peek and abort the stream.
+                readable, _, _ = select.select([self.connection], [], [], 0)
+                if readable:
+                    try:
+                        if not self.connection.recv(1, socket.MSG_PEEK):
+                            raise BrokenPipeError("SSE client closed")
+                    except OSError:
+                        raise BrokenPipeError("SSE client reset")
+                buf = b""
+                if event:
+                    buf += f"event: {event}\n".encode("utf-8")
+                buf += f"data: {data}\n\n".encode("utf-8")
+                self.wfile.write(buf)
+                self.wfile.flush()
+
+            sent_sources = False
+            try:
+                for chunk, _, _, sources_data in itertools.chain(
+                    [first] if first is not None else [], gen
+                ):
+                    if not sent_sources:
+                        emit("sources", json.dumps({"sources": sources_data}))
+                        sent_sources = True
+                    emit(None, json.dumps({"delta": chunk}))
+                emit(None, "[DONE]")
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                logger.debug("SSE client disconnected; aborting generation")
+            finally:
+                gen.close()
+
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -55,6 +116,10 @@ def _make_handler(api: "ServingAPI"):
             try:
                 if self.path == "/v1/search":
                     self._reply(200, api.search(payload))
+                elif self.path == "/v1/rag/stream" or (
+                    self.path == "/v1/rag" and payload.get("stream")
+                ):
+                    self._stream_rag(payload)
                 elif self.path == "/v1/rag":
                     self._reply(200, api.rag(payload))
                 else:
@@ -128,14 +193,13 @@ class ServingAPI:
             ]
         }
 
-    def rag(self, payload: dict) -> dict:
+    def rag_stream(self, payload: dict):
+        """Validated query_rag_stream generator for the given payload."""
         query = payload.get("query")
         llm_model = payload.get("llm_model", "gpt-4.1-mini")
         if not query:
             raise ValueError("'query' is required")
-        chunks = []
-        sources_data = []
-        for chunk, _, _, sources_data in self.rag_system.query_rag_stream(
+        return self.rag_system.query_rag_stream(
             query,
             llm_model,
             similarity_k=int(payload.get("similarity_k", 25)),
@@ -143,7 +207,12 @@ class ServingAPI:
             model_weights=payload.get("model_weights"),
             use_hybrid_search=bool(payload.get("use_hybrid_search", False)),
             use_reranker=bool(payload.get("use_reranker", True)),
-        ):
+        )
+
+    def rag(self, payload: dict) -> dict:
+        chunks = []
+        sources_data = []
+        for chunk, _, _, sources_data in self.rag_stream(payload):
             chunks.append(chunk)
         return {"answer": "".join(chunks), "sources": sources_data}
 

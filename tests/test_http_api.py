@@ -87,3 +87,109 @@ def test_error_paths(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(port, "/v1/nope", {"x": 1})
     assert e.value.code == 404
+
+
+class _GatedClient:
+    """Streams a chunk, then blocks until the test releases the gate —
+    proves SSE deltas reach the client BEFORE generation completes."""
+
+    def __init__(self):
+        import threading
+        self.gate = threading.Event()
+        self.finished = False
+        self.aborted = False
+
+    def stream_chat(self, model, messages, **params):
+        try:
+            yield "first-part "
+            assert self.gate.wait(30), "test never released the gate"
+            yield "second-part"
+            self.finished = True
+        except GeneratorExit:
+            self.aborted = True
+            raise
+
+
+def _open_stream(port, payload, path="/v1/rag/stream"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    return urllib.request.urlopen(req, timeout=30)
+
+
+def _sse_events(fp):
+    """Yield (event, data) pairs from an SSE byte stream, incrementally."""
+    event = None
+    for raw in fp:
+        line = raw.decode().rstrip("\n")
+        if line.startswith("event: "):
+            event = line[len("event: "):]
+        elif line.startswith("data: "):
+            yield event, line[len("data: "):]
+            event = None
+
+
+@pytest.fixture()
+def gated_server():
+    c = synth_corpus(n_docs=60, dim=16, n_queries=2, seed=77)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents, urls=c.urls,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    client = _GatedClient()
+    rag = RAGSystem(
+        indexes={InfoSource.NICE: idx}, llm_clients={"fake": client},
+    )
+    srv = serve(rag, port=0, background=True)
+    yield c, client, srv.server_address[1]
+    srv.shutdown()
+
+
+def test_rag_sse_streams_before_generation_completes(gated_server):
+    c, client, port = gated_server
+    resp = _open_stream(port, {
+        "query": " ".join(c.query_tokens[0][:4]),
+        "llm_model": "fake-llm",
+        "model_weights": {"voyage-3-large": 0.0, "BM25": 1.0},
+        "use_hybrid_search": True, "use_reranker": False,
+    })
+    assert resp.headers["Content-Type"] == "text/event-stream"
+    events = _sse_events(resp)
+    ev, data = next(events)
+    assert ev == "sources" and json.loads(data)["sources"]
+    ev, data = next(events)
+    # First delta arrives while the generator is still gated: streaming.
+    assert json.loads(data)["delta"] == "first-part "
+    assert client.finished is False
+    client.gate.set()
+    rest = list(events)
+    assert rest[-1][1] == "[DONE]"
+    deltas = [json.loads(d)["delta"] for e, d in rest[:-1]]
+    assert "second-part" in "".join(deltas)
+    assert client.finished is True
+
+
+def test_rag_sse_client_abandonment_aborts_generation(gated_server):
+    import time
+    c, client, port = gated_server
+    resp = _open_stream(port, {
+        "query": " ".join(c.query_tokens[0][:4]),
+        "llm_model": "fake-llm",
+        "model_weights": {"voyage-3-large": 0.0, "BM25": 1.0},
+        "use_hybrid_search": True, "use_reranker": False,
+        "stream": True,
+    }, path="/v1/rag")
+    events = _sse_events(resp)
+    next(events)  # sources
+    next(events)  # first delta
+    resp.close()  # abandon mid-generation
+    client.gate.set()  # let the generator hit the broken pipe
+    for _ in range(100):
+        if client.aborted or client.finished:
+            break
+        time.sleep(0.1)
+    # The server must close the upstream generator instead of running
+    # the LLM call to completion for a vanished client.
+    assert client.aborted is True or client.finished is False

@@ -48,4 +48,5 @@ from a_nice_rag_tpu.models.qwen3 import (  # noqa: F401
     Qwen3Encoder,
     convert_hf_qwen3,
     load_hf_qwen3_encoder,
+    load_qwen3_checkpoint_dir,
 )

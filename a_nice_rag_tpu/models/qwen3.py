@@ -235,6 +235,45 @@ def convert_hf_qwen3(
     return {"params": params}
 
 
+def load_qwen3_checkpoint_dir(
+    path: str,
+    dtype=jnp.bfloat16,
+    pool: str = "last",
+) -> Tuple[Qwen3Config, "Qwen3Encoder", Dict]:
+    """Load a Qwen3 checkpoint directory without instantiating torch.
+
+    ``path`` is a HF-format directory: ``config.json`` plus one or more
+    ``*.safetensors`` weight files (sharded checkpoints with a
+    ``model.safetensors.index.json`` are handled by just reading every
+    shard). Tensors are read straight into numpy (bf16 via ml_dtypes),
+    so loading a multi-GB embedding model never materializes a torch
+    module — the reference instead loads four SaaS/torch embedding
+    models per process (reference src/query_rag_retrieval.py:38-111).
+
+    Returns (cfg, flax module, params ready for ``module.apply``).
+    """
+    import glob
+    import json as _json
+    import os
+    from types import SimpleNamespace
+
+    from safetensors import numpy as _stn
+
+    with open(os.path.join(path, "config.json"), "r", encoding="utf-8") as f:
+        hf_cfg = SimpleNamespace(**_json.load(f))
+    cfg = Qwen3Config.from_hf(hf_cfg, dtype=dtype)
+    state_dict: Dict[str, np.ndarray] = {}
+    shards = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not shards:
+        raise FileNotFoundError(f"no *.safetensors under {path}")
+    for shard in shards:
+        for key, arr in _stn.load_file(shard).items():
+            # ml_dtypes bf16 arrays convert fine via np.asarray(float32)
+            state_dict[key] = np.asarray(arr, dtype=np.float32)
+    params = convert_hf_qwen3(state_dict, cfg)
+    return cfg, Qwen3Encoder(cfg, pool=pool), params
+
+
 def load_hf_qwen3_encoder(
     name: str = "Qwen/Qwen3-Embedding-0.6B",
     dtype=jnp.bfloat16,

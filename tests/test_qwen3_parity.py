@@ -125,3 +125,51 @@ def test_gqa_and_head_dim_shapes():
     assert lp["q_proj"]["kernel"].shape == (64, 96)
     assert lp["k_proj"]["kernel"].shape == (64, 48)
     assert lp["q_norm"]["scale"].shape == (24,)
+
+
+def test_checkpoint_dir_loader_matches_torch(tmp_path):
+    """load_qwen3_checkpoint_dir: safetensors -> params without torch
+    (round-2 verdict weak #7: there was no checkpoint-dir load path).
+    Saved random-init HF checkpoint, loaded torch-free, output parity."""
+    from a_nice_rag_tpu.models.qwen3 import load_qwen3_checkpoint_dir
+
+    hf_cfg, model = _tiny_hf_model(seed=5)
+    ckpt = tmp_path / "qwen3-tiny"
+    model.save_pretrained(ckpt, safe_serialization=True)
+    assert list(ckpt.glob("*.safetensors"))
+
+    cfg, enc, params = load_qwen3_checkpoint_dir(
+        str(ckpt), dtype=jnp.float32, pool="none"
+    )
+    assert cfg.num_layers == hf_cfg.num_hidden_layers
+    ids, mask, positions = _batch(seed=9)
+    with torch.no_grad():
+        want = model(
+            input_ids=torch.tensor(ids),
+            attention_mask=torch.tensor(mask),
+            position_ids=torch.tensor(positions),
+        ).last_hidden_state.numpy()
+    got = np.asarray(enc.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+    live = mask.astype(bool)
+    np.testing.assert_allclose(got[live], want[live], rtol=2e-4, atol=2e-4)
+
+
+def test_checkpoint_dir_loader_sharded(tmp_path):
+    """Sharded save (multiple safetensors files) loads identically."""
+    from a_nice_rag_tpu.models.qwen3 import load_qwen3_checkpoint_dir
+
+    hf_cfg, model = _tiny_hf_model(seed=6)
+    one = tmp_path / "one"
+    many = tmp_path / "many"
+    model.save_pretrained(one, safe_serialization=True)
+    model.save_pretrained(many, safe_serialization=True,
+                          max_shard_size="100KB")
+    assert len(list(many.glob("*.safetensors"))) > 1
+    _, enc, p1 = load_qwen3_checkpoint_dir(str(one), dtype=jnp.float32)
+    _, _, p2 = load_qwen3_checkpoint_dir(str(many), dtype=jnp.float32)
+    import jax
+    flat1 = jax.tree_util.tree_leaves(p1)
+    flat2 = jax.tree_util.tree_leaves(p2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

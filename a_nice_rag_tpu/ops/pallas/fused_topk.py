@@ -111,14 +111,18 @@ def _fold_tile_iterate(scores, off, run_v, run_i):
     """
     bq, nt = scores.shape
     k = run_v.shape[1]
+    neg = jnp.asarray(NEG, scores.dtype)
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, nt), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
     row_max = jnp.max(scores, axis=1)
-    kth = jnp.min(run_v, axis=1)
+    kth = jnp.min(run_v, axis=1).astype(scores.dtype)
 
     def cond(c):
         it, _, rm, _, _, kth = c
-        return jnp.logical_and(it < nt, jnp.max(rm - kth) > 0.0)
+        # Scalar reductions must be 32-bit on Mosaic; rm/kth are tiny
+        # [Bq] vectors so the cast is off the critical path.
+        gap = (rm - kth).astype(jnp.float32)
+        return jnp.logical_and(it < nt, jnp.max(gap) > 0.0)
 
     def body(c):
         it, s, rm, rv, ri, kth = c
@@ -126,15 +130,61 @@ def _fold_tile_iterate(scores, off, run_v, run_i):
         imp = rm > kth
         amin = jnp.argmin(rv, axis=1).astype(jnp.int32)
         hot = jnp.logical_and(kcol == amin[:, None], imp[:, None])
-        rv = jnp.where(hot, rm[:, None], rv)
+        rv = jnp.where(hot, rm[:, None].astype(jnp.float32), rv)
         ri = jnp.where(hot, (arg + off)[:, None], ri)
-        s = jnp.where(col == arg[:, None], NEG, s)
+        s = jnp.where(col == arg[:, None], neg, s)
         rm = jnp.max(s, axis=1)
-        kth = jnp.min(rv, axis=1)
+        kth = jnp.min(rv, axis=1).astype(s.dtype)
         return it + 1, s, rm, rv, ri, kth
 
     _, _, _, rv, ri, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), scores, row_max, run_v, run_i, kth)
+    )
+    return rv, ri
+
+
+def _fold_tile_scratch(s_ref, off, rv, ri):
+    """Scratch-ref variant of :func:`_fold_tile_iterate`.
+
+    The extraction loop mutates the score subtile IN PLACE through a
+    VMEM scratch ref instead of carrying the [Bq, W] array through the
+    while_loop — carried multi-MB arrays are copied per iteration by
+    Mosaic, which round-3 measurements put at ~1.8 ms of the 13.4 ms
+    N=4M kernel (scratch fold: 11.6 ms, ids identical).
+
+    ``s_ref`` holds the subtile's scores (already written); rv/ri are
+    the small [Bq, k] running arrays (carried — they are k-wide, copy
+    cost negligible).
+    """
+    bq, w = s_ref.shape
+    k = rv.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
+    rm0 = jnp.max(s_ref[:, :], axis=1)
+    kth0 = jnp.min(rv, axis=1)
+
+    def cond(c):
+        it, rm, _, _, kth = c
+        gap = (rm - kth).astype(jnp.float32)
+        return jnp.logical_and(it < w, jnp.max(gap) > 0.0)
+
+    def body(c):
+        it, rm, rv, ri, kth = c
+        ss = s_ref[:, :]
+        arg = jnp.argmax(ss, axis=1).astype(jnp.int32)
+        imp = rm > kth
+        amin = jnp.argmin(rv, axis=1).astype(jnp.int32)
+        hot = jnp.logical_and(kcol == amin[:, None], imp[:, None])
+        rv = jnp.where(hot, rm[:, None].astype(jnp.float32), rv)
+        ri = jnp.where(hot, (arg + off)[:, None], ri)
+        ss = jnp.where(cols == arg[:, None], jnp.asarray(NEG, ss.dtype), ss)
+        s_ref[:, :] = ss
+        rm = jnp.max(ss, axis=1)
+        kth = jnp.min(rv, axis=1).astype(rm.dtype)
+        return it + 1, rm, rv, ri, kth
+
+    _, _, rv, ri, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rm0, rv, ri, kth0.astype(rm0.dtype))
     )
     return rv, ri
 
@@ -147,12 +197,18 @@ def _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k: int):
 
 
 def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
-                   k: int, n_tile: int, block_q: int, subtiles: int = 1):
+                   k: int, n_tile: int, block_q: int, subtiles: int = 1,
+                   row_groups: int = 1, s_scr=None):
     """Shared doc-major visit: fold this (doc tile, query block)'s scores
     into the full-batch running scratch and emit at the last doc tile.
 
     The block's rows are read and written through ``pl.ds`` dynamic
-    ref slices at a block_q-aligned sublane offset."""
+    ref slices at a block_q-aligned sublane offset.
+
+    ``row_groups > 1`` additionally splits the block's ROWS into that
+    many independently-triggered fold loops: one hot row no longer
+    drags every row of the block through its extraction iterations —
+    each iteration's passes run on a row_groups-times-smaller array."""
     j = pl.program_id(0)
     i = pl.program_id(1)
     n_tiles = pl.num_programs(0)
@@ -173,10 +229,36 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
     while width % n_sub:
         n_sub //= 2
     w = width // n_sub
-    for s in range(n_sub):
-        rv, ri = _fold_tile_iterate(
-            scores[:, s * w:(s + 1) * w], j * n_tile + s * w, rv, ri
-        )
+    n_rg = row_groups
+    while block_q % n_rg or (block_q // n_rg) % 8:
+        n_rg //= 2
+    rh = block_q // n_rg
+    use_scr = s_scr is not None and s_scr.dtype == scores.dtype
+    if n_rg == 1:
+        for s in range(n_sub):
+            if use_scr:
+                s_scr[:, :] = scores[:, s * w:(s + 1) * w]
+                rv, ri = _fold_tile_scratch(
+                    s_scr, j * n_tile + s * w, rv, ri
+                )
+            else:
+                rv, ri = _fold_tile_iterate(
+                    scores[:, s * w:(s + 1) * w], j * n_tile + s * w, rv, ri
+                )
+    else:
+        rv_parts, ri_parts = [], []
+        for g in range(n_rg):
+            gv = rv[g * rh:(g + 1) * rh, :]
+            gi = ri[g * rh:(g + 1) * rh, :]
+            for s in range(n_sub):
+                gv, gi = _fold_tile_iterate(
+                    scores[g * rh:(g + 1) * rh, s * w:(s + 1) * w],
+                    j * n_tile + s * w, gv, gi,
+                )
+            rv_parts.append(gv)
+            ri_parts.append(gi)
+        rv = jnp.concatenate(rv_parts, axis=0)
+        ri = jnp.concatenate(ri_parts, axis=0)
     run_v[pl.ds(row0, block_q), :] = rv
     run_i[pl.ds(row0, block_q), :] = ri
 
@@ -186,7 +268,8 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
 
 
 def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
-                    has_mask: bool, subtiles: int = 1):
+                    has_mask: bool, subtiles: int = 1,
+                    row_groups: int = 1, compare_dtype=jnp.float32):
     """Doc-major streaming fold: grid = (n_tiles, b_blocks).
 
     The doc axis is the OUTER grid dimension and the running top-k
@@ -198,29 +281,38 @@ def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
     whole-tile select pass — the common unfiltered case at scale.
     """
     if has_mask:
-        q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i = refs
+        q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, s_scr = refs
     else:
-        q_ref, e_ref, vals_ref, idx_ref, run_v, run_i = refs
+        q_ref, e_ref, vals_ref, idx_ref, run_v, run_i, s_scr = refs
 
+    # bf16 comparison passes: the dot emits bfloat16 scores, halving
+    # every selection pass's vector footprint. Rounded-score top-k —
+    # ids may differ from the f32 path only among scores within one
+    # bf16 ulp (documented exact-tie caveat).
     scores = jax.lax.dot_general(
         q_ref[:],
         e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=compare_dtype,
     )
     if has_mask:
-        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+        scores = jnp.where(
+            mask_ref[:][None, :], scores, jnp.asarray(NEG, compare_dtype)
+        )
     _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
-                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles,
+                   row_groups=row_groups, s_scr=s_scr)
 
 
 def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
-                         has_mask: bool, subtiles: int = 1):
+                         has_mask: bool, subtiles: int = 1,
+                         row_groups: int = 1):
     if has_mask:
         (q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
-         run_v, run_i) = refs
+         run_v, run_i, s_scr) = refs
     else:
-        q_ref, qs_ref, e_ref, es_ref, vals_ref, idx_ref, run_v, run_i = refs
+        (q_ref, qs_ref, e_ref, es_ref, vals_ref, idx_ref, run_v, run_i,
+         s_scr) = refs
 
     acc = jax.lax.dot_general(
         q_ref[:],
@@ -236,7 +328,8 @@ def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
     if has_mask:
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
-                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles,
+                   row_groups=row_groups, s_scr=s_scr)
 
 
 def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
@@ -409,6 +502,9 @@ def fused_dense_top_k_int8(
             _kernel_iterate_int8, k=k, n_tile=block_n, block_q=block_q,
             has_mask=has_mask, subtiles=subtiles,
         )
+        n_sub = subtiles
+        while block_n % n_sub:
+            n_sub //= 2
         in_specs = [
             pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -435,6 +531,9 @@ def fused_dense_top_k_int8(
         scratch = [
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, k), jnp.int32),
+            # Score-subtile scratch for the in-place extraction loop
+            # (see _fold_tile_scratch).
+            pltpu.VMEM((block_q, block_n // n_sub), jnp.float32),
         ]
     else:
         has_mask = True
@@ -497,7 +596,8 @@ def fused_dense_top_k_int8(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes",
-                     "interpret", "algo", "subtiles"),
+                     "interpret", "algo", "subtiles", "row_groups",
+                     "compare_dtype"),
 )
 def fused_dense_top_k(
     emb: jax.Array,
@@ -511,6 +611,8 @@ def fused_dense_top_k(
     interpret: bool = False,
     algo: str = "iterate",
     subtiles: int = 2,
+    row_groups: int = 1,
+    compare_dtype: str = "float32",
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k.
 
@@ -541,7 +643,8 @@ def fused_dense_top_k(
         grid = (n // block_n, b // block_q)
         kernel = functools.partial(
             _kernel_iterate, k=k, n_tile=block_n, block_q=block_q,
-            has_mask=has_mask, subtiles=subtiles,
+            has_mask=has_mask, subtiles=subtiles, row_groups=row_groups,
+            compare_dtype=jnp.dtype(compare_dtype),
         )
         in_specs = [
             pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
@@ -562,9 +665,16 @@ def fused_dense_top_k(
             pl.BlockSpec((block_q, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
+        n_sub = subtiles
+        while block_n % n_sub:
+            n_sub //= 2
         scratch = [
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, k), jnp.int32),
+            # Score-subtile scratch for the in-place extraction loop
+            # (see _fold_tile_scratch).
+            pltpu.VMEM((block_q, block_n // n_sub),
+                       jnp.dtype(compare_dtype)),
         ]
     else:
         if mask is None:

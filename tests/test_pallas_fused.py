@@ -105,3 +105,29 @@ def test_fused_int8_with_mask():
     )
     i_p = np.asarray(i_p)
     assert ((i_p >= 200) & (i_p < 400)).all()
+
+
+def test_fused_new_levers_parity():
+    """Round-3 kernel levers: row_groups decoupling and bf16 comparison
+    passes (documented exact-tie caveat) match the f32 reference on
+    integer-valued scores (exactly representable in bf16)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
+
+    rng = np.random.default_rng(4)
+    n, d, b, k = 4096, 64, 32, 8
+    emb = rng.integers(-3, 4, size=(n, d)).astype(np.float32)
+    q = rng.integers(-2, 3, size=(b, d)).astype(np.float32)
+    scores = q @ emb.T
+    ref = np.sort(scores, axis=1)[:, ::-1][:, :k]
+    for kwargs in (dict(row_groups=4), dict(compare_dtype="bfloat16"),
+                   dict(row_groups=4, compare_dtype="bfloat16",
+                        subtiles=4)):
+        v, i = fused_dense_top_k(
+            jnp.asarray(emb), jnp.asarray(q), k, interpret=True,
+            block_q=16, block_n=1024, **kwargs,
+        )
+        got = np.take_along_axis(scores, np.asarray(i), axis=1)
+        np.testing.assert_array_equal(np.sort(got)[:, ::-1], ref)

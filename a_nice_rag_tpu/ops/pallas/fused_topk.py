@@ -229,8 +229,10 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
     while width % n_sub:
         n_sub //= 2
     w = width // n_sub
-    n_rg = row_groups
-    while block_q % n_rg or (block_q // n_rg) % 8:
+    n_rg = max(row_groups, 1)
+    # Each row group must be a whole number of 8-row sublanes; at tiny
+    # block_q (dryrun shapes) that may only hold at n_rg == 1.
+    while n_rg > 1 and (block_q % n_rg or (block_q // n_rg) % 8):
         n_rg //= 2
     rh = block_q // n_rg
     use_scr = s_scr is not None and s_scr.dtype == scores.dtype

@@ -5,5 +5,9 @@ from a_nice_rag_tpu.testing.golden import (  # noqa: F401
     golden_dense_top_k,
     golden_wrrf,
 )
-from a_nice_rag_tpu.testing.synth import synth_corpus  # noqa: F401
+from a_nice_rag_tpu.testing.synth import (  # noqa: F401
+    REFERENCE_QUALITY_NOISE,
+    calibrated_quality_corpus,
+    synth_corpus,
+)
 from a_nice_rag_tpu.testing.timing import chained_dispatch_ms  # noqa: F401,E501

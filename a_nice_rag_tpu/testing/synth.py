@@ -40,12 +40,25 @@ def synth_corpus(
     seed: int = 0,
     models: Optional[List[str]] = None,
     prefixes: Optional[List[str]] = None,
+    model_noise: Optional[Dict[str, float]] = None,
+    query_token_noise: float = 0.0,
+    query_len_range: Optional[tuple] = None,
 ) -> SynthCorpus:
     """Build a synthetic corpus where query q's gold document is doc q.
 
     Query embeddings are a noisy copy of their gold document embedding,
     and query tokens are sampled from the gold document's tokens, so both
     dense and BM25 retrieval have a meaningful signal to find.
+
+    ``model_noise`` gives each dense model its own query-noise scale
+    (default: 0.25 for every model — the historical stream, byte-stable
+    for seeded benchmark corpora). ``query_token_noise`` replaces that
+    fraction of each query's tokens with global Zipf draws, degrading the
+    BM25 signal independently of the dense noise. Together they let a
+    sweep reproduce the reference's qualitative §6.1 structure (dense
+    models spread, dense > BM25, hybrid >= best single) instead of four
+    statistically identical models — see
+    ``calibrated_quality_corpus``.
     """
     rng = np.random.default_rng(seed)
     n_queries = min(n_queries, n_docs)
@@ -91,13 +104,23 @@ def synth_corpus(
     gold_ids = [ids[j] for j in q_idx]
     query_embeddings = {}
     for m in models:
-        noise = 0.25 * rng.standard_normal((n_queries, dim)).astype(np.float32)
+        scale = 0.25 if model_noise is None else model_noise.get(m, 0.25)
+        noise = scale * rng.standard_normal((n_queries, dim)).astype(np.float32)
         query_embeddings[m] = _unit(embeddings[m][q_idx] + noise)
     query_tokens = []
     for j in q_idx:
         doc_toks = tokens[j]
-        take = min(len(doc_toks), int(rng.integers(3, 9)))
-        query_tokens.append(list(rng.choice(doc_toks, size=take)))
+        lo, hi = query_len_range or (3, 9)
+        take = min(len(doc_toks), int(rng.integers(lo, hi)))
+        q_toks = list(rng.choice(doc_toks, size=take))
+        if query_token_noise > 0.0:
+            flips = rng.random(take) < query_token_noise
+            noise_toks = rng.choice(vocab, size=take, p=zipf_p)
+            q_toks = [
+                noise_toks[t] if flips[t] else q_toks[t]
+                for t in range(take)
+            ]
+        query_tokens.append(q_toks)
 
     return SynthCorpus(
         ids=ids,
@@ -109,4 +132,47 @@ def synth_corpus(
         query_tokens=query_tokens,
         query_embeddings=query_embeddings,
         gold_ids=gold_ids,
+    )
+
+
+# Per-model query-noise scales calibrated (scripts history, round 3) so a
+# 9.7k-doc sweep reproduces the reference's qualitative §6.1 structure:
+# dense MRR spread Voyage-3-Large > Voyage-3.5 > Qwen3 > TE3L, every
+# dense model above BM25, and hybrid/ensemble fusion lifting R@10 above
+# the best single ranker (reference
+# results/retrieval_evaluation_results.csv rows 2-8).
+REFERENCE_QUALITY_NOISE: Dict[str, float] = {
+    "voyage-3-large": 0.2135,
+    "voyage-3.5": 0.2235,
+    "text-embedding-3-large": 0.2315,
+    "Qwen3": 0.2255,
+}
+REFERENCE_QUALITY_TOKEN_NOISE: float = 0.37
+REFERENCE_QUALITY_QUERY_LEN: tuple = (6, 14)
+
+
+def calibrated_quality_corpus(
+    n_docs: int = 9728,
+    dim: int = 256,
+    n_queries: int = 2048,
+    vocab_size: int = 20000,
+    seed: int = 42,
+) -> SynthCorpus:
+    """Reference-§6.1-shaped synthetic corpus (see REFERENCE_QUALITY_NOISE).
+
+    Used by the committed synthetic sweep
+    (results/retrieval_evaluation_results_synthetic.csv) and the quality
+    -gate tests: a fusion/scoring regression that would flip the
+    reference's configuration ordering flips it here too.
+    """
+    return synth_corpus(
+        n_docs=n_docs,
+        dim=dim,
+        n_queries=n_queries,
+        vocab_size=vocab_size,
+        seed=seed,
+        models=list(REFERENCE_QUALITY_NOISE),
+        model_noise=dict(REFERENCE_QUALITY_NOISE),
+        query_token_noise=REFERENCE_QUALITY_TOKEN_NOISE,
+        query_len_range=REFERENCE_QUALITY_QUERY_LEN,
     )

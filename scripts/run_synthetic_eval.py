@@ -34,15 +34,17 @@ def main() -> None:
     from a_nice_rag_tpu.index import build_index
     from a_nice_rag_tpu.retrieval import SearchEngine
     from a_nice_rag_tpu.retrieval.rerank import IdentityReranker
-    from a_nice_rag_tpu.testing import synth_corpus
+    from a_nice_rag_tpu.testing import calibrated_quality_corpus
 
     print("platform:", jax.devices()[0].platform)
     models = [
         "voyage-3-large", "voyage-3.5", "text-embedding-3-large", "Qwen3",
     ]
-    c = synth_corpus(
+    # Calibrated per-model noise reproduces the reference's qualitative
+    # quality structure (dense spread, dense > BM25, fusion lifts) —
+    # see testing.synth.REFERENCE_QUALITY_NOISE and tests/test_quality_gate.py.
+    c = calibrated_quality_corpus(
         n_docs=9728, dim=256, n_queries=2048, vocab_size=20000, seed=42,
-        models=models,
     )
     idx = build_index(
         ids=c.ids, sources=c.sources, contents=c.contents,

@@ -43,6 +43,11 @@ from a_nice_rag_tpu.models.pipeline import (  # noqa: F401
     merge_pipeline_params,
     split_pipeline_params,
 )
+from a_nice_rag_tpu.models.rerank_train import (  # noqa: F401
+    RerankTrainResult,
+    mine_candidates,
+    train_cross_encoder_reranker,
+)
 from a_nice_rag_tpu.models.qwen3 import (  # noqa: F401
     Qwen3Config,
     Qwen3Encoder,

@@ -22,12 +22,43 @@ from a_nice_rag_tpu.models.tokenizer import HashingTokenizer
 
 class CrossEncoderReranker(nn.Module):
     cfg: EncoderConfig
+    # Cross-segment lexical interaction features (DRMM/KNRM-style): for
+    # every token, whether/how often its id occurs in the OTHER segment
+    # of the [query ; SEP ; document] pair, projected into the embedding
+    # stream. Token-identity copy-detection is brutally sample-
+    # inefficient for a small from-scratch transformer (it memorizes
+    # training lists instead — round-3 measurement: holdout accuracy at
+    # chance); the explicit interaction generalizes by construction and
+    # the transformer learns how to weight it.
+    use_match_features: bool = False
 
     @nn.compact
     def __call__(self, token_ids: jax.Array) -> jax.Array:
         cfg = self.cfg
         mask = token_ids > 0
         x = nn.Embed(cfg.vocab_size, cfg.dim, dtype=cfg.dtype)(token_ids)
+        if self.use_match_features:
+            sep = cfg.vocab_size - 1
+            is_sep = token_ids == sep
+            # False = query segment, True = document segment (the SEP
+            # itself lands in the doc segment; it is excluded via valid).
+            seg = jnp.cumsum(is_sep.astype(jnp.int32), axis=1) > 0
+            valid = mask & ~is_sep
+            eq = token_ids[:, :, None] == token_ids[:, None, :]
+            cross = seg[:, :, None] != seg[:, None, :]
+            m = eq & cross & valid[:, :, None] & valid[:, None, :]
+            match_any = jnp.any(m, axis=2)
+            match_cnt = jnp.sum(m.astype(jnp.float32), axis=2)
+            feats = jnp.stack(
+                [
+                    match_any.astype(jnp.float32),
+                    jnp.log1p(match_cnt),
+                    seg.astype(jnp.float32),
+                ],
+                axis=-1,
+            ).astype(cfg.dtype)
+            x = x + nn.Dense(cfg.dim, dtype=cfg.dtype,
+                             name="match_proj")(feats)
         positions = jnp.cumsum(mask.astype(jnp.int32), axis=-1) - 1
         for _ in range(cfg.n_layers):
             x = Block(cfg)(x, mask, positions)
@@ -46,9 +77,12 @@ class OnDeviceReranker:
         params=None,
         tokenizer: Optional[HashingTokenizer] = None,
         seed: int = 0,
+        use_match_features: bool = False,
     ):
         self.cfg = cfg or EncoderConfig(n_layers=2)
-        self.model = CrossEncoderReranker(self.cfg)
+        self.model = CrossEncoderReranker(
+            self.cfg, use_match_features=use_match_features
+        )
         self.tokenizer = tokenizer or HashingTokenizer(
             vocab_size=self.cfg.vocab_size
         )

@@ -1,0 +1,286 @@
+"""One-command production serving: index -> scheduler -> HTTP.
+
+Wires the serving stack end to end (round-2 verdict next-step #8):
+
+* index artifact (or a synthetic demo corpus) loaded once,
+* single-device ``FusedRetriever`` — optionally autotuned Pallas blocks
+  (``--autotune``) — or, with ``--shards N``, a ``ShardedRetriever``
+  over an N-device corpus mesh guarded by a ``DeviceHealthMonitor``
+  that reshards over survivors and swaps the retriever live,
+* a ``SchedulerPool`` micro-batching every configuration,
+* the stdlib HTTP surface: ``/v1/search`` (scheduler-batched when the
+  payload carries a precomputed embedding), ``/v1/stats``
+  (scheduler/batching counters + health events), ``/v1/health``.
+
+The reference serves one Streamlit session per process
+(reference src/streamlit_app.py); this is the production equivalent.
+
+Usage:
+    python -m a_nice_rag_tpu.serving.serve_cli --index artifacts/nice \
+        [--port 8800] [--autotune] [--shards 4]
+    python -m a_nice_rag_tpu.serving.serve_cli --demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ServeState:
+    """Mutable serving state; the health monitor swaps retrievers."""
+
+    def __init__(self, index, retriever, pool, monitor=None, t_max=16):
+        self.index = index
+        self.retriever = retriever
+        self.pool = pool
+        self.monitor = monitor
+        self.t_max = t_max
+        self.loop: Optional[asyncio.AbstractEventLoop] = None
+
+    def submit_sync(self, q_emb: Dict[str, np.ndarray], q_terms, weights,
+                    filt, wrrf_k, timeout_s: float = 30.0):
+        fut = asyncio.run_coroutine_threadsafe(
+            self.pool.submit(q_emb, q_terms, weights=weights,
+                             filename_type_filter=filt, wrrf_k=wrrf_k),
+            self.loop,
+        )
+        return fut.result(timeout=timeout_s)
+
+
+def build_state(
+    index,
+    model_names,
+    use_bm25: bool = True,
+    autotune: bool = False,
+    shards: int = 0,
+    two_tier_common: int = 0,
+    scheduler_kwargs: Optional[Dict] = None,
+) -> ServeState:
+    import jax
+
+    monitor = None
+    if shards > 1:
+        from a_nice_rag_tpu.parallel import (
+            DeviceHealthMonitor,
+            make_mesh,
+            shard_index,
+        )
+        from a_nice_rag_tpu.parallel.sharded import ShardedRetriever
+
+        devices = jax.devices()[:shards]
+        mesh = make_mesh(shape=(1, len(devices)),
+                         axis_names=("dp", "corpus"), devices=devices)
+        sidx = shard_index(index, mesh, two_tier_common=two_tier_common)
+        bm25_backend = "auto"
+
+        def make_retriever(s):
+            return ShardedRetriever(
+                s, model_names, use_bm25=use_bm25,
+                bm25_backend=bm25_backend,
+            )
+
+        retriever = make_retriever(sidx)
+        state = ServeState(index, retriever, None)
+
+        def rebuild(new_sidx):
+            state.retriever = make_retriever(new_sidx)
+            from a_nice_rag_tpu.serving import SchedulerPool
+
+            state.pool = SchedulerPool(state.retriever,
+                                       **(scheduler_kwargs or {}))
+            logger.warning("serve: retriever rebuilt over %d shards",
+                           new_sidx.n_shards)
+
+        monitor = DeviceHealthMonitor(sidx, rebuild=rebuild)
+        state.monitor = monitor
+    else:
+        from a_nice_rag_tpu.retrieval import FusedRetriever
+
+        pallas_config = None
+        if autotune and jax.default_backend() == "tpu":
+            from a_nice_rag_tpu.ops.pallas.autotune import tune_fused_blocks
+
+            m0 = model_names[0]
+            q_probe = jax.numpy.zeros((128, index.dense[m0].shape[1]),
+                                      index.dense[m0].dtype)
+            pallas_config = tune_fused_blocks(index.dense[m0], q_probe, 25)
+            logger.info("serve: autotuned pallas blocks %s", pallas_config)
+        retriever = FusedRetriever(
+            index, model_names, use_bm25=use_bm25,
+            pallas_config=pallas_config,
+        )
+        state = ServeState(index, retriever, None)
+
+    from a_nice_rag_tpu.serving import SchedulerPool
+
+    state.pool = SchedulerPool(state.retriever, **(scheduler_kwargs or {}))
+    return state
+
+
+def _make_handler(state: ServeState, default_weights: Dict[str, float]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.debug(fmt, *args)
+
+        def _reply(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/health":
+                self._reply(200, {
+                    "status": "ok",
+                    "n_docs": state.index.n_docs,
+                    "models": list(state.retriever.model_names),
+                })
+            elif self.path == "/v1/stats":
+                self._reply(200, {
+                    "schedulers": state.pool.stats,
+                    "health_events": (
+                        state.monitor.events[-20:] if state.monitor else []
+                    ),
+                })
+            else:
+                self._reply(404, {"error": "unknown endpoint"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                self._reply(400, {"error": f"bad JSON: {e}"})
+                return
+            if self.path != "/v1/search":
+                self._reply(404, {"error": "unknown endpoint"})
+                return
+            try:
+                emb = payload.get("query_embedding")
+                if emb is None:
+                    raise ValueError("'query_embedding' is required")
+                model = payload.get(
+                    "model", state.retriever.model_names[0]
+                )
+                q = {model: np.asarray(emb, np.float32)}
+                terms = None
+                if payload.get("terms") is not None:
+                    terms = np.asarray(payload["terms"], np.int32)
+                weights = payload.get("model_weights") or default_weights
+                rows, scores = state.submit_sync(
+                    q, terms, weights,
+                    payload.get("filename_type_filter"),
+                    float(payload.get("wrrf_k", 40.0)),
+                )
+                meta = state.index.meta
+                out = []
+                for r, s in zip(rows.tolist(), scores.tolist()):
+                    if r < 0 or r >= meta.n_docs:
+                        continue
+                    out.append({
+                        "id": meta.ids[r],
+                        "source": meta.sources[r],
+                        "score": s,
+                        "document": meta.contents[r],
+                    })
+                self._reply(200, {"results": out})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                logger.exception("search failed")
+                self._reply(500, {"error": str(e)})
+
+    return Handler
+
+
+def serve_state(
+    state: ServeState,
+    default_weights: Dict[str, float],
+    host: str = "127.0.0.1",
+    port: int = 8800,
+    background: bool = False,
+):
+    """Start the asyncio scheduler loop thread + HTTP server."""
+    loop = asyncio.new_event_loop()
+    state.loop = loop
+    threading.Thread(target=loop.run_forever, daemon=True,
+                     name="scheduler-loop").start()
+    if state.monitor is not None:
+        state.monitor.start()
+    server = ThreadingHTTPServer(
+        (host, port), _make_handler(state, default_weights)
+    )
+    if background:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        return server
+    logger.info("serving on http://%s:%d", host, port)
+    try:
+        server.serve_forever()
+    finally:
+        if state.monitor is not None:
+            state.monitor.stop()
+        loop.call_soon_threadsafe(loop.stop)
+    return None
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser()
+    p.add_argument("--index", default=None, help="index artifact path")
+    p.add_argument("--demo", action="store_true",
+                   help="serve a synthetic demo corpus")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8800)
+    p.add_argument("--models", default=None,
+                   help="comma-separated dense models (default: all)")
+    p.add_argument("--no-bm25", action="store_true")
+    p.add_argument("--autotune", action="store_true")
+    p.add_argument("--shards", type=int, default=0)
+    p.add_argument("--two-tier-common", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.demo:
+        from a_nice_rag_tpu.index import build_index
+        from a_nice_rag_tpu.testing import synth_corpus
+
+        c = synth_corpus(n_docs=2048, dim=128, n_queries=4, seed=11)
+        index = build_index(ids=c.ids, sources=c.sources,
+                            contents=c.contents, embeddings=c.embeddings,
+                            token_lists=c.tokens)
+    elif args.index:
+        from a_nice_rag_tpu.index import load_index
+
+        index = load_index(args.index)
+    else:
+        raise SystemExit("--index or --demo is required")
+
+    model_names = (
+        args.models.split(",") if args.models else list(index.dense)
+    )
+    use_bm25 = not args.no_bm25 and index.bm25 is not None
+    state = build_state(
+        index, tuple(model_names), use_bm25=use_bm25,
+        autotune=args.autotune, shards=args.shards,
+        two_tier_common=args.two_tier_common,
+    )
+    weights = {m: (5.0 if m == model_names[0] else 1.0)
+               for m in model_names}
+    if use_bm25:
+        weights["BM25"] = 1.0
+    serve_state(state, weights, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Integration: serve CLI stack (index -> scheduler pool -> HTTP),
+including the sharded + health-monitored path and live retriever swap."""
+
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.serving.serve_cli import build_state, serve_state
+from a_nice_rag_tpu.testing import synth_corpus
+
+
+def _search(port, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/search",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def _get(port, path):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=30
+    ) as resp:
+        return json.loads(resp.read())
+
+
+@pytest.fixture(scope="module")
+def corpus_index():
+    c = synth_corpus(n_docs=512, dim=32, n_queries=8, seed=21)
+    idx = build_index(ids=c.ids, sources=c.sources, contents=c.contents,
+                      embeddings=c.embeddings, token_lists=c.tokens)
+    return c, idx
+
+
+def test_serve_cli_single_device(corpus_index):
+    c, idx = corpus_index
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True)
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        assert _get(port, "/v1/health")["status"] == "ok"
+        out = _search(port, {
+            "query_embedding":
+                c.query_embeddings["voyage-3-large"][0].tolist(),
+            "terms": idx.pad_term_ids(c.query_tokens, 16)[0].tolist(),
+        })
+        assert out["results"][0]["id"] == c.gold_ids[0]
+        stats = _get(port, "/v1/stats")
+        served = sum(s["queries_served"]
+                     for s in stats["schedulers"].values())
+        assert served >= 1
+    finally:
+        srv.shutdown()
+
+
+def test_serve_cli_sharded_with_health_swap(corpus_index):
+    c, idx = corpus_index
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True, shards=4,
+                        two_tier_common=8)
+    # Inject a probe so the monitor sees device 3 die on demand.
+    dead = set()
+    state.monitor.probe_fn = lambda d, t: d not in dead
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        q = {"query_embedding":
+             c.query_embeddings["voyage-3-large"][0].tolist(),
+             "terms": idx.pad_term_ids(c.query_tokens, 16)[0].tolist()}
+        out = _search(port, q)
+        assert out["results"][0]["id"] == c.gold_ids[0]
+        # Kill a device; recovery swaps retriever + pool live.
+        dead.add(jax.devices()[3])
+        assert state.monitor.check_and_recover() is True
+        assert state.retriever.sidx.n_shards == 3
+        out2 = _search(port, q)
+        assert out2["results"][0]["id"] == c.gold_ids[0]
+        assert [r["id"] for r in out2["results"]] == \
+               [r["id"] for r in out["results"]]
+    finally:
+        srv.shutdown()

@@ -149,6 +149,9 @@ class FusedRetriever:
         use_pallas = self._route_pallas(
             dense_backend, n_pad, similarity_k, jax.default_backend()
         )
+        # Exposed so callers (bench.py, tests) can assert which backend
+        # the configuration actually routed to.
+        self.use_pallas = use_pallas
         interpret = jax.default_backend() != "tpu"
         if interpret:
             pallas_kwargs = dict(pallas_kwargs, interpret=True)

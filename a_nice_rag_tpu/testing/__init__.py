@@ -8,6 +8,8 @@ from a_nice_rag_tpu.testing.golden import (  # noqa: F401
 from a_nice_rag_tpu.testing.synth import (  # noqa: F401
     REFERENCE_QUALITY_NOISE,
     calibrated_quality_corpus,
+    calibrated_sample_queries,
+    sample_queries,
     synth_corpus,
 )
 from a_nice_rag_tpu.testing.timing import chained_dispatch_ms  # noqa: F401,E501

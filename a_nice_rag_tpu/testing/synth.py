@@ -26,6 +26,20 @@ class SynthCorpus:
     query_tokens: List[List[str]]
     query_embeddings: Dict[str, np.ndarray]  # model name -> [Q, D]
     gold_ids: List[str]  # gold chunk id per query
+    # Raw query TEXTS, when generated with their own (richer) channel.
+    # The reference's BM25 sees lossy preprocessed/lemmatized tokens
+    # while its rerank + embedding APIs see the raw question text
+    # (src/search_engine.py:161-203 vs preprocess_bm25.py) — so the
+    # synthetic world mirrors that: ``query_tokens`` is the short noisy
+    # BM25 channel, ``query_texts`` (optional) a longer, cleaner draw
+    # from the same gold document. None -> callers fall back to
+    # " ".join(query_tokens).
+    query_texts: Optional[List[str]] = None
+
+    def texts(self) -> List[str]:
+        if self.query_texts is not None:
+            return self.query_texts
+        return [" ".join(t) for t in self.query_tokens]
 
 
 def _unit(x: np.ndarray) -> np.ndarray:
@@ -43,6 +57,8 @@ def synth_corpus(
     model_noise: Optional[Dict[str, float]] = None,
     query_token_noise: float = 0.0,
     query_len_range: Optional[tuple] = None,
+    query_text_len_range: Optional[tuple] = None,
+    query_text_noise: float = 0.0,
 ) -> SynthCorpus:
     """Build a synthetic corpus where query q's gold document is doc q.
 
@@ -122,6 +138,26 @@ def synth_corpus(
             ]
         query_tokens.append(q_toks)
 
+    # Raw-text channel (separate child stream so enabling it never
+    # perturbs the byte-stable token/embedding draws above).
+    query_texts = None
+    if query_text_len_range is not None:
+        trng = np.random.default_rng(seed + 777)
+        query_texts = []
+        tlo, thi = query_text_len_range
+        for j in q_idx:
+            doc_toks = tokens[j]
+            take = min(len(doc_toks), int(trng.integers(tlo, thi)))
+            t_toks = list(trng.choice(doc_toks, size=take))
+            if query_text_noise > 0.0:
+                flips = trng.random(take) < query_text_noise
+                noise_toks = trng.choice(vocab, size=take, p=zipf_p)
+                t_toks = [
+                    noise_toks[t] if flips[t] else t_toks[t]
+                    for t in range(take)
+                ]
+            query_texts.append(" ".join(t_toks))
+
     return SynthCorpus(
         ids=ids,
         sources=sources,
@@ -132,6 +168,7 @@ def synth_corpus(
         query_tokens=query_tokens,
         query_embeddings=query_embeddings,
         gold_ids=gold_ids,
+        query_texts=query_texts,
     )
 
 
@@ -142,13 +179,91 @@ def synth_corpus(
 # the best single ranker (reference
 # results/retrieval_evaluation_results.csv rows 2-8).
 REFERENCE_QUALITY_NOISE: Dict[str, float] = {
-    "voyage-3-large": 0.2135,
-    "voyage-3.5": 0.2235,
-    "text-embedding-3-large": 0.2315,
-    "Qwen3": 0.2255,
+    "voyage-3-large": 0.235,
+    "voyage-3.5": 0.247,
+    "text-embedding-3-large": 0.257,
+    "Qwen3": 0.250,
 }
-REFERENCE_QUALITY_TOKEN_NOISE: float = 0.37
-REFERENCE_QUALITY_QUERY_LEN: tuple = (6, 14)
+REFERENCE_QUALITY_TOKEN_NOISE: float = 0.51
+REFERENCE_QUALITY_QUERY_LEN: tuple = (5, 11)
+# The rerank channel: raw query text is a LONGER, CLEANER draw from the
+# gold document than the preprocessed BM25 tokens — mirroring the
+# reference, whose rerank/embedding APIs see the raw question while
+# BM25 sees lossy lemmatized tokens. This is what gives a trained
+# cross-encoder rank-1 headroom over rank fusion (reference CSV rows
+# 9-10: hybrid R@1 0.699 -> rerank 0.810).
+REFERENCE_QUALITY_TEXT_LEN: tuple = (12, 20)
+REFERENCE_QUALITY_TEXT_NOISE: float = 0.18
+
+
+def sample_queries(
+    corpus: SynthCorpus,
+    n_queries: int,
+    vocab_size: int,
+    model_noise: Optional[Dict[str, float]] = None,
+    query_token_noise: float = 0.0,
+    query_len_range: Optional[tuple] = None,
+    query_text_len_range: Optional[tuple] = None,
+    query_text_noise: float = 0.0,
+    seed: int = 1234,
+):
+    """Draw ADDITIONAL queries from an existing corpus's documents with
+    the same noise process but a fresh RNG stream.
+
+    This is the training-data generator for learned rerank/fusion
+    stages (the reference trains on its generated question DBs,
+    src/question_generation.ipynb — same corpus, disjoint query draw):
+    evaluation queries stay unseen while training queries share the
+    corpus and the noise distribution.
+
+    Returns ``(gold_rows, query_tokens, query_embeddings, query_texts)``
+    where gold_rows indexes ``corpus.ids``/``corpus.tokens`` and
+    query_texts is None unless ``query_text_len_range`` is given.
+    """
+    rng = np.random.default_rng(seed)
+    n_docs = len(corpus.ids)
+    vocab = [f"term{i}" for i in range(vocab_size)]
+    zipf_p = 1.0 / np.arange(1, vocab_size + 1)
+    zipf_p /= zipf_p.sum()
+    models = list(corpus.embeddings)
+    q_idx = rng.integers(0, n_docs, size=n_queries)
+    dim = next(iter(corpus.embeddings.values())).shape[1]
+    query_embeddings = {}
+    for m in models:
+        scale = 0.25 if model_noise is None else model_noise.get(m, 0.25)
+        noise = scale * rng.standard_normal((n_queries, dim)).astype(np.float32)
+        query_embeddings[m] = _unit(corpus.embeddings[m][q_idx] + noise)
+    query_tokens = []
+    lo, hi = query_len_range or (3, 9)
+    for j in q_idx:
+        doc_toks = corpus.tokens[j]
+        take = min(len(doc_toks), int(rng.integers(lo, hi)))
+        q_toks = list(rng.choice(doc_toks, size=take))
+        if query_token_noise > 0.0:
+            flips = rng.random(take) < query_token_noise
+            noise_toks = rng.choice(vocab, size=take, p=zipf_p)
+            q_toks = [
+                noise_toks[t] if flips[t] else q_toks[t]
+                for t in range(take)
+            ]
+        query_tokens.append(q_toks)
+    query_texts = None
+    if query_text_len_range is not None:
+        query_texts = []
+        tlo, thi = query_text_len_range
+        for j in q_idx:
+            doc_toks = corpus.tokens[j]
+            take = min(len(doc_toks), int(rng.integers(tlo, thi)))
+            t_toks = list(rng.choice(doc_toks, size=take))
+            if query_text_noise > 0.0:
+                flips = rng.random(take) < query_text_noise
+                noise_toks = rng.choice(vocab, size=take, p=zipf_p)
+                t_toks = [
+                    noise_toks[t] if flips[t] else t_toks[t]
+                    for t in range(take)
+                ]
+            query_texts.append(" ".join(t_toks))
+    return q_idx.astype(np.int64), query_tokens, query_embeddings, query_texts
 
 
 def calibrated_quality_corpus(
@@ -175,4 +290,27 @@ def calibrated_quality_corpus(
         model_noise=dict(REFERENCE_QUALITY_NOISE),
         query_token_noise=REFERENCE_QUALITY_TOKEN_NOISE,
         query_len_range=REFERENCE_QUALITY_QUERY_LEN,
+        query_text_len_range=REFERENCE_QUALITY_TEXT_LEN,
+        query_text_noise=REFERENCE_QUALITY_TEXT_NOISE,
+    )
+
+
+def calibrated_sample_queries(
+    corpus: SynthCorpus,
+    n_queries: int,
+    vocab_size: int = 20000,
+    seed: int = 1234,
+):
+    """:func:`sample_queries` with the calibrated reference-§6.1 noise —
+    the training-query generator matching :func:`calibrated_quality_corpus`."""
+    return sample_queries(
+        corpus,
+        n_queries,
+        vocab_size,
+        model_noise=dict(REFERENCE_QUALITY_NOISE),
+        query_token_noise=REFERENCE_QUALITY_TOKEN_NOISE,
+        query_len_range=REFERENCE_QUALITY_QUERY_LEN,
+        query_text_len_range=REFERENCE_QUALITY_TEXT_LEN,
+        query_text_noise=REFERENCE_QUALITY_TEXT_NOISE,
+        seed=seed,
     )

@@ -4,11 +4,16 @@ corpus at reference scale.
 The reference's quality CSVs (results/retrieval_evaluation_results.csv)
 cannot be replayed bit-for-bit here — its embedding DBs and corpus
 chunks are not in the mounted data — so this sweep demonstrates the
-harness end-to-end on a synthetic corpus with the same shape: ~9.7k
-docs, four dense models, BM25, the same nine configurations
+harness end-to-end on a calibrated synthetic corpus with the same shape
+(~9.7k docs, four dense models, BM25) and the same nine configurations
 (src/retrieval_eval.py:131-255 parity), seed-42 split, CSV append.
-Reranker configs run through the order-preserving IdentityReranker
-(mechanism coverage; the on-TPU cross-encoder is untrained here).
+
+The two reranker configurations run through the on-TPU cross-encoder
+(models/reranker.py), listwise-trained on a disjoint draw of queries
+from the same corpus with hard negatives mined from the hybrid
+retriever's own top-k (models/rerank_train.py) — mirroring the
+reference's structure where reranking lifts R@1 over unreranked hybrid
+(reference CSV rows 9-10: 0.699 -> 0.810).
 
 Writes results/retrieval_evaluation_results_synthetic.csv.
 """
@@ -21,6 +26,37 @@ print = functools.partial(print, flush=True)
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def train_reranker(c, idx, engine, n_train=3072, epochs=3, seed=1234):
+    """Train the cross-encoder on mined hard negatives (fresh query draw)."""
+    from a_nice_rag_tpu.models.rerank_train import (
+        mine_candidates, train_cross_encoder_reranker,
+    )
+    from a_nice_rag_tpu.testing import calibrated_sample_queries
+
+    tr_gold, tr_toks, tr_qe, tr_texts = calibrated_sample_queries(
+        c, n_train, seed=seed)
+    got = engine.retrieve(
+        query_embeddings={"voyage-3-large": tr_qe["voyage-3-large"]},
+        query_texts=tr_texts,
+        query_token_lists=tr_toks,
+        similarity_k=25, common_sections_n=15, wrrf_k=40.0,
+        model_weights={"voyage-3-large": 5.0, "BM25": 1.0},
+        filename_type_filter=None,
+        use_hybrid_search=True, use_reranker=False,
+    )
+    row_of = idx.meta.id_to_row
+    ranked = np.full((n_train, 15), -1, np.int64)
+    for i, ids_ in enumerate(got):
+        for j, d in enumerate(ids_[:15]):
+            ranked[i, j] = row_of.get(d, -1)
+    qs, cands = mine_candidates(tr_texts, list(tr_gold), ranked,
+                                c.contents, n_negatives=7, seed=0)
+    res = train_cross_encoder_reranker(qs, cands, epochs=epochs,
+                                       batch_size=32, seed=0)
+    print(f"reranker holdout gold-first acc: {res.holdout_accuracy:.3f}")
+    return res.reranker
 
 
 def main() -> None:
@@ -41,8 +77,9 @@ def main() -> None:
         "voyage-3-large", "voyage-3.5", "text-embedding-3-large", "Qwen3",
     ]
     # Calibrated per-model noise reproduces the reference's qualitative
-    # quality structure (dense spread, dense > BM25, fusion lifts) —
-    # see testing.synth.REFERENCE_QUALITY_NOISE and tests/test_quality_gate.py.
+    # quality structure (dense spread, dense > BM25, fusion lifts,
+    # rerank lifts R@1) — see testing.synth.REFERENCE_QUALITY_NOISE and
+    # tests/test_quality_gate.py.
     c = calibrated_quality_corpus(
         n_docs=9728, dim=256, n_queries=2048, vocab_size=20000, seed=42,
     )
@@ -50,15 +87,17 @@ def main() -> None:
         ids=c.ids, sources=c.sources, contents=c.contents,
         embeddings=c.embeddings, token_lists=c.tokens,
     )
-    ev = RetrievalEvaluator(
-        idx, SearchEngine(idx, reranker=IdentityReranker())
-    )
+    mine_engine = SearchEngine(idx, reranker=IdentityReranker())
+    reranker = train_reranker(c, idx, mine_engine)
+    ev = RetrievalEvaluator(idx, SearchEngine(idx, reranker=reranker))
     # The reference evaluates the LARGER seed-42 partition
     # (src/retrieval_eval.py:273-274, :338).
     eval_idx, _ = seed42_split(len(c.gold_ids))
     q_embs = {m: c.query_embeddings[m][eval_idx] for m in models}
     gold = [c.gold_ids[i] for i in eval_idx]
     tokens = [c.query_tokens[i] for i in eval_idx]
+    all_texts = c.texts()
+    texts = [all_texts[i] for i in eval_idx]
 
     out = os.path.join(
         os.path.dirname(__file__), "..", "results",
@@ -69,7 +108,7 @@ def main() -> None:
         q_embs,
         gold,
         query_token_lists=tokens,
-        query_texts=[f"query {i}" for i in eval_idx],
+        query_texts=texts,
         filename_type_filter=None,
         output_csv=out,
     )

@@ -1,0 +1,119 @@
+"""The rerank stage must IMPROVE retrieval, not just run.
+
+The reference's headline configuration is hybrid retrieval + rerank-2,
+lifting Recall@1 from 0.699 to 0.810 (reference
+src/retrieval_eval.py:131-255; results/retrieval_evaluation_results.csv
+rows 9-10). This test pins the local analog end-to-end at CPU scale:
+mine hard negatives with the unreranked hybrid retriever, listwise-train
+the on-TPU cross-encoder on a disjoint query draw, and assert the
+reranked configuration strictly beats unreranked hybrid on R@1 on the
+evaluation queries — the synthetic sweep
+(scripts/run_synthetic_eval.py) demonstrates the same lift at reference
+scale (results/retrieval_evaluation_results_synthetic.csv).
+"""
+
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.evals.retrieval_eval import (
+    STANDARD_CONFIGURATIONS,
+    RetrievalEvaluator,
+)
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.models.encoder import EncoderConfig
+from a_nice_rag_tpu.models.rerank_train import (
+    mine_candidates,
+    train_cross_encoder_reranker,
+)
+from a_nice_rag_tpu.models.tokenizer import HashingTokenizer
+from a_nice_rag_tpu.retrieval import SearchEngine
+from a_nice_rag_tpu.retrieval.rerank import IdentityReranker
+from a_nice_rag_tpu.testing import (
+    calibrated_quality_corpus,
+    calibrated_sample_queries,
+)
+
+HYBRID = STANDARD_CONFIGURATIONS[5]  # Voyage-3-Large + BM25
+RERANKED = STANDARD_CONFIGURATIONS[8]  # same retrieval + Reranker 2
+
+
+@pytest.fixture(scope="module")
+def corpus_and_index():
+    c = calibrated_quality_corpus(
+        n_docs=1024, dim=128, n_queries=192, vocab_size=6000, seed=42
+    )
+    idx = build_index(
+        ids=c.ids,
+        sources=c.sources,
+        contents=c.contents,
+        embeddings=c.embeddings,
+        token_lists=c.tokens,
+    )
+    return c, idx
+
+
+def _trained_reranker(c, idx, n_train=288, seed=99):
+    """Mine hard negatives with the unreranked hybrid, train listwise."""
+    gold, toks, q_emb, texts = calibrated_sample_queries(
+        c, n_train, vocab_size=6000, seed=seed
+    )
+    engine = SearchEngine(idx, reranker=IdentityReranker())
+    got = engine.retrieve(
+        query_embeddings={"voyage-3-large": q_emb["voyage-3-large"]},
+        query_texts=texts,
+        query_token_lists=toks,
+        similarity_k=25,
+        common_sections_n=15,
+        wrrf_k=40.0,
+        model_weights={"voyage-3-large": 5.0, "BM25": 1.0},
+        filename_type_filter=None,
+        use_hybrid_search=True,
+        use_reranker=False,
+    )
+    row_of = idx.meta.id_to_row
+    ranked = np.full((n_train, 15), -1, np.int64)
+    for i, ids_ in enumerate(got):
+        for j, d in enumerate(ids_[:15]):
+            ranked[i, j] = row_of.get(d, -1)
+    qs, cands = mine_candidates(
+        texts, list(gold), ranked, c.contents, n_negatives=5, seed=0
+    )
+    # max_len=96 keeps most of each document inside the cross-encoder's
+    # window — at 64 the truncation starves the match features and the
+    # reranker HURTS (measured R@1 0.927 -> 0.891); at 96 it lifts to
+    # 0.984 with holdout gold-first accuracy 1.0.
+    cfg = EncoderConfig(n_layers=2, dim=128, n_heads=4, max_len=96)
+    res = train_cross_encoder_reranker(
+        qs,
+        cands,
+        cfg=cfg,
+        epochs=2,
+        batch_size=32,
+        seed=0,
+        tokenizer=HashingTokenizer(vocab_size=cfg.vocab_size, max_len=96),
+    )
+    return res
+
+
+def test_trained_reranker_lifts_recall_at_1(corpus_and_index):
+    c, idx = corpus_and_index
+    res = _trained_reranker(c, idx)
+    # The cross-encoder must generalize (match features, not list
+    # memorization) before the end-to-end claim means anything.
+    assert res.holdout_accuracy >= 0.85, res.holdout_accuracy
+
+    ev_base = RetrievalEvaluator(
+        idx, SearchEngine(idx, reranker=IdentityReranker())
+    )
+    ev_rr = RetrievalEvaluator(idx, SearchEngine(idx, reranker=res.reranker))
+    texts = c.texts()
+    m_h = ev_base.evaluate_config(
+        HYBRID, c.query_embeddings, c.gold_ids, c.query_tokens, texts, None
+    )
+    m_r = ev_rr.evaluate_config(
+        RERANKED, c.query_embeddings, c.gold_ids, c.query_tokens, texts, None
+    )
+    # Reference pattern: rerank strictly lifts R@1 over unreranked
+    # hybrid while keeping the pool recall.
+    assert m_r["recall@1"] > m_h["recall@1"], (m_r, m_h)
+    assert m_r["mrr"] > m_h["mrr"], (m_r, m_h)

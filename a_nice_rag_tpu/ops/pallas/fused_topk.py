@@ -143,7 +143,7 @@ def _fold_tile_iterate(scores, off, run_v, run_i):
     return rv, ri
 
 
-def _fold_tile_scratch(s_ref, off, rv, ri):
+def _fold_tile_scratch(s_ref, off, rv, ri, rm0=None, kth0=None):
     """Scratch-ref variant of :func:`_fold_tile_iterate`.
 
     The extraction loop mutates the score subtile IN PLACE through a
@@ -154,14 +154,18 @@ def _fold_tile_scratch(s_ref, off, rv, ri):
 
     ``s_ref`` holds the subtile's scores (already written); rv/ri are
     the small [Bq, k] running arrays (carried — they are k-wide, copy
-    cost negligible).
+    cost negligible). ``rm0``/``kth0`` accept precomputed first-pass
+    row maxima / running k-th values so gated callers don't pay the
+    trigger pass twice.
     """
     bq, w = s_ref.shape
     k = rv.shape[1]
     cols = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1)
     kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
-    rm0 = jnp.max(s_ref[:, :], axis=1)
-    kth0 = jnp.min(rv, axis=1)
+    if rm0 is None:
+        rm0 = jnp.max(s_ref[:, :], axis=1)
+    if kth0 is None:
+        kth0 = jnp.min(rv, axis=1)
 
     def cond(c):
         it, rm, _, _, kth = c
@@ -198,7 +202,7 @@ def _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k: int):
 
 def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
                    k: int, n_tile: int, block_q: int, subtiles: int = 1,
-                   row_groups: int = 1, s_scr=None):
+                   row_groups: int = 1, s_scr=None, gated: bool = False):
     """Shared doc-major visit: fold this (doc tile, query block)'s scores
     into the full-batch running scratch and emit at the last doc tile.
 
@@ -213,12 +217,6 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
     i = pl.program_id(1)
     n_tiles = pl.num_programs(0)
     row0 = pl.multiple_of(i * block_q, block_q)
-
-    rv = run_v[pl.ds(row0, block_q), :]
-    ri = run_i[pl.ds(row0, block_q), :]
-    first = (j == 0)
-    rv = jnp.where(first, jnp.full((block_q, k), NEG, jnp.float32), rv)
-    ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
 
     # Sub-tile decoupling: folding S static column slices sequentially
     # keeps the total trigger work identical but runs each extraction
@@ -235,10 +233,59 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
     while n_rg > 1 and (block_q % n_rg or (block_q // n_rg) % 8):
         n_rg //= 2
     rh = block_q // n_rg
-    use_scr = s_scr is not None and s_scr.dtype == scores.dtype
+
+    if n_rg == 1 and s_scr is not None and gated:
+        # Gated fold: per subtile, ONE trigger pass (row max in the
+        # scores' own dtype — bf16 when compare_dtype says so, halving
+        # the pass) over the raw dot output; the f32 cast-copy into
+        # scratch and the extraction loop run only under pl.when once a
+        # row actually improves. In the steady state of a random-order
+        # stream almost no subtile fires, so the per-tile cost drops
+        # from copy+max (3 f32 pass-equivalents) to the single trigger
+        # pass. Extraction stays f32: Mosaic's argmax lowering is
+        # f32-only (_reduce_index_helper).
+        @pl.when(j == 0)
+        def _():
+            run_v[pl.ds(row0, block_q), :] = jnp.full(
+                (block_q, k), NEG, jnp.float32
+            )
+            run_i[pl.ds(row0, block_q), :] = jnp.full(
+                (block_q, k), -1, jnp.int32
+            )
+
+        for s in range(n_sub):
+            sub = scores[:, s * w:(s + 1) * w]
+            rm0 = jnp.max(sub, axis=1).astype(jnp.float32)
+            kth0 = jnp.min(run_v[pl.ds(row0, block_q), :], axis=1)
+            fire = jnp.max(rm0 - kth0) > 0.0
+            off = j * n_tile + s * w
+
+            @pl.when(fire)
+            def _(sub=sub, rm0=rm0, kth0=kth0, off=off):
+                s_scr[:, :] = sub.astype(jnp.float32)
+                rv = run_v[pl.ds(row0, block_q), :]
+                ri = run_i[pl.ds(row0, block_q), :]
+                rv, ri = _fold_tile_scratch(s_scr, off, rv, ri, rm0, kth0)
+                run_v[pl.ds(row0, block_q), :] = rv
+                run_i[pl.ds(row0, block_q), :] = ri
+
+        @pl.when(j == n_tiles - 1)
+        def _():
+            _finalize_iterate(
+                run_v[pl.ds(row0, block_q), :],
+                run_i[pl.ds(row0, block_q), :],
+                vals_ref, idx_ref, k,
+            )
+        return
+
+    rv = run_v[pl.ds(row0, block_q), :]
+    ri = run_i[pl.ds(row0, block_q), :]
+    first = (j == 0)
+    rv = jnp.where(first, jnp.full((block_q, k), NEG, jnp.float32), rv)
+    ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
     if n_rg == 1:
         for s in range(n_sub):
-            if use_scr:
+            if s_scr is not None and s_scr.dtype == scores.dtype:
                 s_scr[:, :] = scores[:, s * w:(s + 1) * w]
                 rv, ri = _fold_tile_scratch(
                     s_scr, j * n_tile + s * w, rv, ri
@@ -271,7 +318,8 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
 
 def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
                     has_mask: bool, subtiles: int = 1,
-                    row_groups: int = 1, compare_dtype=jnp.float32):
+                    row_groups: int = 1, compare_dtype=jnp.float32,
+                    gated: bool = False):
     """Doc-major streaming fold: grid = (n_tiles, b_blocks).
 
     The doc axis is the OUTER grid dimension and the running top-k
@@ -287,10 +335,12 @@ def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
     else:
         q_ref, e_ref, vals_ref, idx_ref, run_v, run_i, s_scr = refs
 
-    # bf16 comparison passes: the dot emits bfloat16 scores, halving
-    # every selection pass's vector footprint. Rounded-score top-k —
-    # ids may differ from the f32 path only among scores within one
-    # bf16 ulp (documented exact-tie caveat).
+    # bf16 comparison mode: the dot emits bfloat16 scores, halving the
+    # per-subtile TRIGGER pass (row max) and the mask select — the
+    # passes that run on every tile. Extraction (argmax loop) stays
+    # f32 on a cast copy: Mosaic's argmax lowering is f32-only.
+    # Rounded-score top-k — ids may differ from the f32 path only among
+    # scores within one bf16 ulp (documented exact-tie caveat).
     scores = jax.lax.dot_general(
         q_ref[:],
         e_ref[:],
@@ -303,12 +353,12 @@ def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
         )
     _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
                    k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles,
-                   row_groups=row_groups, s_scr=s_scr)
+                   row_groups=row_groups, s_scr=s_scr, gated=gated)
 
 
 def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
                          has_mask: bool, subtiles: int = 1,
-                         row_groups: int = 1):
+                         row_groups: int = 1, gated: bool = False):
     if has_mask:
         (q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
          run_v, run_i, s_scr) = refs
@@ -331,7 +381,7 @@ def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
                    k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles,
-                   row_groups=row_groups, s_scr=s_scr)
+                   row_groups=row_groups, s_scr=s_scr, gated=gated)
 
 
 def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
@@ -455,7 +505,7 @@ def _kernel_int8(q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes",
-                     "interpret", "algo", "subtiles"),
+                     "interpret", "algo", "subtiles", "gated"),
 )
 def fused_dense_top_k_int8(
     values: jax.Array,
@@ -471,6 +521,7 @@ def fused_dense_top_k_int8(
     interpret: bool = False,
     algo: str = "iterate",
     subtiles: int = 2,
+    gated: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k over an int8-quantized index.
 
@@ -502,7 +553,7 @@ def fused_dense_top_k_int8(
         grid = (n // block_n, b // block_q)
         kernel = functools.partial(
             _kernel_iterate_int8, k=k, n_tile=block_n, block_q=block_q,
-            has_mask=has_mask, subtiles=subtiles,
+            has_mask=has_mask, subtiles=subtiles, gated=gated,
         )
         n_sub = subtiles
         while block_n % n_sub:
@@ -599,7 +650,7 @@ def fused_dense_top_k_int8(
     jax.jit,
     static_argnames=("k", "block_q", "block_n", "m_fast", "vmem_limit_bytes",
                      "interpret", "algo", "subtiles", "row_groups",
-                     "compare_dtype"),
+                     "compare_dtype", "gated"),
 )
 def fused_dense_top_k(
     emb: jax.Array,
@@ -615,6 +666,7 @@ def fused_dense_top_k(
     subtiles: int = 2,
     row_groups: int = 1,
     compare_dtype: str = "float32",
+    gated: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k.
 
@@ -646,7 +698,7 @@ def fused_dense_top_k(
         kernel = functools.partial(
             _kernel_iterate, k=k, n_tile=block_n, block_q=block_q,
             has_mask=has_mask, subtiles=subtiles, row_groups=row_groups,
-            compare_dtype=jnp.dtype(compare_dtype),
+            compare_dtype=jnp.dtype(compare_dtype), gated=gated,
         )
         in_specs = [
             pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
@@ -673,10 +725,10 @@ def fused_dense_top_k(
         scratch = [
             pltpu.VMEM((b, k), jnp.float32),
             pltpu.VMEM((b, k), jnp.int32),
-            # Score-subtile scratch for the in-place extraction loop
-            # (see _fold_tile_scratch).
-            pltpu.VMEM((block_q, block_n // n_sub),
-                       jnp.dtype(compare_dtype)),
+            # Score-subtile scratch for the in-place extraction loop —
+            # always f32 (Mosaic argmax is f32-only); bf16 compare
+            # scores are cast on the gated copy (see _iterate_visit).
+            pltpu.VMEM((block_q, block_n // n_sub), jnp.float32),
         ]
     else:
         if mask is None:

@@ -5,7 +5,10 @@ fine here because kernel times are >> the ~2 ms dispatch floor.
 
 Usage: python scripts/bench_fused_kernel.py [N] [D] [B] [k]
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -40,19 +43,23 @@ def main():
     print("device arrays ready", emb_bf.shape, emb_bf.dtype)
 
     ref_v = ref_i = None
-    configs = [("gated", 128, 8192, "float32")] + [
-        ("iterate", bq, bn, cd)
+    # bf16 compare_dtype is dead on real Mosaic: argmax lowering is
+    # f32-only AND tpu.matmul rejects non-32-bit accumulators, so any
+    # bf16 trigger pass needs a full cast pass that cancels the saving.
+    configs = [("gated", 128, 8192, True)] + [
+        ("iterate", bq, bn, g)
         for bq in (128, 256)
         for bn in (8192, 16384)
-        for cd in ("float32", "bfloat16")
+        for g in (False, True)
     ]
-    for algo, bq, bn, cd in configs:
+    for algo, bq, bn, g in configs:
         if b % bq:
             continue
+        cd = "gated" if g else "ungated"
         try:
             fn = lambda: fused_dense_top_k(
                 emb_bf, q_bf, k, block_q=bq, block_n=bn, algo=algo,
-                compare_dtype=cd,
+                gated=g,
             )
             ms = timeit(fn)
             v, i = fn()

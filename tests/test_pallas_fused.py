@@ -124,7 +124,8 @@ def test_fused_new_levers_parity():
     ref = np.sort(scores, axis=1)[:, ::-1][:, :k]
     for kwargs in (dict(row_groups=4), dict(compare_dtype="bfloat16"),
                    dict(row_groups=4, compare_dtype="bfloat16",
-                        subtiles=4)):
+                        subtiles=4),
+                   dict(gated=True), dict(gated=True, subtiles=4)):
         v, i = fused_dense_top_k(
             jnp.asarray(emb), jnp.asarray(q), k, interpret=True,
             block_q=16, block_n=1024, **kwargs,

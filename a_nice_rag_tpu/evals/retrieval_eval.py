@@ -37,6 +37,11 @@ from a_nice_rag_tpu.index.array_index import ArrayIndex
 from a_nice_rag_tpu.ops.bm25 import bm25_scores, bm25_scores_dense
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_scores
+from a_nice_rag_tpu.ops.quantized import (
+    QuantizedDense,
+    quantize_queries,
+    quantized_dense_scores,
+)
 from a_nice_rag_tpu.ops.topk import masked_top_k
 from a_nice_rag_tpu.retrieval.engine import MODEL_ORDER, SearchEngine
 
@@ -149,7 +154,11 @@ class RetrievalEvaluator:
             return bm25_scores(
                 self.index.bm25, jnp.asarray(q_terms), self.bm25_budget
             )
-        return dense_scores(self.index.dense[model], jnp.asarray(q_emb))
+        mat = self.index.dense_matrix(model)
+        if isinstance(mat, QuantizedDense):
+            qv, qs = quantize_queries(jnp.asarray(q_emb))
+            return quantized_dense_scores(mat, qv, qs)
+        return dense_scores(mat, jnp.asarray(q_emb))
 
     def evaluate_config(
         self,
@@ -172,7 +181,7 @@ class RetrievalEvaluator:
             m
             for m in MODEL_ORDER
             if config.model_weights.get(m, 0) > 0
-            and m in self.index.dense
+            and m in self.index.dense_model_names
             and m in query_embeddings
         ]
         use_bm25 = (

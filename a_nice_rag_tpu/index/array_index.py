@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from a_nice_rag_tpu.ops.bm25 import Bm25Arrays, Bm25DenseArrays
+from a_nice_rag_tpu.ops.quantized import QuantizedDense, quantize_embeddings
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -199,12 +200,33 @@ class ArrayIndex:
     bm25_stats: Optional[Dict[str, float]]
     bm25_doc_mask: Optional[np.ndarray] = None  # docs with >=1 token
     bm25_dense: Optional[Bm25DenseArrays] = None  # MXU fast path
+    # int8-quantized dense matrices (4x memory; per-row scales) — a
+    # model lives in EITHER ``dense`` or ``dense_q``, never both. Built
+    # via build_index(quantize_dense=...); served by the engine's int8
+    # scoring paths (XLA int8 matmul or the Pallas int8 streaming
+    # kernel at scale).
+    dense_q: Optional[Dict[str, QuantizedDense]] = None
 
     def __post_init__(self) -> None:
         self._filter_cache: Dict[Optional[str], np.ndarray] = {}
         # Bumped by index.updates tombstone mutations so retriever-side
         # derived-mask caches (e.g. FusedRetriever's bm25 mask) refresh.
         self._version = 0
+
+    @property
+    def dense_model_names(self) -> Tuple[str, ...]:
+        """All dense models, f32/bf16 and int8-quantized alike, in a
+        stable order (f32 first, then quantized)."""
+        return tuple(self.dense) + tuple(self.dense_q or {})
+
+    def dense_matrix(self, model: str):
+        """The scoring operand for a model: a [N_pad, D] array or a
+        QuantizedDense — callers branch on the type."""
+        if model in self.dense:
+            return self.dense[model]
+        if self.dense_q and model in self.dense_q:
+            return self.dense_q[model]
+        raise KeyError(f"no dense matrix for model {model!r}")
 
     @property
     def n_docs(self) -> int:
@@ -256,6 +278,7 @@ def build_index(
     bm25_dense_dtype: str = "float32",
     streaming_align: int = 8192,
     streaming_threshold: int = 1 << 19,
+    quantize_dense=False,
 ) -> ArrayIndex:
     """Build the hybrid array index.
 
@@ -263,6 +286,11 @@ def build_index(
     produced by the embedding APIs; set ``normalize=True`` to force it).
     ``token_lists``: preprocessed (lemmatized) tokens per document for the
     BM25 component; omit for a dense-only index.
+
+    ``quantize_dense``: True (all models) or a sequence of model names —
+    those matrices are stored int8 with per-row scales (4x memory; a
+    10M x 2048 corpus fits one chip) and served by the engine's int8
+    scoring paths; the f32 matrix is not kept.
 
     Corpora at or above ``streaming_threshold`` documents pad the doc
     axis to ``streaming_align`` (instead of ``pad_multiple``) so the
@@ -283,7 +311,19 @@ def build_index(
         n_docs_padded=n_pad,
     )
 
+    if quantize_dense is True:
+        q_models = set(embeddings)
+    elif quantize_dense:
+        q_models = set(quantize_dense)
+        unknown = q_models - set(embeddings)
+        if unknown:
+            raise ValueError(f"quantize_dense names unknown models: "
+                             f"{sorted(unknown)}")
+    else:
+        q_models = set()
+
     dense: Dict[str, jnp.ndarray] = {}
+    dense_q: Dict[str, QuantizedDense] = {}
     for model, emb in embeddings.items():
         emb = np.asarray(emb, dtype=np.float32)
         assert emb.shape[0] == n, f"{model}: {emb.shape[0]} rows != {n} ids"
@@ -292,7 +332,10 @@ def build_index(
             emb = emb / np.maximum(norms, 1e-12)
         padded = np.zeros((n_pad, emb.shape[1]), dtype=np.float32)
         padded[:n] = emb
-        dense[model] = jnp.asarray(padded, dtype=jnp.dtype(emb_dtype))
+        if model in q_models:
+            dense_q[model] = quantize_embeddings(padded)
+        else:
+            dense[model] = jnp.asarray(padded, dtype=jnp.dtype(emb_dtype))
 
     bm25 = vocab = stats = None
     bm25_doc_mask = None
@@ -316,4 +359,5 @@ def build_index(
         bm25_stats=stats,
         bm25_doc_mask=bm25_doc_mask,
         bm25_dense=bm25_dense,
+        dense_q=dense_q or None,
     )

@@ -32,6 +32,7 @@ from a_nice_rag_tpu.index.array_index import (
     dense_impact_from_csr,
 )
 from a_nice_rag_tpu.ops.bm25 import Bm25Arrays
+from a_nice_rag_tpu.ops.quantized import QuantizedDense
 
 _FORMAT_VERSION = 1
 
@@ -41,6 +42,9 @@ def save_index(index: ArrayIndex, path: str) -> None:
     arrays: Dict[str, np.ndarray] = {}
     for model, emb in index.dense.items():
         arrays[f"dense/{model}"] = np.asarray(emb)
+    for model, qd in (index.dense_q or {}).items():
+        arrays[f"dense_q/{model}/values"] = np.asarray(qd.values)
+        arrays[f"dense_q/{model}/scales"] = np.asarray(qd.scales)
     if index.bm25 is not None:
         arrays["bm25/indptr"] = np.asarray(index.bm25.indptr)
         arrays["bm25/doc_ids"] = np.asarray(index.bm25.doc_ids)
@@ -56,6 +60,7 @@ def save_index(index: ArrayIndex, path: str) -> None:
         "urls": index.meta.urls,
         "contents": index.meta.contents,
         "dense_models": list(index.dense.keys()),
+        "dense_q_models": list((index.dense_q or {}).keys()),
         "vocab": index.vocab,
         "bm25_stats": index.bm25_stats,
         "deleted_rows": np.flatnonzero(index.meta.deleted).tolist(),
@@ -89,6 +94,13 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
         m: jnp.asarray(data[f"dense/{m}"], dtype=jnp.dtype(emb_dtype))
         for m in meta_d["dense_models"]
     }
+    dense_q = {
+        m: QuantizedDense(
+            values=jnp.asarray(data[f"dense_q/{m}/values"]),
+            scales=jnp.asarray(data[f"dense_q/{m}/scales"]),
+        )
+        for m in meta_d.get("dense_q_models", [])
+    } or None
     bm25 = None
     bm25_doc_mask = None
     bm25_dense = None
@@ -113,6 +125,7 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
         bm25_stats=meta_d["bm25_stats"],
         bm25_doc_mask=bm25_doc_mask,
         bm25_dense=bm25_dense,
+        dense_q=dense_q,
     )
 
 

@@ -33,6 +33,7 @@ from a_nice_rag_tpu.index.array_index import (
     _pad_to,
     dense_impact_from_csr,
 )
+from a_nice_rag_tpu.ops.quantized import QuantizedDense, quantize_embeddings
 
 
 def delete_documents(index: ArrayIndex, doc_ids: Sequence[str]) -> int:
@@ -151,6 +152,31 @@ def append_documents(
         stacked[old_n:n] = new.astype(old.dtype)
         dense[model] = jnp.asarray(stacked)
 
+    dense_q = None
+    if index.dense_q:
+        dense_q = {}
+        for model, qd in index.dense_q.items():
+            if model not in embeddings:
+                raise ValueError(f"missing embeddings for model {model!r}")
+            d = qd.values.shape[1]
+            new = np.asarray(embeddings[model], dtype=np.float32)
+            if new.shape != (m, d):
+                raise ValueError(
+                    f"{model}: expected {(m, d)}, got {new.shape}"
+                )
+            # Per-row scales make the quantization row-local, so old
+            # rows carry over bit-for-bit; only the new rows quantize.
+            new_q = quantize_embeddings(jnp.asarray(new))
+            vals = np.zeros((n_pad, d), dtype=np.int8)
+            scales = np.zeros((n_pad,), dtype=np.float32)
+            vals[:old_n] = np.asarray(qd.values)[:old_n]
+            scales[:old_n] = np.asarray(qd.scales)[:old_n]
+            vals[old_n:n] = np.asarray(new_q.values)
+            scales[old_n:n] = np.asarray(new_q.scales)
+            dense_q[model] = QuantizedDense(
+                values=jnp.asarray(vals), scales=jnp.asarray(scales)
+            )
+
     bm25 = index.bm25
     vocab = index.vocab
     stats = index.bm25_stats
@@ -268,4 +294,5 @@ def append_documents(
         bm25_stats=stats,
         bm25_doc_mask=bm25_doc_mask,
         bm25_dense=bm25_dense,
+        dense_q=dense_q,
     )

@@ -187,6 +187,13 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
     for multi-host meshes; retrieval then merges hierarchically (ICI
     within a host first, then one k-list per host over DCN).
     """
+    if index.dense_q:
+        raise NotImplementedError(
+            "sharding int8-quantized dense matrices is not wired up yet; "
+            "build the index without quantize_dense= for sharded serving "
+            "(single-chip int8 serving works via FusedRetriever). "
+            "ROADMAP: shard dense_q values/scales over the corpus axis."
+        )
     n_shards = mesh.shape[corpus_axis]
     if host_axis is not None:
         n_shards *= mesh.shape[host_axis]

@@ -140,7 +140,7 @@ class RAGSystem:
         index = self.indexes[source]
         active = [
             m for m in MODEL_ORDER
-            if m in index.dense and model_weights.get(m, 0) > 0
+            if m in index.dense_model_names and model_weights.get(m, 0) > 0
         ]
         if (
             query_embedding is not None

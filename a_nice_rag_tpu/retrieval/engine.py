@@ -35,6 +35,11 @@ from a_nice_rag_tpu.ops.bm25 import (
 )
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n
+from a_nice_rag_tpu.ops.quantized import (
+    QuantizedDense,
+    quantize_queries,
+    quantized_dense_scores,
+)
 from a_nice_rag_tpu.ops.topk import masked_top_k
 from a_nice_rag_tpu.retrieval.rerank import Reranker, apply_rerank
 from a_nice_rag_tpu.text import preprocess_text
@@ -50,6 +55,17 @@ MODEL_ORDER = ("voyage-3-large", "voyage-3.5", "text-embedding-3-large", "Qwen3"
 def _dense_list(emb, q, mask, k):
     """Per-model ranked list: ids [B, k] with -1 where masked out/invalid."""
     scores = dense_scores(emb, q)
+    scores = jnp.where(mask[None, :], scores, -jnp.inf)
+    vals, idx = masked_top_k(scores, k)
+    return vals, jnp.where(jnp.isfinite(vals), idx, -1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _dense_list_q(qd, q, mask, k):
+    """Per-model ranked list over an int8-quantized matrix (queries
+    quantized on the fly; int32 MXU accumulation)."""
+    qv, qs = quantize_queries(q)
+    scores = quantized_dense_scores(qd, qv, qs)
     scores = jnp.where(mask[None, :], scores, -jnp.inf)
     vals, idx = masked_top_k(scores, k)
     return vals, jnp.where(jnp.isfinite(vals), idx, -1)
@@ -161,6 +177,26 @@ class FusedRetriever:
                 weights, wrrf_k):
             lists = []
             for mat, q in zip(dense_mats, q_embs):
+                quantized = isinstance(mat, QuantizedDense)
+                if use_pallas and quantized:
+                    from a_nice_rag_tpu.ops.pallas import (
+                        fused_dense_top_k_int8,
+                    )
+
+                    qv, qs = quantize_queries(q)
+                    # The int8 kernel takes a subset of the f32 kernel's
+                    # tuning surface.
+                    kw = {
+                        key: val for key, val in pallas_kwargs.items()
+                        if key in ("block_q", "block_n", "subtiles",
+                                   "interpret", "algo", "gated")
+                    }
+                    vals, idx = fused_dense_top_k_int8(
+                        mat.values, mat.scales, qv, qs, similarity_k,
+                        mask=mask, **kw,
+                    )
+                    lists.append(idx)
+                    continue
                 if use_pallas:
                     from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
 
@@ -169,7 +205,11 @@ class FusedRetriever:
                     )
                     lists.append(idx)
                     continue
-                scores = dense_scores(mat, q)
+                if quantized:
+                    qv, qs = quantize_queries(q)
+                    scores = quantized_dense_scores(mat, qv, qs)
+                else:
+                    scores = dense_scores(mat, q)
                 scores = jnp.where(mask[None, :], scores, -jnp.inf)
                 vals, idx = masked_top_k(scores, similarity_k)
                 lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
@@ -281,7 +321,7 @@ class FusedRetriever:
         (no host sync). Returns (fused ids, fused scores, per-list ids)
         as jax arrays."""
         idx = self.index
-        dense_mats = tuple(idx.dense[m] for m in self.model_names)
+        dense_mats = tuple(idx.dense_matrix(m) for m in self.model_names)
         q_tuple = tuple(jnp.asarray(q_embs[m]) for m in self.model_names)
         mask = idx.filter_mask(filename_type_filter)
         if self.use_bm25:
@@ -362,11 +402,14 @@ class SearchEngine:
         filename_type_filter: Optional[str] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched dense search: (scores [B, k], doc rows [B, k], -1 pad)."""
-        emb = self.index.dense[model_name]
+        emb = self.index.dense_matrix(model_name)
         mask = self.index.filter_mask(filename_type_filter)
         q = jnp.asarray(np.atleast_2d(np.asarray(query_embeddings, np.float32)))
         k = min(similarity_k, self.index.n_docs)
-        vals, idx = _dense_list(emb, q, mask, k)
+        if isinstance(emb, QuantizedDense):
+            vals, idx = _dense_list_q(emb, q, mask, k)
+        else:
+            vals, idx = _dense_list(emb, q, mask, k)
         return np.asarray(vals), np.asarray(idx)
 
     def similarity_search_with_embedding(
@@ -534,7 +577,7 @@ class SearchEngine:
         active = [
             m
             for m in MODEL_ORDER
-            if m in self.index.dense
+            if m in self.index.dense_model_names
             and model_weights.get(m, 0) > 0
             and m in query_embeddings
         ]

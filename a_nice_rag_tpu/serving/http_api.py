@@ -147,7 +147,7 @@ class ServingAPI:
         for source, idx in self.rag_system.indexes.items():
             sources[source.value] = {
                 "n_docs": idx.n_docs,
-                "dense_models": list(idx.dense.keys()),
+                "dense_models": list(idx.dense_model_names),
                 "bm25": idx.bm25 is not None,
             }
         return {"status": "ok", "sources": sources}

@@ -40,6 +40,11 @@ from a_nice_rag_tpu.ops.bm25 import (
 )
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n_sparse
+from a_nice_rag_tpu.ops.quantized import (
+    QuantizedDense,
+    quantize_queries,
+    quantized_dense_scores,
+)
 from a_nice_rag_tpu.ops.topk import masked_top_k, merge_top_k
 
 
@@ -48,7 +53,10 @@ class ShardedIndex:
     """Device-mesh-resident hybrid index, corpus axis sharded."""
 
     mesh: Mesh
-    dense: Dict[str, jax.Array]  # [N_pad, D], P(corpus, None)
+    # model -> [N_pad, D] array sharded P(corpus, None), OR a
+    # QuantizedDense whose values/scales are corpus-sharded (int8
+    # indexes built with build_index(quantize_dense=...)).
+    dense: Dict[str, jax.Array]
     bm25_indptr: Optional[jax.Array]  # [S, V+1]
     bm25_doc_ids: Optional[jax.Array]  # [S, nnz_pad+1]
     bm25_impact: Optional[jax.Array]  # [S, nnz_pad+1]
@@ -187,13 +195,6 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
     for multi-host meshes; retrieval then merges hierarchically (ICI
     within a host first, then one k-list per host over DCN).
     """
-    if index.dense_q:
-        raise NotImplementedError(
-            "sharding int8-quantized dense matrices is not wired up yet; "
-            "build the index without quantize_dense= for sharded serving "
-            "(single-chip int8 serving works via FusedRetriever). "
-            "ROADMAP: shard dense_q values/scales over the corpus axis."
-        )
     n_shards = mesh.shape[corpus_axis]
     if host_axis is not None:
         n_shards *= mesh.shape[host_axis]
@@ -212,6 +213,17 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
         arr = np.pad(arr, ((0, n_total - arr.shape[0]), (0, 0)))
         sh = NamedSharding(mesh, P(doc_axes, None))
         dense[m] = jax.device_put(arr, sh)
+    for m, qd in (index.dense_q or {}).items():
+        vals = np.asarray(qd.values)
+        scl = np.asarray(qd.scales)
+        vals = np.pad(vals, ((0, n_total - vals.shape[0]), (0, 0)))
+        scl = np.pad(scl, (0, n_total - scl.shape[0]))
+        dense[m] = QuantizedDense(
+            values=jax.device_put(
+                vals, NamedSharding(mesh, P(doc_axes, None))
+            ),
+            scales=jax.device_put(scl, NamedSharding(mesh, P(doc_axes))),
+        )
 
     bm25_indptr = bm25_doc_ids = bm25_impact = None
     if index.bm25 is not None:
@@ -419,6 +431,30 @@ class ShardedRetriever:
                      mask, bmask, weights, wrrf_k):
             lists = []
             for mat, q in zip(dense_mats, q_embs):
+                quantized = isinstance(mat, QuantizedDense)
+                if use_pallas and quantized:
+                    from a_nice_rag_tpu.ops.pallas import (
+                        fused_dense_top_k_int8,
+                    )
+
+                    qv, qs = quantize_queries(q)
+                    kw = {
+                        key: val for key, val in pallas_kwargs.items()
+                        if key in ("block_q", "block_n", "subtiles",
+                                   "algo", "gated")
+                    }
+                    vals, lidx = fused_dense_top_k_int8(
+                        mat.values, mat.scales, qv, qs, k_local,
+                        mask=mask, interpret=interpret, **kw,
+                    )
+                    gidx = jnp.where(
+                        jnp.isfinite(vals),
+                        lidx + _shard_offset(n_local, ca, ha, n_corpus),
+                        -1,
+                    )
+                    _, gidx = _merge_over(vals, gidx, k, ca, ha)
+                    lists.append(gidx)
+                    continue
                 if use_pallas:
                     from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
 
@@ -434,7 +470,11 @@ class ShardedRetriever:
                     _, gidx = _merge_over(vals, gidx, k, ca, ha)
                     lists.append(gidx)
                     continue
-                scores = dense_scores(mat, q)
+                if quantized:
+                    qv, qs = quantize_queries(q)
+                    scores = quantized_dense_scores(mat, qv, qs)
+                else:
+                    scores = dense_scores(mat, q)
                 scores = jnp.where(mask[None, :], scores, -jnp.inf)
                 _, gidx = _local_to_global_topk(
                     scores, k, n_local, ca, ha, n_corpus
@@ -515,11 +555,19 @@ class ShardedRetriever:
 
         n_dense = len(self.model_names)
         dx = doc_axes
+        # Per-model spec: a plain corpus-sharded matrix, or a
+        # QuantizedDense pytree of (values [N, D], scales [N]) specs.
+        dense_specs = tuple(
+            QuantizedDense(values=P(dx, None), scales=P(dx))
+            if isinstance(sidx.dense[m], QuantizedDense)
+            else P(dx, None)
+            for m in self.model_names
+        )
         bm25_spec = (P(dx, None),) * 3
         tt_spec = (P(dx, None, None), P(dx, None), P(dx, None),
                    P(dx, None), P(dx, None))
         in_specs = (
-            (P(dx, None),) * n_dense,          # dense shards
+            dense_specs,                        # dense shards
             bm25_spec,                          # bm25 stacked arrays
             tt_spec,                            # two-tier stacked arrays
             (P(da, None),) * n_dense,           # query embeddings
@@ -674,16 +722,27 @@ def sharded_dense_top_k(
     n_corpus = mesh.shape[ca]
     n_local = sidx.n_local
 
+    mat = sidx.dense[model_name]
+    quantized = isinstance(mat, QuantizedDense)
+
     def shard_fn(emb_l, q_l, mask_l):
-        scores = dense_scores(emb_l, q_l)
+        if quantized:
+            qv, qs = quantize_queries(q_l)
+            scores = quantized_dense_scores(emb_l, qv, qs)
+        else:
+            scores = dense_scores(emb_l, q_l)
         scores = jnp.where(mask_l[None, :], scores, -jnp.inf)
         return _local_to_global_topk(scores, k, n_local, ca, ha, n_corpus)
 
+    emb_spec = (
+        QuantizedDense(values=P(dx, None), scales=P(dx))
+        if quantized else P(dx, None)
+    )
     run = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(dx, None), P(da, None), P(dx)),
+            in_specs=(emb_spec, P(da, None), P(dx)),
             out_specs=(P(da, None), P(da, None)),
             check_vma=False,
         )

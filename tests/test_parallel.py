@@ -236,3 +236,52 @@ def test_host_axis_dense_top_k_exact(setup):
     for b in range(4):
         expect = np.argsort(scores[b])[::-1][:15]
         np.testing.assert_array_equal(ids[b], expect)
+
+
+def test_sharded_quantized_index_matches_single_device():
+    """int8-quantized dense matrices shard over the corpus axis and the
+    sharded retrieval matches the single-device quantized FusedRetriever
+    (same int8 arithmetic, different placement)."""
+    from a_nice_rag_tpu.ops.quantized import quantized_dense_top_k
+
+    c = synth_corpus(n_docs=700, dim=64, n_queries=12, seed=43,
+                     models=MODELS)
+    idx_q = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+        quantize_dense=True,
+    )
+    mesh = make_mesh(shape=(2, 4), axis_names=("dp", "corpus"))
+    sidx = shard_index(idx_q, mesh)
+
+    q = c.query_embeddings["voyage-3-large"]
+    # Exact vs single-device int8 scoring.
+    vals_s, idx_s = sharded_dense_top_k(sidx, "voyage-3-large", q, 20)
+    vals_1, idx_1 = quantized_dense_top_k(
+        idx_q.dense_q["voyage-3-large"], jnp.asarray(q), 20,
+        mask=idx_q.filter_mask(None),
+    )
+    np.testing.assert_allclose(vals_s, np.asarray(vals_1),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(idx_s, np.asarray(idx_1))
+
+    # Hybrid end-to-end: sharded vs single-device quantized engine.
+    weights = {"voyage-3-large": 5.0, "BM25": 1.0}
+    terms = idx_q.pad_term_ids(c.query_tokens, 16)
+    sr = ShardedRetriever(
+        sidx, MODELS, use_bm25=True, similarity_k=12,
+        common_sections_n=10, budget=4096,
+    )
+    s_vals, s_ids = sr(
+        {"voyage-3-large": q}, terms, weights, None, 40.0,
+    )
+    fr = FusedRetriever(
+        idx_q, MODELS, use_bm25=True, similarity_k=12,
+        common_sections_n=10, budget=4096,
+    )
+    f_ids, f_vals, _ = fr(
+        {"voyage-3-large": q}, terms, weights, None, 40.0,
+    )
+    np.testing.assert_allclose(s_vals, f_vals, rtol=1e-5, atol=1e-7)
+    for b in range(s_ids.shape[0]):
+        assert set(s_ids[b][s_ids[b] >= 0]) == set(f_ids[b][f_ids[b] >= 0])

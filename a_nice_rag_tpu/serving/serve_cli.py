@@ -107,13 +107,14 @@ def build_state(
         from a_nice_rag_tpu.retrieval import FusedRetriever
 
         pallas_config = None
-        if autotune and jax.default_backend() == "tpu":
+        m0_mat = index.dense.get(model_names[0]) if model_names else None
+        if autotune and jax.default_backend() == "tpu" and m0_mat is not None:
+            # Autotune probes the f32/bf16 kernel; int8-quantized
+            # matrices serve with the int8 kernel's defaults.
             from a_nice_rag_tpu.ops.pallas.autotune import tune_fused_blocks
 
-            m0 = model_names[0]
-            q_probe = jax.numpy.zeros((128, index.dense[m0].shape[1]),
-                                      index.dense[m0].dtype)
-            pallas_config = tune_fused_blocks(index.dense[m0], q_probe, 25)
+            q_probe = jax.numpy.zeros((128, m0_mat.shape[1]), m0_mat.dtype)
+            pallas_config = tune_fused_blocks(m0_mat, q_probe, 25)
             logger.info("serve: autotuned pallas blocks %s", pallas_config)
         retriever = FusedRetriever(
             index, model_names, use_bm25=use_bm25,
@@ -267,7 +268,8 @@ def main(argv=None) -> None:
         raise SystemExit("--index or --demo is required")
 
     model_names = (
-        args.models.split(",") if args.models else list(index.dense)
+        args.models.split(",") if args.models
+        else list(index.dense_model_names)
     )
     use_bm25 = not args.no_bm25 and index.bm25 is not None
     state = build_state(

@@ -86,3 +86,27 @@ def test_serve_cli_sharded_with_health_swap(corpus_index):
                [r["id"] for r in out["results"]]
     finally:
         srv.shutdown()
+
+
+def test_serve_cli_quantized_index(corpus_index):
+    """The serve stack accepts an int8-quantized index (no f32 matrix
+    kept) on both single-device and sharded paths."""
+    c, _ = corpus_index
+    idx_q = build_index(ids=c.ids, sources=c.sources, contents=c.contents,
+                        embeddings=c.embeddings, token_lists=c.tokens,
+                        quantize_dense=True)
+    for shards in (1, 4):
+        state = build_state(idx_q, ("voyage-3-large",), use_bm25=True,
+                            shards=shards, autotune=shards == 1)
+        srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                          port=0, background=True)
+        try:
+            port = srv.server_address[1]
+            out = _search(port, {
+                "query_embedding":
+                    c.query_embeddings["voyage-3-large"][0].tolist(),
+                "terms": idx_q.pad_term_ids(c.query_tokens, 16)[0].tolist(),
+            })
+            assert out["results"][0]["id"] == c.gold_ids[0]
+        finally:
+            srv.shutdown()

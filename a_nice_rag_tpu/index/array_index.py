@@ -245,6 +245,40 @@ class ArrayIndex:
             )
         return self._filter_cache[key]
 
+    def filter_mask_or_none(
+        self, filename_type_filter: Optional[str]
+    ) -> Optional[jnp.ndarray]:
+        """Like :meth:`filter_mask`, but returns ``None`` when the mask
+        would be all-true (no filter, no tombstones, no doc-axis
+        padding) — the engine then drops the mask operand from the
+        streaming kernels entirely, skipping their per-tile select pass
+        (the common case for aligned production indexes)."""
+        if filename_type_filter:
+            return self.filter_mask(filename_type_filter)
+        key = ("trivial", self._version)
+        if key not in self._filter_cache:
+            for stale in [
+                k for k in self._filter_cache
+                if isinstance(k, tuple) and k[0] == "trivial" and k != key
+            ]:
+                del self._filter_cache[stale]
+            self._filter_cache[key] = bool(
+                self.n_docs == self.n_docs_padded
+                and not self.meta.deleted.any()
+            )
+        if self._filter_cache[key]:
+            return None
+        return self.filter_mask(filename_type_filter)
+
+    def bm25_doc_mask_or_none(self) -> Optional[np.ndarray]:
+        """``None`` when every (padded) doc row has at least one BM25
+        token, else the stored mask. Cached: the all() scan is O(N)."""
+        if self.bm25_doc_mask is None:
+            return None
+        if not hasattr(self, "_bm25_mask_trivial"):
+            self._bm25_mask_trivial = bool(self.bm25_doc_mask.all())
+        return None if self._bm25_mask_trivial else self.bm25_doc_mask
+
     def term_ids(self, tokens: Sequence[str]) -> np.ndarray:
         """Map tokens to vocab ids (-1 for OOV)."""
         assert self.vocab is not None, "index has no BM25 component"

@@ -514,7 +514,7 @@ def fused_dense_top_k_int8(
     q_scales: jax.Array,
     k: int,
     mask: Optional[jax.Array] = None,
-    block_q: int = 128,
+    block_q: int = 256,
     block_n: int = 8192,
     m_fast: int = 4,
     vmem_limit_bytes: int = 96 * 1024 * 1024,
@@ -530,11 +530,22 @@ def fused_dense_top_k_int8(
     saving with O(1) HBM for scores — the XLA int8 path materializes
     [B, N] f32 scores, which is unaffordable at multi-million N with
     real batch sizes.
+
+    Pass ``mask=None`` whenever no filtering is needed: the mask select
+    is a full extra VPU pass per streamed tile, measured at +23 ms on
+    the 39 ms maskless kernel at N=10.5M x 1024 (B=256) — deferring the
+    select into the fold's scratch copy was measured NOT to help, the
+    pass costs the same wherever it runs (scripts/bench_int8_mask.py).
     """
     n, d = values.shape
     b = q_values.shape[0]
+    # block_q=256 measured 39.4 ms vs 48.3 at 128 (N=10.5M x 1024,
+    # B=256): one query block per doc tile folds each streamed tile
+    # once. Halve until it divides the batch so any B keeps working.
     block_q = min(block_q, b)
-    assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
+    while b % block_q:
+        block_q //= 2
+    assert block_q >= 1
     if algo == "iterate":
         # The mask pass can only be skipped when NO mask was requested
         # AND no doc-axis padding happens (padded rows score exactly 0.0

@@ -210,7 +210,8 @@ class FusedRetriever:
                     scores = quantized_dense_scores(mat, qv, qs)
                 else:
                     scores = dense_scores(mat, q)
-                scores = jnp.where(mask[None, :], scores, -jnp.inf)
+                if mask is not None:
+                    scores = jnp.where(mask[None, :], scores, -jnp.inf)
                 vals, idx = masked_top_k(scores, similarity_k)
                 lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
             if use_bm25:
@@ -223,9 +224,10 @@ class FusedRetriever:
                         scores = bm25_scores_dense_gather(bm25_arrays, q_terms)
                     else:
                         scores = bm25_scores_dense(bm25_arrays, q_terms)
-                    scores = jnp.where(
-                        bm25_mask[None, :], scores, -jnp.inf
-                    )
+                    if bm25_mask is not None:
+                        scores = jnp.where(
+                            bm25_mask[None, :], scores, -jnp.inf
+                        )
                     vals, idx = masked_top_k(scores, similarity_k)
                 elif use_pallas:
                     # Million-doc CSR index: sort-based sparse top-k —
@@ -265,9 +267,10 @@ class FusedRetriever:
                     )
                 else:
                     scores = bm25_scores(bm25_arrays, q_terms, budget)
-                    scores = jnp.where(
-                        bm25_mask[None, :], scores, -jnp.inf
-                    )
+                    if bm25_mask is not None:
+                        scores = jnp.where(
+                            bm25_mask[None, :], scores, -jnp.inf
+                        )
                     vals, idx = masked_top_k(scores, similarity_k)
                 lists.append(jnp.where(jnp.isfinite(vals), idx, -1))
             if len(lists) == 1:
@@ -323,7 +326,9 @@ class FusedRetriever:
         idx = self.index
         dense_mats = tuple(idx.dense_matrix(m) for m in self.model_names)
         q_tuple = tuple(jnp.asarray(q_embs[m]) for m in self.model_names)
-        mask = idx.filter_mask(filename_type_filter)
+        # None when all-true: the streaming kernels then drop their mask
+        # operand AND its per-tile select pass entirely.
+        mask = idx.filter_mask_or_none(filename_type_filter)
         if self.use_bm25:
             version = getattr(idx, "_version", 0)
             key = ("bm25_mask", filename_type_filter or None, version)
@@ -336,7 +341,16 @@ class FusedRetriever:
                     if k[0] == "bm25_mask" and k[-1] != version
                 ]:
                     del self._const_cache[stale]
-                self._const_cache[key] = mask & jnp.asarray(idx.bm25_doc_mask)
+                doc_mask = idx.bm25_doc_mask_or_none()
+                if mask is None and doc_mask is None:
+                    bm = None
+                elif doc_mask is None:
+                    bm = mask
+                elif mask is None:
+                    bm = jnp.asarray(doc_mask)
+                else:
+                    bm = mask & jnp.asarray(doc_mask)
+                self._const_cache[key] = bm
             bm25_mask = self._const_cache[key]
             terms = jnp.asarray(q_terms)
             bm25_arrays = (

@@ -191,6 +191,92 @@ def at_scale_metrics() -> dict:
     }
 
 
+def int8_scale_metrics() -> dict:
+    """BASELINE-config-5 scale on ONE chip via int8: N=10.5M x 1024
+    (10.7 GB) served through FusedRetriever over a quantize_dense index
+    — the engine's Pallas int8 streaming route (ops/pallas/fused_topk.py
+    fused_dense_top_k_int8) with a planted-gold recall guard. The bf16
+    XLA path OOMs past batch 32 at this scale; the f32 matrix would not
+    even fit HBM. The aligned unfiltered index routes maskless
+    (filter_mask_or_none -> None), skipping the per-tile mask select
+    pass (measured +23 ms on 39 ms at this shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.index.array_index import ArrayIndex, CorpusMeta
+    from a_nice_rag_tpu.ops.pallas.autotune import FusedKernelConfig
+    from a_nice_rag_tpu.ops.quantized import QuantizedDense
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+
+    N = 10_485_760
+    D = 1024
+    B3 = 256
+    K3 = 25
+    rng = np.random.default_rng(23)
+    gold = rng.integers(0, N, size=B3).astype(np.int32)
+
+    @jax.jit
+    def gen_vals(key):
+        return jax.random.randint(key, (N, D), -127, 128, dtype=jnp.int8)
+
+    @jax.jit
+    def gen_queries(vals, gold_rows, key):
+        g = jnp.take(vals, gold_rows, axis=0).astype(jnp.float32)
+        q = g + 38.0 * jax.random.normal(key, g.shape, dtype=jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        return q * inv
+
+    vals = gen_vals(jax.random.PRNGKey(5))
+    scales = jnp.full((N,), 1.0 / 127.0, jnp.float32)
+    q3 = gen_queries(vals, jnp.asarray(gold), jax.random.PRNGKey(6))
+
+    meta = CorpusMeta(ids=[], sources=[], contents=[], urls=[],
+                      n_docs=N, n_docs_padded=N)
+    index3 = ArrayIndex(
+        meta=meta, dense={}, bm25=None, vocab=None, bm25_stats=None,
+        dense_q={"voyage-3-large": QuantizedDense(values=vals,
+                                                  scales=scales)},
+    )
+    retr = FusedRetriever(
+        index3, ("voyage-3-large",), use_bm25=False,
+        similarity_k=K3, common_sections_n=K3,
+        pallas_config=FusedKernelConfig(block_q=256, block_n=8192),
+    )
+    assert retr.use_pallas, "10.5M int8 config must route to Pallas"
+    qd = {"voyage-3-large": q3}
+    w = {"voyage-3-large": 1.0}
+
+    fids, _, _ = retr.retrieve_device(qd, None, w, None, 40.0)
+    f = np.asarray(fids)[:, :10]
+    r10 = float(np.mean([gold[b] in f[b] for b in range(B3)]))
+    assert r10 >= 0.95, f"10.5M int8 recall@10_planted {r10} below 0.95"
+
+    for _ in range(2):
+        jax.block_until_ready(
+            retr.retrieve_device(qd, None, w, None, 40.0)[0]
+        )
+    qps3 = 0.0
+    ms3 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(5):
+            out = retr.retrieve_device(qd, None, w, None, 40.0)
+        float(out[0][0, 0])
+        dt = time.perf_counter() - t0
+        qps3 = max(qps3, B3 * 5 / dt)
+        ms3 = min(ms3, dt / 5 * 1e3)
+    return {
+        "n_docs_10m_int8": N,
+        "dim_10m_int8": D,
+        "batch_10m_int8": B3,
+        "qps_10m_int8": round(qps3, 1),
+        "batch_10m_int8_ms": round(ms3, 3),
+        "recall@10_10m_int8": r10,
+        "pallas_route_10m_int8": True,
+    }
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -378,7 +464,24 @@ def main() -> None:
     # Flagship million-doc configuration (streaming Pallas + sparse BM25)
     # — measured on TPU only (the interpreted Pallas path at 2M docs is
     # not runnable in the CPU fallback).
+    # Free the reference-scale stage's device arrays before the at-scale
+    # stages: the dense-impact BM25 matrix alone is ~780 MB, and the
+    # 10.5M int8 corpus needs 10.7 GB of the chip's 16 GB HBM.
+    import gc
+
+    del retriever, index, q_embs, q_dev, terms_dev, terms_np, out
+    del emb, bm25_arrays, mask, bm25_mask, args, wv, wk, q1, t1, q1d, t1d
+    gc.collect()
+
     at_scale = at_scale_metrics() if platform == "tpu" else {}
+    gc.collect()
+    if platform == "tpu":
+        try:
+            at_scale_int8 = int8_scale_metrics()
+        except Exception as e:  # shared-chip OOM/contention: report, not die
+            at_scale_int8 = {"int8_scale_error": str(e)[:160]}
+    else:
+        at_scale_int8 = {}
 
     print(
         json.dumps(
@@ -400,6 +503,7 @@ def main() -> None:
                 "recall@10_bm25_only": recall10_bm25,
                 "platform": platform,
                 **at_scale,
+                **at_scale_int8,
             }
         )
     )

@@ -44,6 +44,62 @@ def test_build_and_filter_mask():
         )
 
 
+def test_filter_mask_or_none():
+    """None only when the mask would be all-true: aligned corpus, no
+    filter, no tombstones — the engine's maskless kernel fast path."""
+    from a_nice_rag_tpu.index.updates import delete_documents
+
+    c_pad = synth_corpus(n_docs=100, dim=32, seed=21)
+    idx_pad = _build(c_pad)
+    # Padded doc axis (100 -> 128): pad rows must stay masked out.
+    assert idx_pad.filter_mask_or_none(None) is not None
+
+    c = synth_corpus(n_docs=128, dim=32, seed=22)
+    idx = _build(c)
+    assert idx.n_docs == idx.n_docs_padded == 128
+    assert idx.filter_mask_or_none(None) is None
+    # A filter string always yields a real mask.
+    assert idx.filter_mask_or_none("CG") is not None
+    # Tombstones invalidate the cached triviality via the version bump.
+    delete_documents(idx, [c.ids[0]])
+    m = idx.filter_mask_or_none(None)
+    assert m is not None and not bool(np.asarray(m)[0])
+
+
+def test_fused_retriever_trivial_mask_parity():
+    """The maskless fast path returns the same fused ids as a forced
+    all-true mask on an aligned corpus."""
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+
+    c = synth_corpus(n_docs=128, dim=32, n_queries=8, seed=31)
+    idx = _build(c)
+    assert idx.filter_mask_or_none(None) is None
+    r = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True,
+        similarity_k=10, common_sections_n=10, budget=1024,
+    )
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    terms = idx.pad_term_ids(c.query_tokens, 8)
+    w = {"voyage-3-large": 5.0, "BM25": 1.0}
+    fids, _, _ = r(q, terms, w, None, 40.0)
+    # Forced mask path (bypasses the trivial-mask shortcut).
+    mask = idx.filter_mask(None)
+    bmask = mask & jnp.asarray(idx.bm25_doc_mask)
+    fids_m, _, _ = r._run(
+        tuple(idx.dense_matrix(m) for m in ("voyage-3-large",)),
+        idx.bm25_dense if idx.bm25_dense is not None else idx.bm25,
+        (jnp.asarray(q["voyage-3-large"]),),
+        jnp.asarray(terms),
+        mask,
+        bmask,
+        r._weights_device(w),
+        r._scalar_device(40.0),
+    )
+    np.testing.assert_array_equal(np.asarray(fids), np.asarray(fids_m))
+
+
 def test_save_load_roundtrip(tmp_path):
     c = synth_corpus(n_docs=60, dim=16, seed=23)
     idx = _build(c)

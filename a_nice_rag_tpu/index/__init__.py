@@ -27,3 +27,12 @@ from a_nice_rag_tpu.index.updates import (  # noqa: F401
     delete_documents,
     undelete_documents,
 )
+from a_nice_rag_tpu.index.ivf import (  # noqa: F401
+    IVFDense,
+    attach_ivf,
+    build_ivf_dense,
+    build_ivf_quantized,
+    ivf_search,
+    load_ivf,
+    save_ivf,
+)

@@ -206,6 +206,12 @@ class ArrayIndex:
     # scoring paths (XLA int8 matmul or the Pallas int8 streaming
     # kernel at scale).
     dense_q: Optional[Dict[str, QuantizedDense]] = None
+    # IVF ANN structures per model (index/ivf.py), attached via
+    # attach_ivf(). Opt-in approximate search: FusedRetriever(nprobe=p)
+    # probes p clusters instead of scanning the corpus. NOTE: the IVF
+    # copy is cluster-major-permuted — with the original matrix kept
+    # for the exact/filtered paths, memory doubles for that model.
+    ivf: Optional[Dict[str, "object"]] = None
 
     def __post_init__(self) -> None:
         self._filter_cache: Dict[Optional[str], np.ndarray] = {}

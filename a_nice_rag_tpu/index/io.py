@@ -51,6 +51,14 @@ def save_index(index: ArrayIndex, path: str) -> None:
         arrays["bm25/impact"] = np.asarray(index.bm25.impact)
         arrays["bm25/doc_mask"] = np.asarray(index.bm25_doc_mask)
     np.savez_compressed(os.path.join(path, "arrays.npz"), **arrays)
+    if index.ivf:
+        from a_nice_rag_tpu.index.ivf import save_ivf
+
+        for model, ivf in index.ivf.items():
+            save_ivf(
+                ivf,
+                os.path.join(path, f"ivf_{model.replace('/', '_')}.npz"),
+            )
     meta = {
         "format_version": _FORMAT_VERSION,
         "n_docs": index.meta.n_docs,
@@ -64,6 +72,7 @@ def save_index(index: ArrayIndex, path: str) -> None:
         "vocab": index.vocab,
         "bm25_stats": index.bm25_stats,
         "deleted_rows": np.flatnonzero(index.meta.deleted).tolist(),
+        "ivf_models": list((index.ivf or {}).keys()),
     }
     with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as f:
         json.dump(meta, f)
@@ -117,6 +126,16 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
         v = bm25.vocab_size
         if v * meta_d["n_docs_padded"] * 4 <= (4 << 30):
             bm25_dense = dense_impact_from_csr(bm25)
+    ivf = None
+    if meta_d.get("ivf_models"):
+        from a_nice_rag_tpu.index.ivf import load_ivf
+
+        ivf = {
+            m: load_ivf(
+                os.path.join(path, f"ivf_{m.replace('/', '_')}.npz")
+            )
+            for m in meta_d["ivf_models"]
+        }
     return ArrayIndex(
         meta=meta,
         dense=dense,
@@ -126,6 +145,7 @@ def load_index(path: str, emb_dtype: str = "float32") -> ArrayIndex:
         bm25_doc_mask=bm25_doc_mask,
         bm25_dense=bm25_dense,
         dense_q=dense_q,
+        ivf=ivf,
     )
 
 

@@ -148,6 +148,10 @@ class DeviceHealthMonitor:
             while not self._stop.wait(self.probe_interval_s):
                 try:
                     self.check_and_recover()
+                except RuntimeError as e:
+                    if "interpreter shutdown" in str(e):
+                        return  # process exiting; wind the daemon down
+                    logger.exception("health: probe cycle failed")
                 except Exception:  # noqa: BLE001 — keep the monitor alive
                     logger.exception("health: probe cycle failed")
 

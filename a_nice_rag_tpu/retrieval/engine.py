@@ -133,10 +133,21 @@ class FusedRetriever:
         budget: int = 16384,
         dense_backend: str = "auto",
         pallas_config=None,
+        nprobe: Optional[int] = None,
+        ivf_max_tiles: Optional[int] = None,
     ):
         """``pallas_config``: optional ops.pallas.FusedKernelConfig
         (e.g. from tune_fused_blocks) overriding the streaming kernel's
         block shape for this corpus/batch signature.
+
+        ``nprobe``: opt-in ANN — models with an attached IVF structure
+        (index.ivf, see index/ivf.attach_ivf) probe only their top-p
+        clusters instead of scanning the corpus. Approximate (recall
+        depends on nprobe/n_clusters); applies only when no candidate
+        mask is active — filtered or tombstoned calls fall back to the
+        exact scan, preserving reference filter semantics exactly.
+        ``ivf_max_tiles`` caps the per-batch scheduled tile table
+        (default: worst-case, no truncation).
 
         Backend semantics note: on the Pallas route a CSR-only BM25 list
         reports -1 for zero-score slots (docs with no matching term are
@@ -171,12 +182,62 @@ class FusedRetriever:
         interpret = jax.default_backend() != "tpu"
         if interpret:
             pallas_kwargs = dict(pallas_kwargs, interpret=True)
+        self.nprobe = nprobe
+        self._ivf_structs = tuple(
+            (index.ivf or {}).get(m) if nprobe else None
+            for m in self.model_names
+        )
 
         @partial(jax.jit, static_argnames=())
         def run(dense_mats, bm25_arrays, q_embs, q_terms, mask, bm25_mask,
-                weights, wrrf_k):
+                weights, wrrf_k, ivf_structs=None):
             lists = []
-            for mat, q in zip(dense_mats, q_embs):
+            if ivf_structs is None:
+                ivf_structs = (None,) * len(q_embs)
+            for mat, q, iv in zip(dense_mats, q_embs, ivf_structs):
+                if iv is not None and mask is None:
+                    # IVF ANN route: probe nprobe clusters, scan only
+                    # their covering tiles. Only when no mask is active
+                    # (the IVF kernel has no mask operand; filtered
+                    # calls trace with mask != None and take the exact
+                    # branch below).
+                    from a_nice_rag_tpu.index.ivf import build_tile_table
+                    from a_nice_rag_tpu.ops.pallas.ivf_topk import (
+                        ivf_dense_top_k,
+                        ivf_dense_top_k_int8,
+                    )
+
+                    mt = ivf_max_tiles or min(
+                        iv.n_tiles,
+                        q.shape[0] * nprobe * iv.max_cluster_tiles,
+                    )
+                    table, _ = build_tile_table(
+                        iv.centroids, iv.cluster_start, q,
+                        nprobe=min(nprobe, iv.n_clusters), max_tiles=mt,
+                        tile_n=iv.tile_n, mct=iv.max_cluster_tiles,
+                    )
+                    if iv.emb is not None:
+                        _, pidx = ivf_dense_top_k(
+                            iv.emb, q, table, similarity_k,
+                            tile_n=iv.tile_n, n_real=iv.n_real,
+                            interpret=interpret,
+                        )
+                    else:
+                        qv, qs = quantize_queries(q)
+                        _, pidx = ivf_dense_top_k_int8(
+                            iv.values, iv.scales, qv, qs, table,
+                            similarity_k, tile_n=iv.tile_n,
+                            n_real=iv.n_real, interpret=interpret,
+                        )
+                    lists.append(jnp.where(
+                        pidx >= 0,
+                        jnp.take(
+                            iv.perm,
+                            jnp.clip(pidx, 0, iv.perm.shape[0] - 1),
+                        ),
+                        -1,
+                    ))
+                    continue
                 quantized = isinstance(mat, QuantizedDense)
                 if use_pallas and quantized:
                     from a_nice_rag_tpu.ops.pallas import (
@@ -373,6 +434,7 @@ class FusedRetriever:
             bm25_mask,
             self._weights_device(weights),
             self._scalar_device(wrrf_k),
+            ivf_structs=self._ivf_structs,
         )
         return fids, fvals, all_idx
 

@@ -1,0 +1,253 @@
+"""IVF ANN layer: k-means, tile-table construction, probed search.
+
+The exact-parity anchor: with nprobe == n_clusters every corpus tile is
+scheduled, so ivf_search must equal the exact brute-force top-k
+(including scores). Partial probing is checked against an overlap
+floor on planted-cluster data.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.index.ivf import (
+    build_ivf_dense,
+    build_tile_table,
+    ivf_search,
+)
+from a_nice_rag_tpu.ops.kmeans import spherical_kmeans
+
+
+def _unit(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    rng = np.random.default_rng(7)
+    c_true, d, per = 12, 48, 40
+    cents = _unit(rng.normal(size=(c_true, d)))
+    x = _unit(
+        np.repeat(cents, per, axis=0)
+        + 0.08 * rng.normal(size=(c_true * per, d))
+    ).astype(np.float32)
+    gold = rng.integers(0, len(x), 16)
+    q = _unit(
+        x[gold] + 0.12 * rng.normal(size=(16, d))
+    ).astype(np.float32)
+    return x, q, gold
+
+
+def test_kmeans_planted_probe_hit(clustered):
+    x, q, gold = clustered
+    cent, assign = spherical_kmeans(jnp.asarray(x), 12, n_iters=12, seed=1)
+    cent, assign = np.asarray(cent), np.asarray(assign)
+    # IVF-relevant property: the gold doc's cluster appears in the
+    # query's top-4 probed clusters essentially always.
+    probes = np.argsort(-(q @ cent.T), axis=1)[:, :4]
+    hit = np.mean([assign[g] in probes[i] for i, g in enumerate(gold)])
+    assert hit >= 0.9, hit
+    # Unit-norm centroids.
+    np.testing.assert_allclose(
+        np.linalg.norm(cent, axis=1), 1.0, atol=1e-5
+    )
+
+
+def test_kmeans_handles_padding_and_tiny_inputs():
+    rng = np.random.default_rng(0)
+    x = _unit(rng.normal(size=(37, 16))).astype(np.float32)  # odd N
+    cent, assign = spherical_kmeans(jnp.asarray(x), 5, n_iters=4, seed=0)
+    assert assign.shape == (37,)
+    assert int(np.asarray(assign).max()) < 5
+    # Assignments are the argmax of x @ cent^T (padding never leaks).
+    expect = np.argmax(x @ np.asarray(cent).T, axis=1)
+    np.testing.assert_array_equal(np.asarray(assign), expect)
+
+
+def test_ivf_exact_parity_full_probe(clustered):
+    """nprobe == n_clusters schedules every tile -> exact top-k."""
+    x, q, _ = clustered
+    # N=480: NOT a tile multiple (tile_n=128) — exercises the
+    # last-tile valid-count masking in the kernel.
+    ivf = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=8, seed=0
+    )
+    assert ivf.n_real == 480 and ivf.emb.shape[0] == 512
+    k = 9
+    vals, ids, n_unique = ivf_search(
+        ivf, jnp.asarray(q), k, nprobe=12, interpret=True
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    assert int(n_unique) == ivf.n_tiles
+    ref = q @ x.T
+    ref_ids = np.argsort(-ref, axis=1)[:, :k]
+    for b in range(q.shape[0]):
+        assert set(ids[b]) == set(ref_ids[b])
+        np.testing.assert_allclose(
+            np.sort(vals[b]),
+            np.sort(ref[b, ref_ids[b]]),
+            rtol=1e-5,
+        )
+        assert (ids[b] >= 0).all()  # pad rows never surface
+
+
+def test_ivf_partial_probe_overlap(clustered):
+    x, q, gold = clustered
+    ivf = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=8, seed=0
+    )
+    k = 9
+    vals, ids, _ = ivf_search(
+        ivf, jnp.asarray(q), k, nprobe=3, interpret=True
+    )
+    ids = np.asarray(ids)
+    ref_ids = np.argsort(-(q @ x.T), axis=1)[:, :k]
+    overlap = np.mean(
+        [len(set(ids[b]) & set(ref_ids[b])) / k for b in range(len(q))]
+    )
+    assert overlap >= 0.8, overlap
+    # Scores of returned docs are the TRUE cosines (exact over the
+    # scheduled tiles — no quantization of the scores themselves).
+    ref = q @ x.T
+    vals = np.asarray(vals)
+    for b in range(len(q)):
+        got = {int(i): v for i, v in zip(ids[b], vals[b]) if i >= 0}
+        for i, v in got.items():
+            np.testing.assert_allclose(v, ref[b, i], rtol=1e-5)
+
+
+def test_tile_table_dedup_and_overflow(clustered):
+    x, q, _ = clustered
+    ivf = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=8, seed=0
+    )
+    table, n_unique = build_tile_table(
+        ivf.centroids, ivf.cluster_start, jnp.asarray(q),
+        nprobe=12, max_tiles=ivf.n_tiles, tile_n=ivf.tile_n,
+        mct=ivf.max_cluster_tiles,
+    )
+    table = np.asarray(table)
+    real = table[table >= 0]
+    assert len(np.unique(real)) == len(real)  # deduped
+    assert int(n_unique) == len(real)
+    # Truncation is visible: a 2-slot table reports the same demand.
+    t2, n2 = build_tile_table(
+        ivf.centroids, ivf.cluster_start, jnp.asarray(q),
+        nprobe=12, max_tiles=2, tile_n=ivf.tile_n,
+        mct=ivf.max_cluster_tiles,
+    )
+    assert int(n2) == int(n_unique) and np.asarray(t2).shape == (2,)
+
+
+def test_ivf_int8_full_probe_matches_xla_int8(clustered):
+    """Int8 IVF at full probe == the XLA int8 exact top-k (same
+    quantized scores, same ids up to score ties)."""
+    from a_nice_rag_tpu.index.ivf import build_ivf_quantized
+    from a_nice_rag_tpu.ops.quantized import (
+        quantize_embeddings,
+        quantize_queries,
+        quantized_dense_scores,
+    )
+
+    x, q, _ = clustered
+    qd = quantize_embeddings(jnp.asarray(x))
+    ivf = build_ivf_quantized(qd, n_clusters=12, tile_n=128,
+                              n_iters=6, seed=0)
+    assert ivf.values is not None and ivf.emb is None
+    k = 9
+    vals, ids, _ = ivf_search(
+        ivf, jnp.asarray(q), k, nprobe=12, interpret=True
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    qv, qs = quantize_queries(jnp.asarray(q))
+    ref = np.asarray(quantized_dense_scores(qd, qv, qs))
+    ref_ids = np.argsort(-ref, axis=1)[:, :k]
+    for b in range(q.shape[0]):
+        np.testing.assert_allclose(
+            np.sort(vals[b]),
+            np.sort(ref[b, ref_ids[b]]),
+            rtol=1e-5,
+        )
+    # Partial probe still overlaps well.
+    _, ids3, _ = ivf_search(
+        ivf, jnp.asarray(q), k, nprobe=3, interpret=True
+    )
+    ids3 = np.asarray(ids3)
+    overlap = np.mean(
+        [len(set(ids3[b]) & set(ref_ids[b])) / k for b in range(len(q))]
+    )
+    assert overlap >= 0.75, overlap
+
+
+def test_engine_ivf_route_and_filtered_fallback():
+    """FusedRetriever(nprobe=...) serves the ANN route unfiltered and
+    falls back to the exact masked scan when a filter is active; IVF
+    structures survive the index save/load roundtrip."""
+    import os
+    import tempfile
+
+    from a_nice_rag_tpu.index import build_index, load_index, save_index
+    from a_nice_rag_tpu.index.ivf import attach_ivf
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(n_docs=128, dim=32, n_queries=8, seed=41)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    attach_ivf(idx, "voyage-3-large", n_clusters=8, tile_n=32, n_iters=6)
+    d = tempfile.mkdtemp()
+    save_index(idx, os.path.join(d, "a"))
+    idx = load_index(os.path.join(d, "a"))
+    assert idx.ivf and "voyage-3-large" in idx.ivf
+
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    terms = idx.pad_term_ids(c.query_tokens, 8)
+    w = {"voyage-3-large": 5.0, "BM25": 1.0}
+    # Full probe == the exact engine result.
+    r_ivf = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True,
+        similarity_k=10, common_sections_n=10, budget=1024, nprobe=8,
+    )
+    r_exact = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True,
+        similarity_k=10, common_sections_n=10, budget=1024,
+    )
+    f1, _, _ = r_ivf(q, terms, w, None, 40.0)
+    f2, _, _ = r_exact(q, terms, w, None, 40.0)
+    np.testing.assert_array_equal(f1, f2)
+    # Partial probe still finds the planted golds.
+    r_p = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True,
+        similarity_k=10, common_sections_n=10, budget=1024, nprobe=3,
+    )
+    f3, _, _ = r_p(q, terms, w, None, 40.0)
+    hits = sum(
+        c.gold_ids[b] in [idx.meta.ids[i] for i in f3[b] if i >= 0]
+        for b in range(8)
+    )
+    assert hits >= 6, hits
+    # Filtered call: exact masked fallback, filter respected.
+    f4, _, _ = r_p(q, terms, w, "CG", 40.0)
+    f5, _, _ = r_exact(q, terms, w, "CG", 40.0)
+    np.testing.assert_array_equal(f4, f5)
+    for b in range(8):
+        for i in f4[b]:
+            if i >= 0:
+                assert idx.meta.sources[i].upper().startswith("CG")
+
+
+def test_ivf_permutation_roundtrip(clustered):
+    """Cluster-major permutation preserves every document exactly."""
+    x, _, _ = clustered
+    ivf = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=4, seed=0
+    )
+    perm = np.asarray(ivf.perm)
+    emb_p = np.asarray(ivf.emb)
+    assert sorted(perm[perm >= 0].tolist()) == list(range(len(x)))
+    np.testing.assert_allclose(emb_p[perm >= 0], x[perm[perm >= 0]])
+    # Padding rows are zero.
+    assert (emb_p[perm < 0] == 0).all()

@@ -51,7 +51,10 @@ from a_nice_rag_tpu.ops.pallas.fused_topk import (
 def _ivf_kernel(tiles_ref, *refs, k: int, tile_n: int,
                 n_real: int, subtiles: int, use_scratch: bool,
                 int8: bool):
-    """Grid = (max_tiles,). tiles_ref: prefetched [max_tiles] int32."""
+    """Grid = (max_tiles,). tiles_ref: prefetched [max_tiles + 1] int32
+    — the LAST slot carries the dynamic real-row count when the static
+    ``n_real`` is 0 (per-shard counts differ under shard_map, where the
+    kernel is traced once for all shards)."""
     if int8:
         (q_ref, qs_ref, e_ref, es_ref, vals_ref, idx_ref,
          run_v, run_i, s_scr) = refs
@@ -60,6 +63,7 @@ def _ivf_kernel(tiles_ref, *refs, k: int, tile_n: int,
     g = pl.program_id(0)
     n_steps = pl.num_programs(0)
     t = tiles_ref[g]
+    n_real = tiles_ref[n_steps] if n_real == 0 else n_real
 
     @pl.when(g == 0)
     def _():
@@ -197,8 +201,11 @@ def _ivf_call(operands, shape, b, tile_table, k, tile_n, n_real,
               subtiles, vmem_limit_bytes, interpret, *, int8: bool):
     npad, d = shape
     assert npad % tile_n == 0, (npad, tile_n)
-    assert 0 < n_real <= npad
-    max_tiles = tile_table.shape[0]
+    # n_real == 0 selects the DYNAMIC form: the table carries one extra
+    # trailing slot holding the real-row count (see _ivf_kernel).
+    assert 0 <= n_real <= npad
+    max_tiles = tile_table.shape[0] - (1 if n_real == 0 else 0)
+    assert max_tiles >= 1
     n_sub = subtiles
     while tile_n % n_sub:
         n_sub //= 2

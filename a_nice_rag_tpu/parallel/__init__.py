@@ -17,6 +17,7 @@ from a_nice_rag_tpu.parallel.mesh import make_mesh  # noqa: F401
 from a_nice_rag_tpu.parallel.sharded import (  # noqa: F401
     ShardedIndex,
     shard_index,
+    shard_ivf,
     sharded_dense_top_k,
     sharded_hybrid_retrieve,
 )

@@ -81,6 +81,20 @@ class ShardedIndex:
     # configuration — over the surviving devices.
     two_tier_common: int = 0
     two_tier_dtype: str = "bfloat16"
+    # Per-shard IVF ANN layout for ONE flagship model (shard_ivf):
+    # each shard clusters its own rows; probing and the scalar-prefetch
+    # kernel run per shard inside the pjit program, merged like every
+    # other ranked list. Rows are the cluster-major permuted local
+    # matrix ([S, Npl, D] float or a QuantizedDense of stacked
+    # values/scales); perms map permuted -> LOCAL row.
+    ivf_model: Optional[str] = None
+    ivf_centroids: Optional[jax.Array] = None  # [S, C, D] f32
+    ivf_rows: Optional[object] = None  # [S, Npl, D] or QuantizedDense
+    ivf_perm: Optional[jax.Array] = None  # [S, Npl] int32
+    ivf_cluster_start: Optional[jax.Array] = None  # [S, C+1] int32
+    ivf_n_real: Optional[jax.Array] = None  # [S] int32
+    ivf_tile_n: int = 0
+    ivf_mct: int = 0
 
     def __post_init__(self) -> None:
         self._mask_cache: Dict[Optional[str], jax.Array] = {}
@@ -296,6 +310,110 @@ def shard_index(index: ArrayIndex, mesh: Mesh, corpus_axis: str = "corpus",
     )
 
 
+def shard_ivf(
+    sidx: ShardedIndex,
+    model_name: str,
+    n_clusters: Optional[int] = None,
+    tile_n: int = 1024,
+    n_iters: int = 10,
+    seed: int = 0,
+) -> ShardedIndex:
+    """Build the per-shard IVF ANN layout for one flagship model.
+
+    Each shard clusters its OWN rows (spherical k-means; uniform C so
+    the stacked arrays shard over the corpus axis) and stores them
+    cluster-major with padding rows forced to the END of the permuted
+    layout — the kernel's dynamic real-row count (carried in the tile
+    table's trailing slot) masks exactly the boundary over-scan into
+    the pad tail, so per-shard pad counts may differ freely.
+
+    Returns a new ShardedIndex carrying the IVF arrays; serve it with
+    ``ShardedRetriever(..., nprobe=p)``.
+    """
+    import dataclasses as _dc
+
+    from a_nice_rag_tpu.index.ivf import _default_clusters
+    from a_nice_rag_tpu.ops.kmeans import spherical_kmeans
+
+    base = sidx.base_index
+    mat = base.dense_matrix(model_name)
+    quantized = isinstance(mat, QuantizedDense)
+    vals_np = np.asarray(mat.values if quantized else mat)
+    scales_np = np.asarray(mat.scales) if quantized else None
+    n_docs = base.n_docs  # rows past n_docs are index padding
+    nl, s_cnt = sidx.n_local, sidx.n_shards
+    npl = -(-nl // tile_n) * tile_n
+    c = _default_clusters(nl, n_clusters)
+    reals = [int(np.clip(n_docs - s * nl, 0, nl)) for s in range(s_cnt)]
+    c = min(c, min(r for r in reals if r > 0) if any(reals) else 1)
+
+    cents, rows_v, rows_s, perms, cstarts = [], [], [], [], []
+    mct = 1
+    for s in range(s_cnt):
+        real = reals[s]
+        lo = s * nl
+        local = vals_np[lo:min(lo + nl, vals_np.shape[0])]
+        local = np.pad(local, ((0, npl - local.shape[0]), (0, 0)))
+        if quantized:
+            lsc = scales_np[lo:min(lo + nl, scales_np.shape[0])]
+            lsc = np.pad(lsc, (0, npl - lsc.shape[0]))
+        if real > 0:
+            cent, assign = spherical_kmeans(
+                jnp.asarray(local[:real]), c, n_iters=n_iters,
+                seed=seed + s,
+            )
+            cent, assign = np.asarray(cent), np.asarray(assign)
+        else:
+            cent = np.zeros((c, local.shape[1]), np.float32)
+            assign = np.zeros((0,), np.int32)
+        # Pads (rows >= real) sort AFTER every cluster.
+        key = np.full(npl, c, np.int64)
+        key[:real] = assign
+        order = np.argsort(key, kind="stable").astype(np.int32)
+        counts = np.bincount(assign, minlength=c)
+        cstart = np.zeros(c + 1, np.int32)
+        np.cumsum(counts, out=cstart[1:])
+        perm = np.where(order < real, order, -1).astype(np.int32)
+        cents.append(cent)
+        rows_v.append(local[order])
+        if quantized:
+            rows_s.append(np.where(order < real, lsc[order], 0.0))
+        perms.append(perm)
+        cstarts.append(cstart)
+        if counts.size:
+            mct = max(mct, int(-(-counts.max() // tile_n)) + 1)
+
+    mesh = sidx.mesh
+    dx = sidx.doc_axes
+    sh2 = NamedSharding(mesh, P(dx, None))
+    sh3 = NamedSharding(mesh, P(dx, None, None))
+    sh1 = NamedSharding(mesh, P(dx))
+    if quantized:
+        rows = QuantizedDense(
+            values=jax.device_put(np.stack(rows_v), sh3),
+            scales=jax.device_put(
+                np.stack(rows_s).astype(np.float32), sh2
+            ),
+        )
+    else:
+        rows = jax.device_put(np.stack(rows_v), sh3)
+    return _dc.replace(
+        sidx,
+        ivf_model=model_name,
+        ivf_centroids=jax.device_put(
+            np.stack(cents).astype(np.float32), sh3
+        ),
+        ivf_rows=rows,
+        ivf_perm=jax.device_put(np.stack(perms), sh2),
+        ivf_cluster_start=jax.device_put(np.stack(cstarts), sh2),
+        ivf_n_real=jax.device_put(
+            np.asarray(reals, np.int32), sh1
+        ),
+        ivf_tile_n=tile_n,
+        ivf_mct=mct,
+    )
+
+
 def _gather_merge(vals, gidx, k, corpus_axis):
     """All-gather per-shard (vals, global ids) over ICI and merge to the
     best min(k, S * k_local) candidates."""
@@ -366,6 +484,8 @@ class ShardedRetriever:
         dense_backend: str = "xla",
         bm25_backend: str = "auto",
         pallas_config=None,
+        nprobe: Optional[int] = None,
+        ivf_max_tiles: Optional[int] = None,
     ):
         """dense_backend="pallas" streams each shard through the fused
         matmul+top-k kernel (ops.pallas) — use for million-doc shards
@@ -376,7 +496,15 @@ class ShardedRetriever:
         layout and materializes per-shard scores,
         "two_tier_streaming" additionally streams the common tier
         through the Pallas fused top-k kernel so no [B, N_local] score
-        matrix is ever materialized (exact; for million-doc shards)."""
+        matrix is ever materialized (exact; for million-doc shards).
+
+        ``nprobe``: opt-in ANN for the flagship model carried by
+        ``shard_ivf`` — each shard probes its own top-``nprobe``
+        clusters and scans only their covering tiles through the
+        scalar-prefetch kernel; the global merge is unchanged.
+        Approximate; calls with a filename filter or tombstoned docs
+        fall back to the exact program (same contract as
+        FusedRetriever(nprobe=...))."""
         self.sidx = sidx
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
@@ -427,10 +555,80 @@ class ShardedRetriever:
             cap = int(diffs.max()) if diffs.size else 0
             csr_df_cap = max(cap, 1)
 
-        def shard_fn(dense_mats, bm25_parts, tt_parts, q_embs, q_terms,
-                     mask, bmask, weights, wrrf_k):
+        # IVF ANN is available when the index carries the per-shard
+        # layout (shard_ivf) for one of the serving models AND the
+        # caller opted in with nprobe. Two programs are compiled: the
+        # exact one (ivf_on=False) and the ANN one; retrieve_device
+        # routes per call (filters/tombstones -> exact).
+        self.nprobe = nprobe
+        self.use_ivf = bool(
+            nprobe
+            and sidx.ivf_model is not None
+            and sidx.ivf_model in self.model_names
+        )
+        ivf_model = sidx.ivf_model if self.use_ivf else None
+
+        def make_shard_fn(ivf_on):
+          def shard_fn(dense_mats, bm25_parts, tt_parts, ivf_parts,
+                       q_embs, q_terms, mask, bmask, weights, wrrf_k):
             lists = []
-            for mat, q in zip(dense_mats, q_embs):
+            for name, mat, q in zip(self.model_names, dense_mats, q_embs):
+                if ivf_on and name == ivf_model:
+                    # Per-shard IVF: probe THIS shard's clusters, scan
+                    # only their covering tiles. The kernel's real-row
+                    # count is dynamic (trailing tile-table slot) since
+                    # per-shard pad counts differ under shard_map.
+                    from a_nice_rag_tpu.index.ivf import build_tile_table
+                    from a_nice_rag_tpu.ops.pallas.ivf_topk import (
+                        ivf_dense_top_k,
+                        ivf_dense_top_k_int8,
+                    )
+
+                    cent, cstart, perm, nrl, rows = (
+                        ivf_parts[0][0], ivf_parts[1][0],
+                        ivf_parts[2][0], ivf_parts[3][0],
+                        jax.tree.map(lambda x: x[0], ivf_parts[4]),
+                    )
+                    iq = isinstance(rows, QuantizedDense)
+                    npl = (rows.values if iq else rows).shape[0]
+                    tile_n, mct = sidx.ivf_tile_n, sidx.ivf_mct
+                    c = cent.shape[0]
+                    mt = ivf_max_tiles or min(
+                        npl // tile_n, q.shape[0] * nprobe * mct
+                    )
+                    table, _ = build_tile_table(
+                        cent, cstart, q, nprobe=min(nprobe, c),
+                        max_tiles=mt, tile_n=tile_n, mct=mct,
+                    )
+                    table = jnp.concatenate(
+                        [table, nrl[None].astype(jnp.int32)]
+                    )
+                    if iq:
+                        qv, qs = quantize_queries(q)
+                        vals, pidx = ivf_dense_top_k_int8(
+                            rows.values, rows.scales, qv, qs, table,
+                            k_local, tile_n=tile_n, n_real=0,
+                            interpret=interpret,
+                        )
+                    else:
+                        vals, pidx = ivf_dense_top_k(
+                            rows, q, table, k_local, tile_n=tile_n,
+                            n_real=0, interpret=interpret,
+                        )
+                    lidx = jnp.where(
+                        pidx >= 0,
+                        jnp.take(perm, jnp.clip(pidx, 0, npl - 1)),
+                        -1,
+                    )
+                    gidx = jnp.where(
+                        (lidx >= 0) & jnp.isfinite(vals),
+                        lidx + _shard_offset(n_local, ca, ha, n_corpus),
+                        -1,
+                    )
+                    vals = jnp.where(gidx >= 0, vals, -jnp.inf)
+                    _, gidx = _merge_over(vals, gidx, k, ca, ha)
+                    lists.append(gidx)
+                    continue
                 quantized = isinstance(mat, QuantizedDense)
                 if use_pallas and quantized:
                     from a_nice_rag_tpu.ops.pallas import (
@@ -553,6 +751,8 @@ class ShardedRetriever:
             fvals, fids = wrrf_top_n_sparse(all_idx, weights, n, wrrf_k)
             return fvals, jnp.where(jnp.isfinite(fvals), fids, -1)
 
+          return shard_fn
+
         n_dense = len(self.model_names)
         dx = doc_axes
         # Per-model spec: a plain corpus-sharded matrix, or a
@@ -566,10 +766,18 @@ class ShardedRetriever:
         bm25_spec = (P(dx, None),) * 3
         tt_spec = (P(dx, None, None), P(dx, None), P(dx, None),
                    P(dx, None), P(dx, None))
+        ivf_rows_spec = (
+            QuantizedDense(values=P(dx, None, None), scales=P(dx, None))
+            if self.use_ivf and isinstance(sidx.ivf_rows, QuantizedDense)
+            else P(dx, None, None)
+        )
+        ivf_spec = (P(dx, None, None), P(dx, None), P(dx, None),
+                    P(dx), ivf_rows_spec)
         in_specs = (
             dense_specs,                        # dense shards
             bm25_spec,                          # bm25 stacked arrays
             tt_spec,                            # two-tier stacked arrays
+            ivf_spec,                           # per-shard IVF arrays
             (P(da, None),) * n_dense,           # query embeddings
             P(da, None),                        # query terms
             P(dx),                              # mask
@@ -580,9 +788,19 @@ class ShardedRetriever:
         out_specs = (P(da, None), P(da, None))
         self._run = jax.jit(
             jax.shard_map(
-                shard_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                check_vma=False,
+                make_shard_fn(False), mesh=mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
             )
+        )
+        self._run_ivf = (
+            jax.jit(
+                jax.shard_map(
+                    make_shard_fn(True), mesh=mesh, in_specs=in_specs,
+                    out_specs=out_specs, check_vma=False,
+                )
+            )
+            if self.use_ivf
+            else None
         )
 
     def __call__(
@@ -638,6 +856,15 @@ class ShardedRetriever:
                         sidx.tt_rare_doc_ids, sidx.tt_rare_impact)
         else:
             tt_parts = (zf3, z, z, z, zf)
+        if self.use_ivf:
+            ivf_parts = (sidx.ivf_centroids, sidx.ivf_cluster_start,
+                         sidx.ivf_perm, sidx.ivf_n_real, sidx.ivf_rows)
+        else:
+            sh1 = NamedSharding(mesh, P(sidx.doc_axes))
+            z1 = jax.device_put(
+                jnp.zeros((sidx.n_shards,), jnp.int32), sh1
+            )
+            ivf_parts = (zf3, z, z, z1, zf3)
         w = jnp.asarray(
             [weights.get(m, 1.0) for m in self.model_names]
             + ([weights.get("BM25", 1.0)] if self.use_bm25 else []),
@@ -649,9 +876,20 @@ class ShardedRetriever:
             if self.use_bm25
             else mask
         )
-        fvals, fids = self._run(
-            dense_mats, bm25_parts, tt_parts, q_tuple, terms, mask, bmask,
-            w, jnp.float32(wrrf_k),
+        run = self._run
+        if (
+            self._run_ivf is not None
+            and filename_type_filter is None
+            and not sidx.base_index.meta.deleted.any()
+        ):
+            # ANN program: the flagship model scans only probed tiles.
+            # Filters/tombstones need the candidate mask the IVF kernel
+            # has no operand for -> exact program (same fallback
+            # contract as FusedRetriever(nprobe=...)).
+            run = self._run_ivf
+        fvals, fids = run(
+            dense_mats, bm25_parts, tt_parts, ivf_parts, q_tuple, terms,
+            mask, bmask, w, jnp.float32(wrrf_k),
         )
         return fids, fvals, None
 
@@ -697,7 +935,7 @@ def reshard_surviving(
             np.asarray(devices).reshape(dp, corpus),
             (sidx.data_axis, sidx.corpus_axis),
         )
-    return shard_index(
+    out = shard_index(
         sidx.base_index,
         mesh,
         sidx.corpus_axis,
@@ -706,6 +944,12 @@ def reshard_surviving(
         two_tier_dtype=sidx.two_tier_dtype,
         host_axis=host_axis,
     )
+    if sidx.ivf_model is not None:
+        # Re-cluster over the new shard boundaries (the per-shard IVF
+        # layout is shard-count-dependent); a recovered deployment
+        # serving with nprobe keeps its ANN route.
+        out = shard_ivf(out, sidx.ivf_model, tile_n=sidx.ivf_tile_n)
+    return out
 
 
 def sharded_dense_top_k(

@@ -1,0 +1,207 @@
+"""Per-shard IVF ANN over the corpus mesh (parallel.shard_ivf).
+
+Each shard clusters its OWN rows and probes them independently inside
+the pjit program; the global merge is unchanged. Exactness anchor: with
+nprobe == n_clusters every shard schedules all of its real tiles, so
+the ANN program must equal the exact ShardedRetriever bit-for-bit.
+Per-shard real-row counts differ (the last shard is part padding),
+which exercises the kernel's dynamic n_real form (trailing tile-table
+slot).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.parallel import make_mesh, shard_index, shard_ivf
+from a_nice_rag_tpu.parallel.sharded import ShardedRetriever, reshard_surviving
+from a_nice_rag_tpu.testing import synth_corpus
+
+MODELS = ["voyage-3-large"]
+W = {"voyage-3-large": 1.0}
+
+
+def _unit(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(11)
+    n, d, c_true = 900, 48, 20
+    cents = _unit(rng.normal(size=(c_true, d)))
+    x = _unit(
+        np.repeat(cents, n // c_true, axis=0)
+        + 0.08 * rng.normal(size=(n, d))
+    ).astype(np.float32)
+    gold = rng.integers(0, n, 16)
+    q = _unit(x[gold] + 0.1 * rng.normal(size=(16, d))).astype(np.float32)
+    c = synth_corpus(n_docs=n, dim=d, n_queries=16, seed=11, models=MODELS)
+    idx = build_index(
+        ids=c.ids,
+        sources=c.sources,
+        contents=c.contents,
+        embeddings={"voyage-3-large": x},
+        token_lists=c.tokens,
+    )
+    mesh = make_mesh(shape=(2, 4), axis_names=("dp", "corpus"))
+    sidx = shard_ivf(shard_index(idx, mesh), "voyage-3-large", tile_n=128)
+    return c, idx, x, q, gold, mesh, sidx
+
+
+def test_dynamic_n_real_matches_static(setup):
+    """The kernel's dynamic real-row count (trailing tile-table slot,
+    n_real=0) must equal the static form."""
+    from a_nice_rag_tpu.index.ivf import build_ivf_dense, build_tile_table
+    from a_nice_rag_tpu.ops.pallas.ivf_topk import ivf_dense_top_k
+
+    _, _, x, q, _, _, _ = setup
+    x480 = jnp.asarray(x[:480])  # NOT a tile multiple: 480 real of 512
+    ivf = build_ivf_dense(x480, n_clusters=12, tile_n=128, n_iters=6,
+                          seed=0)
+    table, _ = build_tile_table(
+        ivf.centroids, ivf.cluster_start, jnp.asarray(q), nprobe=12,
+        max_tiles=ivf.n_tiles, tile_n=128, mct=ivf.max_cluster_tiles,
+    )
+    v_s, i_s = ivf_dense_top_k(
+        ivf.emb, jnp.asarray(q), table, 9, tile_n=128, n_real=480,
+        interpret=True,
+    )
+    dyn = jnp.concatenate([table, jnp.asarray([480], jnp.int32)])
+    v_d, i_d = ivf_dense_top_k(
+        ivf.emb, jnp.asarray(q), dyn, 9, tile_n=128, n_real=0,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(i_s), np.asarray(i_d))
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v_d))
+
+
+def test_shard_ivf_layout(setup):
+    """Permutations cover every real local row exactly once; pads sort
+    to the tail; per-shard real counts reflect the global doc count."""
+    c, idx, x, _, _, _, sidx = setup
+    assert sidx.ivf_model == "voyage-3-large"
+    reals = np.asarray(sidx.ivf_n_real)
+    assert reals.sum() == idx.n_docs
+    perms = np.asarray(sidx.ivf_perm)
+    rows = np.asarray(sidx.ivf_rows)
+    for s in range(sidx.n_shards):
+        real = int(reals[s])
+        p = perms[s]
+        assert sorted(p[p >= 0].tolist()) == list(range(real))
+        # Cluster-major rows are the permuted local originals.
+        lo = s * sidx.n_local
+        local = np.asarray(x)[lo:lo + real]
+        np.testing.assert_allclose(rows[s][p >= 0], local[p[p >= 0]])
+        assert (rows[s][p < 0] == 0).all()
+
+
+def test_full_probe_matches_exact(setup):
+    c, idx, x, q, _, mesh, sidx = setup
+    cfull = int(np.asarray(sidx.ivf_centroids).shape[1])
+    sr_ivf = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12, nprobe=cfull,
+    )
+    assert sr_ivf.use_ivf
+    sr_x = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12, common_sections_n=12,
+    )
+    _, ids_i = sr_ivf({"voyage-3-large": q}, None, W, None, 40.0)
+    _, ids_x = sr_x({"voyage-3-large": q}, None, W, None, 40.0)
+    np.testing.assert_array_equal(ids_i, ids_x)
+    # Sanity vs brute force on the host.
+    ref = np.argsort(-(q @ x.T), axis=1)[:, :12]
+    for b in range(q.shape[0]):
+        assert set(ids_i[b][ids_i[b] >= 0]) == set(ref[b])
+
+
+def test_partial_probe_recall_and_fallbacks(setup):
+    c, idx, x, q, gold, mesh, sidx = setup
+    sr_p = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12, nprobe=4,
+    )
+    _, ids_p = sr_p({"voyage-3-large": q}, None, W, None, 40.0)
+    hits = sum(gold[b] in set(ids_p[b]) for b in range(q.shape[0]))
+    assert hits >= 13, hits
+    # Filtered calls take the exact program (mask semantics preserved).
+    sr_x = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12, common_sections_n=12,
+    )
+    _, f_p = sr_p({"voyage-3-large": q}, None, W, "NG", 40.0)
+    _, f_x = sr_x({"voyage-3-large": q}, None, W, "NG", 40.0)
+    np.testing.assert_array_equal(f_p, f_x)
+    for b in range(q.shape[0]):
+        for i in f_p[b]:
+            if i >= 0:
+                assert c.sources[int(i)].upper().startswith("NG")
+
+
+def test_hybrid_ivf_full_probe_matches_exact(setup):
+    c, idx, x, q, _, mesh, sidx = setup
+    terms = idx.pad_term_ids(c.query_tokens, 16)
+    w = {"voyage-3-large": 5.0, "BM25": 1.0}
+    cfull = int(np.asarray(sidx.ivf_centroids).shape[1])
+    sr_ivf = ShardedRetriever(
+        sidx, MODELS, use_bm25=True, similarity_k=12, common_sections_n=10,
+        budget=4096, nprobe=cfull,
+    )
+    sr_x = ShardedRetriever(
+        sidx, MODELS, use_bm25=True, similarity_k=12, common_sections_n=10,
+        budget=4096,
+    )
+    v_i, ids_i = sr_ivf({"voyage-3-large": q}, terms, w, None, 40.0)
+    v_x, ids_x = sr_x({"voyage-3-large": q}, terms, w, None, 40.0)
+    np.testing.assert_allclose(v_i, v_x, rtol=1e-6)
+    for b in range(ids_i.shape[0]):
+        assert set(ids_i[b][ids_i[b] >= 0]) == set(ids_x[b][ids_x[b] >= 0])
+
+
+def test_quantized_shard_ivf_matches_exact(setup):
+    c, idx, x, q, _, mesh, _ = setup
+    idx_q = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings={"voyage-3-large": x}, token_lists=c.tokens,
+        quantize_dense=True,
+    )
+    sidx_q = shard_ivf(shard_index(idx_q, mesh), "voyage-3-large",
+                       tile_n=128)
+    from a_nice_rag_tpu.ops.quantized import QuantizedDense
+
+    assert isinstance(sidx_q.ivf_rows, QuantizedDense)
+    cfull = int(np.asarray(sidx_q.ivf_centroids).shape[1])
+    sr_ivf = ShardedRetriever(
+        sidx_q, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12, nprobe=cfull,
+    )
+    sr_x = ShardedRetriever(
+        sidx_q, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12,
+    )
+    _, ids_i = sr_ivf({"voyage-3-large": q}, None, W, None, 40.0)
+    _, ids_x = sr_x({"voyage-3-large": q}, None, W, None, 40.0)
+    for b in range(ids_i.shape[0]):
+        assert set(ids_i[b][ids_i[b] >= 0]) == set(ids_x[b][ids_x[b] >= 0])
+
+
+def test_reshard_surviving_keeps_ivf(setup):
+    """Failure recovery re-clusters over the surviving shard layout and
+    keeps serving the ANN route."""
+    c, idx, x, q, _, mesh, sidx = setup
+    survivors = jax.devices()[:4]
+    sidx2 = reshard_surviving(sidx, survivors, dp=1)
+    assert sidx2.ivf_model == "voyage-3-large"
+    assert sidx2.n_shards == 4
+    cfull = int(np.asarray(sidx2.ivf_centroids).shape[1])
+    sr = ShardedRetriever(
+        sidx2, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12, nprobe=cfull,
+    )
+    assert sr.use_ivf
+    _, ids = sr({"voyage-3-large": q}, None, W, None, 40.0)
+    ref = np.argsort(-(q @ x.T), axis=1)[:, :12]
+    for b in range(q.shape[0]):
+        assert set(ids[b][ids[b] >= 0]) == set(ref[b])

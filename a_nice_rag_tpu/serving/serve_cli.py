@@ -65,7 +65,13 @@ def build_state(
     shards: int = 0,
     two_tier_common: int = 0,
     scheduler_kwargs: Optional[Dict] = None,
+    nprobe: int = 0,
+    ivf_clusters: Optional[int] = None,
 ) -> ServeState:
+    """``nprobe > 0`` serves the flagship model through the IVF ANN
+    route (building the IVF layout at startup if the artifact does not
+    already carry one); filtered queries transparently fall back to the
+    exact scan."""
     import jax
 
     monitor = None
@@ -74,6 +80,7 @@ def build_state(
             DeviceHealthMonitor,
             make_mesh,
             shard_index,
+            shard_ivf,
         )
         from a_nice_rag_tpu.parallel.sharded import ShardedRetriever
 
@@ -81,12 +88,18 @@ def build_state(
         mesh = make_mesh(shape=(1, len(devices)),
                          axis_names=("dp", "corpus"), devices=devices)
         sidx = shard_index(index, mesh, two_tier_common=two_tier_common)
+        if nprobe > 0:
+            sidx = shard_ivf(sidx, model_names[0],
+                             n_clusters=ivf_clusters)
+            logger.info("serve: per-shard IVF built (%d clusters/shard)",
+                        int(sidx.ivf_centroids.shape[1]))
         bm25_backend = "auto"
 
         def make_retriever(s):
             return ShardedRetriever(
                 s, model_names, use_bm25=use_bm25,
                 bm25_backend=bm25_backend,
+                nprobe=nprobe or None,
             )
 
         retriever = make_retriever(sidx)
@@ -106,6 +119,13 @@ def build_state(
     else:
         from a_nice_rag_tpu.retrieval import FusedRetriever
 
+        if nprobe > 0 and (index.ivf or {}).get(model_names[0]) is None:
+            from a_nice_rag_tpu.index.ivf import attach_ivf
+
+            attach_ivf(index, model_names[0], n_clusters=ivf_clusters)
+            logger.info("serve: IVF built for %s (%d clusters)",
+                        model_names[0],
+                        index.ivf[model_names[0]].n_clusters)
         pallas_config = None
         m0_mat = index.dense.get(model_names[0]) if model_names else None
         if autotune and jax.default_backend() == "tpu" and m0_mat is not None:
@@ -118,7 +138,7 @@ def build_state(
             logger.info("serve: autotuned pallas blocks %s", pallas_config)
         retriever = FusedRetriever(
             index, model_names, use_bm25=use_bm25,
-            pallas_config=pallas_config,
+            pallas_config=pallas_config, nprobe=nprobe or None,
         )
         state = ServeState(index, retriever, None)
 
@@ -250,6 +270,11 @@ def main(argv=None) -> None:
     p.add_argument("--autotune", action="store_true")
     p.add_argument("--shards", type=int, default=0)
     p.add_argument("--two-tier-common", type=int, default=0)
+    p.add_argument("--nprobe", type=int, default=0,
+                   help="serve the flagship model via IVF ANN, probing "
+                        "this many clusters per query (0 = exact)")
+    p.add_argument("--ivf-clusters", type=int, default=None,
+                   help="IVF cluster count (default ~sqrt(N))")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -276,6 +301,7 @@ def main(argv=None) -> None:
         index, tuple(model_names), use_bm25=use_bm25,
         autotune=args.autotune, shards=args.shards,
         two_tier_common=args.two_tier_common,
+        nprobe=args.nprobe, ivf_clusters=args.ivf_clusters,
     )
     weights = {m: (5.0 if m == model_names[0] else 1.0)
                for m in model_names}

@@ -110,3 +110,43 @@ def test_serve_cli_quantized_index(corpus_index):
             assert out["results"][0]["id"] == c.gold_ids[0]
         finally:
             srv.shutdown()
+
+
+def test_serve_cli_ivf_nprobe(corpus_index):
+    """nprobe>0 serves the IVF ANN route on both paths (building the
+    layout at startup) and survives a device loss on the sharded path —
+    reshard_surviving re-clusters and the retriever keeps its nprobe."""
+    c, idx = corpus_index
+    q = {"query_embedding":
+         c.query_embeddings["voyage-3-large"][0].tolist(),
+         "terms": idx.pad_term_ids(c.query_tokens, 16)[0].tolist()}
+    # Single-device: attach_ivf at startup + FusedRetriever(nprobe=...).
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True, nprobe=8)
+    assert idx.ivf and "voyage-3-large" in idx.ivf
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        out = _search(srv.server_address[1], q)
+        assert out["results"][0]["id"] == c.gold_ids[0]
+    finally:
+        srv.shutdown()
+    # Sharded: shard_ivf at startup + ShardedRetriever(nprobe=...).
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True, shards=4,
+                        nprobe=8)
+    assert state.retriever.use_ivf
+    dead = set()
+    state.monitor.probe_fn = lambda d, t: d not in dead
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        out = _search(port, q)
+        assert out["results"][0]["id"] == c.gold_ids[0]
+        dead.add(jax.devices()[3])
+        assert state.monitor.check_and_recover() is True
+        assert state.retriever.sidx.n_shards == 3
+        assert state.retriever.use_ivf
+        out2 = _search(port, q)
+        assert out2["results"][0]["id"] == c.gold_ids[0]
+    finally:
+        srv.shutdown()

@@ -16,6 +16,8 @@ from a_nice_rag_tpu.parallel.health import (  # noqa: F401
 from a_nice_rag_tpu.parallel.mesh import make_mesh  # noqa: F401
 from a_nice_rag_tpu.parallel.sharded import (  # noqa: F401
     ShardedIndex,
+    load_shard_ivf,
+    save_shard_ivf,
     shard_index,
     shard_ivf,
     sharded_dense_top_k,

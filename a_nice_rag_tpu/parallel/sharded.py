@@ -330,8 +330,6 @@ def shard_ivf(
     Returns a new ShardedIndex carrying the IVF arrays; serve it with
     ``ShardedRetriever(..., nprobe=p)``.
     """
-    import dataclasses as _dc
-
     from a_nice_rag_tpu.index.ivf import _default_clusters
     from a_nice_rag_tpu.ops.kmeans import spherical_kmeans
 
@@ -339,7 +337,6 @@ def shard_ivf(
     mat = base.dense_matrix(model_name)
     quantized = isinstance(mat, QuantizedDense)
     vals_np = np.asarray(mat.values if quantized else mat)
-    scales_np = np.asarray(mat.scales) if quantized else None
     n_docs = base.n_docs  # rows past n_docs are index padding
     nl, s_cnt = sidx.n_local, sidx.n_shards
     npl = -(-nl // tile_n) * tile_n
@@ -347,16 +344,13 @@ def shard_ivf(
     reals = [int(np.clip(n_docs - s * nl, 0, nl)) for s in range(s_cnt)]
     c = min(c, min(r for r in reals if r > 0) if any(reals) else 1)
 
-    cents, rows_v, rows_s, perms, cstarts = [], [], [], [], []
+    cents, perms, cstarts = [], [], []
     mct = 1
     for s in range(s_cnt):
         real = reals[s]
         lo = s * nl
         local = vals_np[lo:min(lo + nl, vals_np.shape[0])]
         local = np.pad(local, ((0, npl - local.shape[0]), (0, 0)))
-        if quantized:
-            lsc = scales_np[lo:min(lo + nl, scales_np.shape[0])]
-            lsc = np.pad(lsc, (0, npl - lsc.shape[0]))
         if real > 0:
             cent, assign = spherical_kmeans(
                 jnp.asarray(local[:real]), c, n_iters=n_iters,
@@ -375,13 +369,44 @@ def shard_ivf(
         np.cumsum(counts, out=cstart[1:])
         perm = np.where(order < real, order, -1).astype(np.int32)
         cents.append(cent)
-        rows_v.append(local[order])
-        if quantized:
-            rows_s.append(np.where(order < real, lsc[order], 0.0))
         perms.append(perm)
         cstarts.append(cstart)
         if counts.size:
             mct = max(mct, int(-(-counts.max() // tile_n)) + 1)
+
+    return _materialize_shard_ivf(
+        sidx, model_name, np.stack(cents).astype(np.float32),
+        np.stack(perms), np.stack(cstarts),
+        np.asarray(reals, np.int32), tile_n, mct,
+    )
+
+
+def _materialize_shard_ivf(sidx, model_name, cents, perms, cstarts,
+                           reals, tile_n, mct):
+    """Gather the cluster-major permuted per-shard rows from the base
+    matrix (perm rows < 0 — the pad tail — become zero rows / zero
+    scales) and device_put everything with corpus-axis shardings."""
+    import dataclasses as _dc
+
+    base = sidx.base_index
+    mat = base.dense_matrix(model_name)
+    quantized = isinstance(mat, QuantizedDense)
+    vals_np = np.asarray(mat.values if quantized else mat)
+    nl, s_cnt = sidx.n_local, sidx.n_shards
+    npl = perms.shape[1]
+    rows_v, rows_s = [], []
+    for s in range(s_cnt):
+        lo = s * nl
+        local = vals_np[lo:min(lo + nl, vals_np.shape[0])]
+        local = np.pad(local, ((0, npl - local.shape[0]), (0, 0)))
+        p = perms[s]
+        rows_v.append(
+            np.where((p >= 0)[:, None], local[np.clip(p, 0, npl - 1)], 0)
+        )
+        if quantized:
+            lsc = np.asarray(mat.scales)[lo:min(lo + nl, vals_np.shape[0])]
+            lsc = np.pad(lsc, (0, npl - lsc.shape[0]))
+            rows_s.append(np.where(p >= 0, lsc[np.clip(p, 0, npl - 1)], 0.0))
 
     mesh = sidx.mesh
     dx = sidx.doc_axes
@@ -400,18 +425,52 @@ def shard_ivf(
     return _dc.replace(
         sidx,
         ivf_model=model_name,
-        ivf_centroids=jax.device_put(
-            np.stack(cents).astype(np.float32), sh3
-        ),
+        ivf_centroids=jax.device_put(cents, sh3),
         ivf_rows=rows,
-        ivf_perm=jax.device_put(np.stack(perms), sh2),
-        ivf_cluster_start=jax.device_put(np.stack(cstarts), sh2),
-        ivf_n_real=jax.device_put(
-            np.asarray(reals, np.int32), sh1
-        ),
+        ivf_perm=jax.device_put(perms, sh2),
+        ivf_cluster_start=jax.device_put(cstarts, sh2),
+        ivf_n_real=jax.device_put(reals, sh1),
         ivf_tile_n=tile_n,
         ivf_mct=mct,
     )
+
+
+def save_shard_ivf(sidx: ShardedIndex, path: str) -> None:
+    """Persist the per-shard IVF CLUSTERING (centroids, permutation,
+    cluster offsets — ~4 bytes/doc), NOT the permuted matrix: rows are
+    re-gathered from the base dense matrix on load, so serve restarts
+    skip the k-means but never duplicate the corpus on disk."""
+    assert sidx.ivf_model is not None, "no IVF layout attached"
+    np.savez(
+        path,
+        model=np.array(sidx.ivf_model),
+        centroids=np.asarray(sidx.ivf_centroids),
+        perm=np.asarray(sidx.ivf_perm),
+        cluster_start=np.asarray(sidx.ivf_cluster_start),
+        n_real=np.asarray(sidx.ivf_n_real),
+        layout=np.asarray(
+            [sidx.ivf_tile_n, sidx.ivf_mct, sidx.n_shards, sidx.n_local],
+            np.int64,
+        ),
+    )
+
+
+def load_shard_ivf(sidx: ShardedIndex, path: str) -> ShardedIndex:
+    """Attach a persisted IVF layout to a freshly sharded index. The
+    shard geometry must match the one the layout was built for (a
+    changed device count needs a shard_ivf rebuild)."""
+    with np.load(path) as z:
+        tile_n, mct, s_cnt, nl = (int(v) for v in z["layout"])
+        if (s_cnt, nl) != (sidx.n_shards, sidx.n_local):
+            raise ValueError(
+                f"IVF layout built for {s_cnt} shards x {nl} local rows; "
+                f"index has {sidx.n_shards} x {sidx.n_local} — rebuild "
+                "with shard_ivf"
+            )
+        return _materialize_shard_ivf(
+            sidx, str(z["model"]), z["centroids"], z["perm"],
+            z["cluster_start"], z["n_real"], tile_n, mct,
+        )
 
 
 def _gather_merge(vals, gidx, k, corpus_axis):

@@ -67,6 +67,7 @@ def build_state(
     scheduler_kwargs: Optional[Dict] = None,
     nprobe: int = 0,
     ivf_clusters: Optional[int] = None,
+    ivf_cache: Optional[str] = None,
 ) -> ServeState:
     """``nprobe > 0`` serves the flagship model through the IVF ANN
     route (building the IVF layout at startup if the artifact does not
@@ -89,10 +90,31 @@ def build_state(
                          axis_names=("dp", "corpus"), devices=devices)
         sidx = shard_index(index, mesh, two_tier_common=two_tier_common)
         if nprobe > 0:
-            sidx = shard_ivf(sidx, model_names[0],
-                             n_clusters=ivf_clusters)
-            logger.info("serve: per-shard IVF built (%d clusters/shard)",
-                        int(sidx.ivf_centroids.shape[1]))
+            import os
+
+            from a_nice_rag_tpu.parallel import (
+                load_shard_ivf,
+                save_shard_ivf,
+            )
+
+            sidx2 = None
+            if ivf_cache and os.path.exists(ivf_cache):
+                try:
+                    sidx2 = load_shard_ivf(sidx, ivf_cache)
+                    logger.info("serve: IVF layout loaded from %s",
+                                ivf_cache)
+                except ValueError as e:
+                    logger.warning("serve: IVF cache unusable (%s); "
+                                   "rebuilding", e)
+            if sidx2 is None:
+                sidx2 = shard_ivf(sidx, model_names[0],
+                                  n_clusters=ivf_clusters)
+                logger.info(
+                    "serve: per-shard IVF built (%d clusters/shard)",
+                    int(sidx2.ivf_centroids.shape[1]))
+                if ivf_cache:
+                    save_shard_ivf(sidx2, ivf_cache)
+            sidx = sidx2
         bm25_backend = "auto"
 
         def make_retriever(s):
@@ -275,6 +297,9 @@ def main(argv=None) -> None:
                         "this many clusters per query (0 = exact)")
     p.add_argument("--ivf-clusters", type=int, default=None,
                    help="IVF cluster count (default ~sqrt(N))")
+    p.add_argument("--ivf-cache", default=None,
+                   help="path to persist/reuse the sharded IVF "
+                        "clustering layout (skips startup k-means)")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -302,6 +327,7 @@ def main(argv=None) -> None:
         autotune=args.autotune, shards=args.shards,
         two_tier_common=args.two_tier_common,
         nprobe=args.nprobe, ivf_clusters=args.ivf_clusters,
+        ivf_cache=args.ivf_cache,
     )
     weights = {m: (5.0 if m == model_names[0] else 1.0)
                for m in model_names}

@@ -150,3 +150,22 @@ def test_serve_cli_ivf_nprobe(corpus_index):
         assert out2["results"][0]["id"] == c.gold_ids[0]
     finally:
         srv.shutdown()
+
+
+def test_serve_cli_ivf_cache_roundtrip(corpus_index, tmp_path):
+    """--ivf-cache persists the clustering at first startup and reuses
+    it on the next (no k-means rerun: loaded layout arrays identical)."""
+    import os
+
+    c, idx = corpus_index
+    cache = os.path.join(tmp_path, "ivf.npz")
+    s1 = build_state(idx, ("voyage-3-large",), use_bm25=True, shards=4,
+                     nprobe=8, ivf_cache=cache)
+    assert os.path.exists(cache)
+    s2 = build_state(idx, ("voyage-3-large",), use_bm25=True, shards=4,
+                     nprobe=8, ivf_cache=cache)
+    np.testing.assert_array_equal(
+        np.asarray(s1.retriever.sidx.ivf_perm),
+        np.asarray(s2.retriever.sidx.ivf_perm),
+    )
+    assert s2.retriever.use_ivf

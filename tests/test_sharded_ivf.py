@@ -205,3 +205,46 @@ def test_reshard_surviving_keeps_ivf(setup):
     ref = np.argsort(-(q @ x.T), axis=1)[:, :12]
     for b in range(q.shape[0]):
         assert set(ids[b][ids[b] >= 0]) == set(ref[b])
+
+
+def test_save_load_shard_ivf_roundtrip(setup, tmp_path):
+    """Persisted clustering layout (no permuted matrix on disk)
+    reattaches to a freshly sharded index with identical arrays and
+    identical retrieval; mismatched shard geometry is rejected."""
+    import os
+
+    from a_nice_rag_tpu.parallel import (
+        load_shard_ivf,
+        save_shard_ivf,
+        shard_index,
+    )
+
+    c, idx, x, q, _, mesh, sidx = setup
+    path = os.path.join(tmp_path, "ivf.npz")
+    save_shard_ivf(sidx, path)
+    fresh = load_shard_ivf(shard_index(idx, mesh), path)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.ivf_perm), np.asarray(sidx.ivf_perm))
+    np.testing.assert_array_equal(
+        np.asarray(fresh.ivf_rows), np.asarray(sidx.ivf_rows))
+    assert (fresh.ivf_tile_n, fresh.ivf_mct) == (
+        sidx.ivf_tile_n, sidx.ivf_mct)
+    cfull = int(np.asarray(fresh.ivf_centroids).shape[1])
+    sr_a = ShardedRetriever(fresh, MODELS, use_bm25=False, similarity_k=12,
+                            common_sections_n=12, nprobe=cfull)
+    sr_b = ShardedRetriever(sidx, MODELS, use_bm25=False, similarity_k=12,
+                            common_sections_n=12, nprobe=cfull)
+    _, ids_a = sr_a({"voyage-3-large": q}, None, W, None, 40.0)
+    _, ids_b = sr_b({"voyage-3-large": q}, None, W, None, 40.0)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    # Wrong geometry is a loud error, not silent corruption.
+    mesh2 = make_mesh_for_geometry_check()
+    sidx2 = shard_index(idx, mesh2)
+    with pytest.raises(ValueError, match="rebuild"):
+        load_shard_ivf(sidx2, path)
+
+
+def make_mesh_for_geometry_check():
+    from a_nice_rag_tpu.parallel import make_mesh
+
+    return make_mesh(shape=(4, 2), axis_names=("dp", "corpus"))

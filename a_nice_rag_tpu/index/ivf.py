@@ -255,6 +255,12 @@ def build_tile_table(
     keyed = jnp.where(uniq & (srt < _BIG), srt, _BIG)
     n_unique = jnp.sum(keyed < _BIG)
     keyed = jnp.sort(keyed)
+    if keyed.shape[0] < max_tiles:
+        # Tiny batches can demand fewer candidates (B*p*mct) than the
+        # requested table size; pad with sentinels rather than fail.
+        keyed = jnp.pad(
+            keyed, (0, max_tiles - keyed.shape[0]), constant_values=_BIG
+        )
     table = jax.lax.slice(keyed, (0,), (max_tiles,))
     table = jnp.where(table >= _BIG, -1, table).astype(jnp.int32)
     return table, n_unique

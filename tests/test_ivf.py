@@ -251,3 +251,47 @@ def test_ivf_permutation_roundtrip(clustered):
     np.testing.assert_allclose(emb_p[perm >= 0], x[perm[perm >= 0]])
     # Padding rows are zero.
     assert (emb_p[perm < 0] == 0).all()
+
+
+def test_tile_table_smaller_candidate_set_than_table():
+    """max_tiles above the candidate bound (B*p*mct) pads with
+    sentinels instead of failing (tiny-batch latency mode)."""
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(480, 32)).astype(np.float32)
+    from a_nice_rag_tpu.index.ivf import build_ivf_dense
+
+    ivf = build_ivf_dense(jnp.asarray(x), n_clusters=12, tile_n=128,
+                          n_iters=4, seed=0)
+    q = jnp.asarray(x[:2])
+    table, n_uniq = build_tile_table(
+        ivf.centroids, ivf.cluster_start, q, nprobe=1,
+        max_tiles=ivf.n_tiles, tile_n=128, mct=ivf.max_cluster_tiles,
+    )
+    table = np.asarray(table)
+    assert table.shape == (ivf.n_tiles,)
+    assert (table[int(n_uniq):] == -1).all()
+    assert (table[:int(n_uniq)] >= 0).all()
+
+
+def test_committed_ivf_recall_sweep_gates():
+    """The committed recall/cost sweep artifact keeps its qualitative
+    structure: recall and tile fraction monotone in nprobe, full probe
+    exact-identical (overlap@10 == 1, recall == exact recall)."""
+    import csv
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "ivf_recall_sweep_synthetic.csv")
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) >= 6
+    rec = [float(r["recall@10_planted"]) for r in rows]
+    frac = [float(r["mean_tile_fraction_b8"]) for r in rows]
+    assert all(b >= a - 1e-9 for a, b in zip(rec, rec[1:]))
+    assert all(b >= a - 1e-9 for a, b in zip(frac, frac[1:]))
+    last = rows[-1]
+    assert int(last["nprobe"]) == int(last["n_clusters"])
+    assert float(last["overlap@10_vs_exact"]) == 1.0
+    assert rec[-1] == float(last["exact_recall@10_planted"])
+    # The ANN price at the cheapest probe is visible but small.
+    assert frac[0] < 0.5 and rec[0] >= 0.8 * rec[-1]

@@ -295,3 +295,50 @@ def test_committed_ivf_recall_sweep_gates():
     assert rec[-1] == float(last["exact_recall@10_planted"])
     # The ANN price at the cheapest probe is visible but small.
     assert frac[0] < 0.5 and rec[0] >= 0.8 * rec[-1]
+
+
+def test_ivf_with_online_updates():
+    """Tombstone deletes force the exact masked fallback (the ANN
+    kernel has no mask operand) and reflect immediately; appends return
+    a fresh index WITHOUT the stale IVF — ANN must be re-attached, it
+    can never silently miss appended docs."""
+    from a_nice_rag_tpu.index import build_index
+    from a_nice_rag_tpu.index.ivf import attach_ivf
+    from a_nice_rag_tpu.index.updates import (
+        append_documents,
+        delete_documents,
+        undelete_documents,
+    )
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(n_docs=128, dim=32, n_queries=8, seed=17)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    attach_ivf(idx, "voyage-3-large", n_clusters=8, tile_n=32, n_iters=6)
+    r = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=False,
+        similarity_k=10, common_sections_n=10, nprobe=8,
+    )
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"][:1]}
+    f0, _, _ = r(q, None, {"voyage-3-large": 1.0}, None, 40.0)
+    gold_row = idx.meta.id_to_row[c.gold_ids[0]]
+    assert gold_row in f0[0]
+    delete_documents(idx, [c.gold_ids[0]])
+    f1, _, _ = r(q, None, {"voyage-3-large": 1.0}, None, 40.0)
+    assert gold_row not in f1[0]
+    undelete_documents(idx, [c.gold_ids[0]])
+    f2, _, _ = r(q, None, {"voyage-3-large": 1.0}, None, 40.0)
+    np.testing.assert_array_equal(f0, f2)
+    # Appends drop the IVF: the returned index carries none.
+    rng = np.random.default_rng(5)
+    emb = rng.normal(size=(4, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    idx2 = append_documents(
+        idx, [f"new{i}" for i in range(4)], ["NG1"] * 4, ["text"] * 4,
+        embeddings={"voyage-3-large": emb},
+        token_lists=[["alpha"], ["beta"], ["gamma"], ["delta"]],
+    )
+    assert idx2.ivf is None

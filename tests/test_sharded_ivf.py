@@ -248,3 +248,37 @@ def make_mesh_for_geometry_check():
     from a_nice_rag_tpu.parallel import make_mesh
 
     return make_mesh(shape=(4, 2), axis_names=("dp", "corpus"))
+
+
+@pytest.mark.parametrize("n_docs,corpus,dp,tile_n", [
+    (130, 2, 1, 64),    # tiny, heavy pad tail on shard 1
+    (257, 4, 2, 32),    # prime-ish, all shards part-real
+    (512, 8, 1, 64),    # exact fit, no pad
+    (700, 4, 2, 128),   # tile_n > some shards' real rows
+])
+def test_fuzz_geometry_full_probe_exact(n_docs, corpus, dp, tile_n):
+    """Full-probe sharded IVF equals brute force across awkward
+    (corpus size, shard count, tile) geometries — the dynamic n_real
+    masking and pad-tail layout must hold for every split."""
+    rng = np.random.default_rng(n_docs)
+    d = 32
+    x = _unit(rng.normal(size=(n_docs, d))).astype(np.float32)
+    q = _unit(rng.normal(size=(dp * 4, d))).astype(np.float32)
+    c = synth_corpus(n_docs=n_docs, dim=d, n_queries=4, seed=n_docs,
+                     models=MODELS)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings={"voyage-3-large": x}, token_lists=c.tokens,
+    )
+    mesh = make_mesh(shape=(dp, corpus), axis_names=("dp", "corpus"),
+                     devices=jax.devices()[:dp * corpus])
+    sidx = shard_ivf(shard_index(idx, mesh), "voyage-3-large",
+                     tile_n=tile_n)
+    cfull = int(np.asarray(sidx.ivf_centroids).shape[1])
+    k = min(8, n_docs)
+    sr = ShardedRetriever(sidx, MODELS, use_bm25=False, similarity_k=k,
+                          common_sections_n=k, nprobe=cfull)
+    _, ids = sr({"voyage-3-large": q}, None, W, None, 40.0)
+    ref = np.argsort(-(q @ x.T), axis=1)[:, :k]
+    for b in range(q.shape[0]):
+        assert set(ids[b][ids[b] >= 0]) == set(ref[b]), (n_docs, corpus, b)

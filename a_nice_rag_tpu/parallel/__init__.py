@@ -13,6 +13,7 @@ from a_nice_rag_tpu.parallel.health import (  # noqa: F401
     DeviceHealthMonitor,
     default_probe,
 )
+from a_nice_rag_tpu.parallel.engine import ShardedSearchEngine  # noqa: F401
 from a_nice_rag_tpu.parallel.mesh import make_mesh  # noqa: F401
 from a_nice_rag_tpu.parallel.sharded import (  # noqa: F401
     ShardedIndex,

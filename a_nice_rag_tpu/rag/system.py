@@ -69,9 +69,15 @@ class RAGSystem:
         else:
             self._load_from_artifacts()
 
-    def attach_index(self, source: InfoSource, index: ArrayIndex) -> None:
+    def attach_index(
+        self, source: InfoSource, index: ArrayIndex, engine=None
+    ) -> None:
+        """``engine`` overrides the default single-chip SearchEngine
+        with any object honoring its ``retrieve()`` contract — e.g.
+        ``parallel.ShardedSearchEngine`` to serve RAG over a corpus
+        sharded across a device mesh."""
         self.indexes[source] = index
-        self.engines[source] = SearchEngine(
+        self.engines[source] = engine or SearchEngine(
             index, embedder=self.embedder, reranker=self.reranker
         )
 

@@ -111,3 +111,47 @@ def test_rag_stream_over_sharded_ivf(setup):
         )
         hits += c.gold_ids[i] in [d["id"] for d in docs]
     assert hits >= 7, hits
+
+
+def test_http_rag_over_sharded_mesh(setup):
+    """Full production stack: HTTP /v1/search and /v1/rag serve through
+    the sharded mesh engine with zero http_api changes."""
+    import json
+    import urllib.request
+
+    from a_nice_rag_tpu.serving.http_api import serve
+
+    c, idx, mesh, sidx = setup
+    queries = [f"question {i}" for i in range(8)]
+    table = {q: c.query_embeddings["voyage-3-large"][i]
+             for i, q in enumerate(queries)}
+    embedder = PrecomputedEmbedder(table)
+    sse = ShardedSearchEngine(sidx, embedder=embedder)
+    system = RAGSystem(indexes={}, embedder=embedder,
+                       llm_clients={"fake": FakeLLMClient()})
+    system.attach_index(InfoSource.NICE, idx, engine=sse)
+    srv = serve(system, port=0, background=True)
+    try:
+        port = srv.server_address[1]
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{path}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return json.loads(resp.read())
+
+        out = post("/v1/search", {"query": queries[0],
+                                  "use_hybrid_search": True})
+        assert c.gold_ids[0] in [d["id"] for d in out["results"]]
+        rag_out = post("/v1/rag", {"query": queries[1],
+                                   "llm_model": "fake-llm",
+                                   "use_hybrid_search": True})
+        assert rag_out["answer"].startswith("[fake:fake-llm]")
+        assert c.gold_ids[1] in (
+            d["section_id"] for d in rag_out["sources"]
+        )
+    finally:
+        srv.shutdown()

@@ -277,8 +277,157 @@ def int8_scale_metrics() -> dict:
     }
 
 
-def main() -> None:
+def ivf_scale_metrics() -> dict:
+    """IVF ANN micro-batch serving latency at N=2M x 256 bf16.
+
+    The exact streaming kernel reads the WHOLE 1 GB matrix every batch
+    — optimal for large batches, but a micro-batch (B=8, the
+    low-latency serving shape) pays the full corpus scan for 8 queries.
+    The IVF layer (index/ivf.py + ops/pallas/ivf_topk.py) probes
+    nprobe=32 of ~1448 clusters per query and DMAs only the covering
+    tiles. Reported: true device per-batch latency (fori_loop-chained,
+    dispatch-free) for IVF vs the exact kernel at the same B=8, the
+    planted-gold recall@10 (the accuracy price), and the mean scheduled
+    tile fraction (the bandwidth saving's source).
+    """
     import jax
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.index.ivf import build_ivf_dense, build_tile_table
+    from a_nice_rag_tpu.ops.pallas.fused_topk import fused_dense_top_k
+    from a_nice_rag_tpu.ops.pallas.ivf_topk import ivf_dense_top_k
+
+    N = 1 << 21
+    D = 256
+    B = 8
+    K = 16
+    NPROBE = 32
+    MAXT = 512
+    rng = np.random.default_rng(31)
+
+    @jax.jit
+    def gen_corpus(key):
+        e = jax.random.normal(key, (N, D), dtype=jnp.bfloat16)
+        e = e.astype(jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(e * e, axis=1, keepdims=True) + 1e-12)
+        return (e * inv).astype(jnp.bfloat16)
+
+    emb = gen_corpus(jax.random.PRNGKey(13))
+    t_build0 = time.perf_counter()
+    ivf = build_ivf_dense(emb, tile_n=1024, n_iters=10, seed=0)
+    jax.block_until_ready(ivf.emb)
+    build_s = time.perf_counter() - t_build0
+    mct = ivf.max_cluster_tiles
+    n_probe = min(NPROBE, ivf.n_clusters)
+
+    # 64 planted-gold micro-batches (8 queries each).
+    gold = rng.integers(0, N, size=(64, B)).astype(np.int32)
+
+    @jax.jit
+    def gen_queries(emb, gold_rows, key):
+        g = jnp.take(emb, gold_rows.reshape(-1), axis=0).astype(jnp.float32)
+        q = g + 0.10 * jax.random.normal(key, g.shape, dtype=jnp.float32)
+        inv = jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True))
+        return (q * inv).reshape(64, B, -1)
+
+    qs = gen_queries(emb, jnp.asarray(gold), jax.random.PRNGKey(14))
+
+    @jax.jit
+    def ann(emb_p, cent, cstart, q):
+        table, n_uniq = build_tile_table(
+            cent, cstart, q, nprobe=n_probe, max_tiles=MAXT,
+            tile_n=1024, mct=mct,
+        )
+        vals, pidx = ivf_dense_top_k(
+            emb_p, q, table, K, tile_n=1024, n_real=N,
+        )
+        return vals, pidx, n_uniq
+
+    # Recall + scheduled-tile fraction over the 64 batches (async
+    # dispatch, value reads).
+    hits = 0
+    fracs = []
+    for i in range(64):
+        _, pidx, n_uniq = ann(ivf.emb, ivf.centroids, ivf.cluster_start,
+                              qs[i])
+        rows = np.asarray(pidx)
+        ids = np.where(rows >= 0, np.asarray(ivf.perm)[rows], -1)
+        hits += sum(gold[i, b] in ids[b, :10] for b in range(B))
+        fracs.append(min(int(n_uniq), MAXT) / ivf.n_tiles)
+    r10 = hits / (64 * B)
+    assert r10 >= 0.90, f"IVF recall@10_planted {r10} below floor 0.90"
+
+    # True device latency, IVF vs exact, same fori_loop pattern.
+    n_loop = 50
+    q0 = qs[0]
+
+    @jax.jit
+    def _loop_ivf(x0, emb_p, cent, cstart, q):
+        def body(i, x):
+            dq = q + jnp.isnan(x) * 0.0
+            vals, _, _ = ann(emb_p, cent, cstart, dq)
+            return x + 0.0 * vals[0, 0]
+        return jax.lax.fori_loop(0, n_loop, body, x0)
+
+    args = (jnp.zeros(()), ivf.emb, ivf.centroids, ivf.cluster_start, q0)
+    float(np.asarray(_loop_ivf(*args)).ravel()[0])
+    t0 = time.perf_counter()
+    float(np.asarray(_loop_ivf(*args)).ravel()[0])
+    ivf_ms = (time.perf_counter() - t0) / n_loop * 1e3
+
+    @jax.jit
+    def _loop_exact(x0, emb, q):
+        def body(i, x):
+            dq = q + jnp.isnan(x) * 0.0
+            vals, _ = fused_dense_top_k(emb, dq, K)
+            return x + 0.0 * vals[0, 0]
+        return jax.lax.fori_loop(0, n_loop, body, x0)
+
+    eargs = (jnp.zeros(()), emb, q0)
+    float(np.asarray(_loop_exact(*eargs)).ravel()[0])
+    t0 = time.perf_counter()
+    float(np.asarray(_loop_exact(*eargs)).ravel()[0])
+    exact_ms = (time.perf_counter() - t0) / n_loop * 1e3
+
+    return {
+        "ivf_2m_b8_true_ms": round(ivf_ms, 3),
+        "exact_2m_b8_true_ms": round(exact_ms, 3),
+        "ivf_speedup_2m_b8": round(exact_ms / ivf_ms, 2),
+        "recall@10_2m_ivf": round(r10, 4),
+        "ivf_tile_fraction_2m": round(float(np.mean(fracs)), 4),
+        "ivf_nprobe": n_probe,
+        "ivf_clusters_2m": ivf.n_clusters,
+        "ivf_build_s_2m": round(build_s, 1),
+    }
+
+
+def _probe_platform(timeout_s: float = 150.0):
+    """Backend probe in a SUBPROCESS: a dead TPU tunnel makes
+    jax.devices() HANG (observed, not just raise), and a hang inside
+    this process cannot be recovered — probe out-of-process, kill on
+    timeout, and fall back to CPU so the bench always reports."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            return out.stdout.strip().splitlines()[-1]
+    except subprocess.TimeoutExpired:
+        pass
+    return None
+
+
+def main() -> None:
+    probed = _probe_platform()
+
+    import jax
+
+    if probed is None:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # PJRT plugin registration for the TPU backend is flaky in this
@@ -482,6 +631,14 @@ def main() -> None:
             at_scale_int8 = {"int8_scale_error": str(e)[:160]}
     else:
         at_scale_int8 = {}
+    gc.collect()
+    if platform == "tpu":
+        try:
+            ivf_scale = ivf_scale_metrics()
+        except Exception as e:
+            ivf_scale = {"ivf_scale_error": str(e)[:160]}
+    else:
+        ivf_scale = {}
 
     print(
         json.dumps(
@@ -504,6 +661,7 @@ def main() -> None:
                 "platform": platform,
                 **at_scale,
                 **at_scale_int8,
+                **ivf_scale,
             }
         )
     )

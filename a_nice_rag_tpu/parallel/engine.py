@@ -153,7 +153,16 @@ class ShardedSearchEngine:
                     for t in query_texts
                 ]
             if query_token_lists is not None:
-                terms = index.pad_term_ids(query_token_lists, self.t_max)
+                # The batch dimension follows the embeddings dict (the
+                # single-chip engine's convention, incl. the RAG layer's
+                # '__none__' placeholder); surplus token lists are cut.
+                terms = index.pad_term_ids(query_token_lists, self.t_max)[:b]
+                if terms.shape[0] < b:
+                    terms = np.pad(
+                        terms,
+                        ((0, b - terms.shape[0]), (0, 0)),
+                        constant_values=-1,
+                    )
             else:
                 logger.warning(
                     "BM25 search requested but no query_text or "

@@ -155,3 +155,22 @@ def test_http_rag_over_sharded_mesh(setup):
         )
     finally:
         srv.shutdown()
+
+
+def test_bm25_only_placeholder_contract(setup):
+    """RAGSystem's BM25-only path passes a '__none__' placeholder dict;
+    the adapter must serve it (zero dense models, BM25 list only) and
+    match the single-chip engine's set."""
+    c, idx, mesh, sidx = setup
+    sse = ShardedSearchEngine(sidx)
+    se = SearchEngine(idx)
+    kw = dict(
+        query_embeddings={"__none__": np.zeros((1, 1), np.float32)},
+        query_token_lists=c.query_tokens[:2],
+        similarity_k=12, common_sections_n=10, wrrf_k=40.0,
+        model_weights={"BM25": 1.0}, use_hybrid_search=True,
+    )
+    a = se.retrieve(**kw)
+    s = sse.retrieve(**kw)
+    for qa, qs in zip(a, s):
+        assert qa and set(qa) == set(qs)

@@ -214,3 +214,38 @@ def test_bm25_tuner_small():
     assert 0.5 <= result.best_params["k1"] <= 3.0
     assert result.best_score > 0.3
     assert len(result.history) == 8
+
+
+def test_query_prep_roundtrip(tmp_path):
+    """preprocess_queries -> seeded split -> CSV roundtrip (reference
+    preprocess_queries.py / preprocess_suggested.py contract)."""
+    import csv
+    import os
+
+    from a_nice_rag_tpu.ingest.query_prep import (
+        preprocess_queries,
+        split_queries,
+        write_query_csv,
+    )
+
+    ids = [f"q{i}" for i in range(40)]
+    queries = [f"What is the recommended dose of drug {i}?"
+               for i in range(40)]
+    rows = preprocess_queries(ids, queries)
+    assert rows[0]["tokens_lemmatized"] and rows[0]["tokens_regular"]
+    # NLTK-parity: WordNetLemmatizer defaults to noun POS, so the
+    # participle "recommended" stays; plural nouns DO lemmatize.
+    rows_pl = preprocess_queries(["p"], ["doses of drugs"])
+    assert rows_pl[0]["tokens_lemmatized"] == ["dose", "drug"]
+    test, val = split_queries(rows)
+    assert len(val) == 6 and len(test) == 34  # 15% of 40, seed 42
+    assert {r["id"] for r in test} | {r["id"] for r in val} == set(ids)
+    assert not ({r["id"] for r in test} & {r["id"] for r in val})
+    # Split is deterministic (seed-42 contract).
+    test2, val2 = split_queries(rows)
+    assert [r["id"] for r in val2] == [r["id"] for r in val]
+    p = os.path.join(tmp_path, "q.csv")
+    write_query_csv(rows, p)
+    with open(p) as f:
+        back = list(csv.DictReader(f))
+    assert len(back) == 40 and back[0]["id"] == "q0"

@@ -233,10 +233,13 @@ def test_query_prep_roundtrip(tmp_path):
                for i in range(40)]
     rows = preprocess_queries(ids, queries)
     assert rows[0]["tokens_lemmatized"] and rows[0]["tokens_regular"]
-    # NLTK-parity: WordNetLemmatizer defaults to noun POS, so the
-    # participle "recommended" stays; plural nouns DO lemmatize.
+    # NLTK-parity (per the reference's preprocessed ground truth):
+    # noun-POS default keeps the participle "recommended"; "doses"
+    # lemmatizes to "dos" (morphy picks the WordNet entry "dos"),
+    # "drugs" to "drug".
+    assert rows[0]["tokens_lemmatized"] == ["recommended", "dose", "drug"]
     rows_pl = preprocess_queries(["p"], ["doses of drugs"])
-    assert rows_pl[0]["tokens_lemmatized"] == ["dose", "drug"]
+    assert rows_pl[0]["tokens_lemmatized"] == ["dos", "drug"]
     test, val = split_queries(rows)
     assert len(val) == 6 and len(test) == 34  # 15% of 40, seed 42
     assert {r["id"] for r in test} | {r["id"] for r in val} == set(ids)

@@ -282,3 +282,28 @@ def test_fuzz_geometry_full_probe_exact(n_docs, corpus, dp, tile_n):
     ref = np.argsort(-(q @ x.T), axis=1)[:, :k]
     for b in range(q.shape[0]):
         assert set(ids[b][ids[b] >= 0]) == set(ref[b]), (n_docs, corpus, b)
+
+
+def test_multihost_ivf_full_probe_exact(setup):
+    """Per-shard IVF over a dp x host x corpus mesh (host-major doc
+    layout, hierarchical ICI->DCN merge) still equals brute force at
+    full probe."""
+    from jax.sharding import Mesh
+
+    c, idx, x, q, _, _, _ = setup
+    mesh = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(1, 2, 4),
+        ("dp", "host", "corpus"),
+    )
+    sidx = shard_ivf(
+        shard_index(idx, mesh, host_axis="host"), "voyage-3-large",
+        tile_n=128,
+    )
+    assert sidx.n_shards == 8
+    cfull = int(np.asarray(sidx.ivf_centroids).shape[1])
+    sr = ShardedRetriever(sidx, MODELS, use_bm25=False, similarity_k=12,
+                          common_sections_n=12, nprobe=cfull)
+    _, ids = sr({"voyage-3-large": q}, None, W, None, 40.0)
+    ref = np.argsort(-(q @ x.T), axis=1)[:, :12]
+    for b in range(q.shape[0]):
+        assert set(ids[b][ids[b] >= 0]) == set(ref[b])

@@ -307,3 +307,30 @@ def test_multihost_ivf_full_probe_exact(setup):
     ref = np.argsort(-(q @ x.T), axis=1)[:, :12]
     for b in range(q.shape[0]):
         assert set(ids[b][ids[b] >= 0]) == set(ref[b])
+
+
+def test_save_load_shard_ivf_quantized(setup, tmp_path):
+    """The persisted layout re-gathers int8 rows + scales exactly."""
+    import os
+
+    from a_nice_rag_tpu.ops.quantized import QuantizedDense
+    from a_nice_rag_tpu.parallel import load_shard_ivf, save_shard_ivf
+
+    c, idx, x, q, _, mesh, _ = setup
+    idx_q = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings={"voyage-3-large": x}, token_lists=c.tokens,
+        quantize_dense=True,
+    )
+    sidx_q = shard_ivf(shard_index(idx_q, mesh), "voyage-3-large",
+                       tile_n=128)
+    path = os.path.join(tmp_path, "ivfq.npz")
+    save_shard_ivf(sidx_q, path)
+    fresh = load_shard_ivf(shard_index(idx_q, mesh), path)
+    assert isinstance(fresh.ivf_rows, QuantizedDense)
+    np.testing.assert_array_equal(
+        np.asarray(fresh.ivf_rows.values),
+        np.asarray(sidx_q.ivf_rows.values))
+    np.testing.assert_array_equal(
+        np.asarray(fresh.ivf_rows.scales),
+        np.asarray(sidx_q.ivf_rows.scales))

@@ -128,3 +128,78 @@ def spherical_kmeans(
         cent, _ = _lloyd_iter(x, cent, n_valid, chunk)
     assign = _assign(x, cent, chunk)[:n]
     return cent, assign
+
+
+def kmeans_init_rows(n: int, c: int, seed: int) -> np.ndarray:
+    """The row subset :func:`spherical_kmeans` initializes from."""
+    return np.asarray(
+        jax.random.choice(
+            jax.random.PRNGKey(seed), n, shape=(c,), replace=False
+        )
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _lloyd_iter_batched(xs, cents, n_valids, chunk: int):
+    return jax.vmap(
+        lambda x, c, nv: _lloyd_iter(x, c, nv, chunk)
+    )(xs, cents, n_valids)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _assign_batched(xs, cents, chunk: int):
+    return jax.vmap(lambda x, c: _assign(x, c, chunk))(xs, cents)
+
+
+def spherical_kmeans_batched(
+    xs: jax.Array,
+    n_valids: np.ndarray,
+    n_clusters: int,
+    n_iters: int = 10,
+    seed: int = 0,
+    chunk: int = 8192,
+    init: "np.ndarray | None" = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Cluster S independent row sets in ONE device program per Lloyd
+    iteration (vmap over the leading axis) — the per-shard IVF build's
+    k-means, which run sequentially would leave the chip idle S-1/S of
+    the time. xs [S, Np, D] (rows >= n_valids[s] are padding; Np must
+    be a chunk multiple after the internal clamp), n_valids [S] int.
+    Shards with n_valids[s] == 0 keep zero centroids and their
+    assignments are meaningless (callers slice [:0] anyway).
+
+    Seeding matches :func:`spherical_kmeans` per shard (seed + s), so a
+    shard's result is the same clustering problem, vmapped. Pass
+    ``init`` ([S, C, D], unit rows) to skip the default host gather of
+    ``xs`` — callers that already hold the rows host-side (shard_ivf)
+    should, so a mesh-sharded ``xs`` never round-trips to the host.
+    """
+    s_cnt, npad, d = xs.shape
+    c = int(n_clusters)
+    chunk = min(chunk, npad)
+    while npad % chunk:
+        chunk //= 2
+
+    if init is None:
+        cents = np.zeros((s_cnt, c, d), np.float32)
+        xs_np = None
+        for s in range(s_cnt):
+            real = int(n_valids[s])
+            if real <= 0:
+                continue
+            assert real >= c, (real, c)
+            rows = kmeans_init_rows(real, c, seed + s)
+            if xs_np is None:
+                xs_np = np.asarray(xs)
+            ini = xs_np[s, rows].astype(np.float32)
+            norm = np.linalg.norm(ini, axis=1, keepdims=True)
+            cents[s] = ini / np.maximum(norm, 1e-12)
+    else:
+        cents = np.asarray(init, np.float32)
+
+    cents = jnp.asarray(cents)
+    nv = jnp.asarray(np.asarray(n_valids, np.int32))
+    for _ in range(n_iters):
+        cents, _ = _lloyd_iter_batched(xs, cents, nv, chunk)
+    assign = _assign_batched(xs, cents, chunk)
+    return cents, assign

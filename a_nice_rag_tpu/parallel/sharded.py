@@ -331,7 +331,10 @@ def shard_ivf(
     ``ShardedRetriever(..., nprobe=p)``.
     """
     from a_nice_rag_tpu.index.ivf import _default_clusters
-    from a_nice_rag_tpu.ops.kmeans import spherical_kmeans
+    from a_nice_rag_tpu.ops.kmeans import (
+        kmeans_init_rows,
+        spherical_kmeans_batched,
+    )
 
     base = sidx.base_index
     mat = base.dense_matrix(model_name)
@@ -344,22 +347,37 @@ def shard_ivf(
     reals = [int(np.clip(n_docs - s * nl, 0, nl)) for s in range(s_cnt)]
     c = min(c, min(r for r in reals if r > 0) if any(reals) else 1)
 
+    # All S k-means in ONE vmapped device program per Lloyd iteration,
+    # with the stacked rows laid out over the corpus axis — each shard
+    # clusters on its own device instead of S sequential programs.
+    d = vals_np.shape[1]
+    locals_np = np.zeros((s_cnt, npl, d), vals_np.dtype)
+    init = np.zeros((s_cnt, c, d), np.float32)
+    for s in range(s_cnt):
+        lo = s * nl
+        seg = vals_np[lo:min(lo + nl, vals_np.shape[0])]
+        locals_np[s, :seg.shape[0]] = seg
+        if reals[s] > 0:
+            rows = kmeans_init_rows(reals[s], c, seed + s)
+            ini = locals_np[s, rows].astype(np.float32)
+            norm = np.linalg.norm(ini, axis=1, keepdims=True)
+            init[s] = ini / np.maximum(norm, 1e-12)
+    xs = jax.device_put(
+        locals_np, NamedSharding(sidx.mesh, P(sidx.doc_axes, None, None))
+    )
+    cents_d, assign_d = spherical_kmeans_batched(
+        xs, np.asarray(reals, np.int32), c, n_iters=n_iters, seed=seed,
+        init=init,
+    )
+    cents_np = np.asarray(cents_d)
+    assign_np = np.asarray(assign_d)
+    del xs, locals_np
+
     cents, perms, cstarts = [], [], []
     mct = 1
     for s in range(s_cnt):
         real = reals[s]
-        lo = s * nl
-        local = vals_np[lo:min(lo + nl, vals_np.shape[0])]
-        local = np.pad(local, ((0, npl - local.shape[0]), (0, 0)))
-        if real > 0:
-            cent, assign = spherical_kmeans(
-                jnp.asarray(local[:real]), c, n_iters=n_iters,
-                seed=seed + s,
-            )
-            cent, assign = np.asarray(cent), np.asarray(assign)
-        else:
-            cent = np.zeros((c, local.shape[1]), np.float32)
-            assign = np.zeros((0,), np.int32)
+        assign = assign_np[s, :real]
         # Pads (rows >= real) sort AFTER every cluster.
         key = np.full(npl, c, np.int64)
         key[:real] = assign
@@ -368,7 +386,9 @@ def shard_ivf(
         cstart = np.zeros(c + 1, np.int32)
         np.cumsum(counts, out=cstart[1:])
         perm = np.where(order < real, order, -1).astype(np.int32)
-        cents.append(cent)
+        cents.append(
+            cents_np[s] if real > 0 else np.zeros((c, d), np.float32)
+        )
         perms.append(perm)
         cstarts.append(cstart)
         if counts.size:

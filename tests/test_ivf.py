@@ -342,3 +342,32 @@ def test_ivf_with_online_updates():
         token_lists=[["alpha"], ["beta"], ["gamma"], ["delta"]],
     )
     assert idx2.ivf is None
+
+
+def test_batched_kmeans_matches_sequential():
+    """spherical_kmeans_batched(seed per shard) reproduces the
+    sequential per-shard runs (same init rows, same Lloyd math)."""
+    from a_nice_rag_tpu.ops.kmeans import (
+        spherical_kmeans,
+        spherical_kmeans_batched,
+    )
+
+    rng = np.random.default_rng(2)
+    s_cnt, npad, d, c = 3, 256, 24, 6
+    xs = _unit(rng.normal(size=(s_cnt, npad, d))).astype(np.float32)
+    reals = np.asarray([256, 200, 31], np.int32)  # one shard part-pad
+    for s in range(s_cnt):
+        xs[s, reals[s]:] = 0.0
+    cents_b, assign_b = spherical_kmeans_batched(
+        jnp.asarray(xs), reals, c, n_iters=6, seed=9
+    )
+    cents_b, assign_b = np.asarray(cents_b), np.asarray(assign_b)
+    for s in range(s_cnt):
+        cent, assign = spherical_kmeans(
+            jnp.asarray(xs[s, :reals[s]]), c, n_iters=6, seed=9 + s
+        )
+        np.testing.assert_allclose(
+            cents_b[s], np.asarray(cent), rtol=2e-5, atol=2e-6
+        )
+        agree = np.mean(assign_b[s, :reals[s]] == np.asarray(assign))
+        assert agree >= 0.99, (s, agree)

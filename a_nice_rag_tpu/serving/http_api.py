@@ -14,6 +14,11 @@ Production surface over the retrieval/RAG layers:
   delta streaming to its UI (reference src/query_rag.py:434-513);
   client disconnects abort the upstream generation (generator close).
 * ``GET  /v1/health``  — liveness + index stats
+* ``GET  /`` (or ``/ui``) — self-contained browser chat UI
+  (serving/webui.py), the reference Streamlit app's surface rendered
+  dependency-free against the endpoints above
+* ``POST /v1/feedback`` — thumbs up/down per answer appended to the
+  JSON feedback log (reference src/app.py:36-58)
 
 The reference serves only a Streamlit session; this endpoint is the
 programmatic equivalent for load balancers / clients.
@@ -51,6 +56,13 @@ def _make_handler(api: "ServingAPI"):
         def do_GET(self):
             if self.path == "/v1/health":
                 self._reply(200, api.health())
+            elif self.path in ("/", "/ui", "/index.html"):
+                body = api.ui_page().encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": "unknown endpoint"})
 
@@ -122,6 +134,8 @@ def _make_handler(api: "ServingAPI"):
                     self._stream_rag(payload)
                 elif self.path == "/v1/rag":
                     self._reply(200, api.rag(payload))
+                elif self.path == "/v1/feedback":
+                    self._reply(200, api.feedback(payload))
                 else:
                     self._reply(404, {"error": "unknown endpoint"})
             except ValueError as e:
@@ -134,9 +148,65 @@ def _make_handler(api: "ServingAPI"):
 
 
 class ServingAPI:
-    def __init__(self, rag_system, info_source: str = "NICE"):
+    def __init__(
+        self,
+        rag_system,
+        info_source: str = "NICE",
+        feedback_log=None,
+        llm_options=None,
+        suggested_queries=None,
+        ui_defaults: Optional[dict] = None,
+    ):
         self.rag_system = rag_system
         self.info_source = info_source
+        self.feedback_log = feedback_log
+        self.llm_options = llm_options
+        self.suggested_queries = suggested_queries
+        self.ui_defaults = ui_defaults
+
+    def ui_page(self) -> str:
+        from a_nice_rag_tpu.serving.webui import render_page
+
+        llm_options = self.llm_options
+        if llm_options is None and self.rag_system.llm_clients:
+            # Surface only models this deployment can actually route
+            # (rag/providers.py route_model's provider -> model map).
+            by_provider = {
+                "openai": ["gpt-4.1-mini", "gpt-4.1-nano", "gpt-4.1", "o4-mini"],
+                "gemini": ["gemini-2.5-flash"],
+                "openrouter": ["claude-sonnet-4"],
+                "fake": ["fake-llm"],
+            }
+            llm_options = [
+                m
+                for provider, models in by_provider.items()
+                if provider in self.rag_system.llm_clients
+                for m in models
+            ]
+        return render_page(
+            llm_options=llm_options,
+            suggested_queries=self.suggested_queries,
+            defaults=self.ui_defaults,
+        )
+
+    def feedback(self, payload: dict) -> dict:
+        from a_nice_rag_tpu.serving.feedback import FeedbackLog
+
+        if not payload.get("query") or payload.get("rating") not in (
+            "up",
+            "down",
+        ):
+            raise ValueError("'query' and rating in {'up','down'} required")
+        if self.feedback_log is None:
+            self.feedback_log = FeedbackLog()
+        entry = self.feedback_log.record(
+            query=payload["query"],
+            response=payload.get("response", ""),
+            rating=payload["rating"],
+            llm_model=payload.get("llm_model"),
+            sources=payload.get("sources"),
+        )
+        return {"status": "recorded", "timestamp": entry["timestamp"]}
 
     # ------------------------------------------------------------------
 
@@ -222,9 +292,13 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 8800,
     background: bool = False,
+    feedback_log=None,
+    llm_options=None,
 ) -> Optional[ThreadingHTTPServer]:
     """Start the HTTP API; returns the server when ``background``."""
-    api = ServingAPI(rag_system)
+    api = ServingAPI(
+        rag_system, feedback_log=feedback_log, llm_options=llm_options
+    )
     server = ThreadingHTTPServer((host, port), _make_handler(api))
     if background:
         thread = threading.Thread(target=server.serve_forever, daemon=True)

@@ -15,7 +15,9 @@ from a_nice_rag_tpu.testing import synth_corpus
 
 
 @pytest.fixture(scope="module")
-def server():
+def server(tmp_path_factory):
+    from a_nice_rag_tpu.serving.feedback import FeedbackLog
+
     c = synth_corpus(n_docs=120, dim=16, n_queries=4, seed=201)
     idx = build_index(
         ids=c.ids, sources=c.sources, contents=c.contents, urls=c.urls,
@@ -25,8 +27,11 @@ def server():
         indexes={InfoSource.NICE: idx},
         llm_clients={"fake": FakeLLMClient()},
     )
-    srv = serve(rag, port=0, background=True)
-    yield c, srv, srv.server_address[1]
+    fb = FeedbackLog(
+        str(tmp_path_factory.mktemp("fb") / "query_feedback.json")
+    )
+    srv = serve(rag, port=0, background=True, feedback_log=fb)
+    yield c, srv, srv.server_address[1], fb
     srv.shutdown()
 
 
@@ -41,7 +46,7 @@ def _post(port, path, payload):
 
 
 def test_health(server):
-    c, srv, port = server
+    c, srv, port, fb = server
     with urllib.request.urlopen(
         f"http://127.0.0.1:{port}/v1/health", timeout=30
     ) as resp:
@@ -52,7 +57,7 @@ def test_health(server):
 
 
 def test_search_with_precomputed_embedding(server):
-    c, srv, port = server
+    c, srv, port, fb = server
     out = _post(port, "/v1/search", {
         "query": "anything",
         "query_embedding": c.query_embeddings["voyage-3-large"][0].tolist(),
@@ -65,7 +70,7 @@ def test_search_with_precomputed_embedding(server):
 
 
 def test_rag_endpoint(server):
-    c, srv, port = server
+    c, srv, port, fb = server
     # No embedder configured -> search inside RAG falls back to BM25-less
     # dense skip; use hybrid BM25 via query text.
     out = _post(port, "/v1/rag", {
@@ -80,7 +85,7 @@ def test_rag_endpoint(server):
 
 
 def test_error_paths(server):
-    c, srv, port = server
+    c, srv, port, fb = server
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(port, "/v1/search", {})
     assert e.value.code == 400
@@ -193,3 +198,47 @@ def test_rag_sse_client_abandonment_aborts_generation(gated_server):
     # The server must close the upstream generator instead of running
     # the LLM call to completion for a vanished client.
     assert client.aborted is True or client.finished is False
+
+
+def test_ui_page_served(server):
+    c, srv, port, fb = server
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/", timeout=30
+    ) as resp:
+        assert resp.headers["Content-Type"].startswith("text/html")
+        html = resp.read().decode()
+    assert "NICE Guidelines RAG" in html
+    # Boot blob carries deployment config: fake client -> fake-llm option.
+    boot = json.loads(
+        html.split('<script id="boot" type="application/json">')[1]
+        .split("</script>")[0]
+    )
+    assert boot["llm_options"] == ["fake-llm"]
+    assert boot["suggested_queries"]
+    assert boot["defaults"]["similarity_k"] == 15
+    # The page drives the production endpoints.
+    assert "v1/rag/stream" in html and "v1/feedback" in html
+    # /ui is an alias.
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/ui", timeout=30
+    ) as resp:
+        assert resp.status == 200
+
+
+def test_feedback_endpoint(server):
+    c, srv, port, fb = server
+    out = _post(port, "/v1/feedback", {
+        "query": "what about hypertension?",
+        "response": "answer text",
+        "rating": "up",
+        "llm_model": "fake-llm",
+        "sources": [{"source": "NG136", "section_id": "NG136_x", "url": "u"}],
+    })
+    assert out["status"] == "recorded"
+    entries = fb.entries()
+    assert entries and entries[-1]["rating"] == "up"
+    assert entries[-1]["query"] == "what about hypertension?"
+    assert entries[-1]["sources"][0]["source"] == "NG136"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(port, "/v1/feedback", {"query": "q", "rating": "sideways"})
+    assert e.value.code == 400

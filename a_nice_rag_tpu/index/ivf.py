@@ -47,11 +47,15 @@ class IVFDense:
     perm: jax.Array  # [Np] int32 -> original rows (-1 pad)
     cluster_start: jax.Array  # [C+1] int32
     tile_n: int
-    n_real: int  # real rows (== corpus size)
+    n_real: int  # valid permuted rows (corpus size + spilled copies)
     max_cluster_tiles: int  # static bound: tiles covering any cluster
     emb: Optional[jax.Array] = None  # [Np, D] (Np % tile_n == 0)
     values: Optional[jax.Array] = None  # [Np, D] int8
     scales: Optional[jax.Array] = None  # [Np] f32 (0.0 on pad rows)
+    # Spilled layouts store some documents in their second-nearest
+    # cluster too (ScaNN-style multi-assignment): searches must fetch
+    # extra slots and dedup ids (ivf_search does; see dedup_ranked).
+    spilled: bool = False
 
     @property
     def n_clusters(self) -> int:
@@ -73,12 +77,13 @@ jax.tree_util.register_pytree_node(
     IVFDense,
     lambda s: (
         (s.centroids, s.perm, s.cluster_start, s.emb, s.values, s.scales),
-        (s.tile_n, s.n_real, s.max_cluster_tiles),
+        (s.tile_n, s.n_real, s.max_cluster_tiles, s.spilled),
     ),
     lambda aux, ch: IVFDense(
         centroids=ch[0], perm=ch[1], cluster_start=ch[2],
         emb=ch[3], values=ch[4], scales=ch[5],
         tile_n=aux[0], n_real=aux[1], max_cluster_tiles=aux[2],
+        spilled=aux[3],
     ),
 )
 
@@ -90,7 +95,9 @@ def save_ivf(ivf: IVFDense, path: str) -> None:
         "perm": np.asarray(ivf.perm),
         "cluster_start": np.asarray(ivf.cluster_start),
         "layout": np.array(
-            [ivf.tile_n, ivf.n_real, ivf.max_cluster_tiles], np.int64
+            [ivf.tile_n, ivf.n_real, ivf.max_cluster_tiles,
+             int(ivf.spilled)],
+            np.int64,
         ),
     }
     if ivf.emb is not None:
@@ -103,7 +110,9 @@ def save_ivf(ivf: IVFDense, path: str) -> None:
 
 def load_ivf(path: str) -> IVFDense:
     with np.load(path) as z:
-        tile_n, n_real, mct = (int(v) for v in z["layout"])
+        layout = [int(v) for v in z["layout"]]
+        tile_n, n_real, mct = layout[:3]
+        spilled = bool(layout[3]) if len(layout) > 3 else False
         return IVFDense(
             centroids=jnp.asarray(z["centroids"]),
             perm=jnp.asarray(z["perm"]),
@@ -111,6 +120,7 @@ def load_ivf(path: str) -> IVFDense:
             tile_n=tile_n,
             n_real=n_real,
             max_cluster_tiles=mct,
+            spilled=spilled,
             emb=jnp.asarray(z["emb"]) if "emb" in z else None,
             values=jnp.asarray(z["values"]) if "values" in z else None,
             scales=jnp.asarray(z["scales"]) if "scales" in z else None,
@@ -118,20 +128,59 @@ def load_ivf(path: str) -> IVFDense:
 
 
 def _ivf_layout(assign_np: np.ndarray, n: int, n_clusters: int,
-                tile_n: int):
-    """Shared permutation/offsets/bounds for the cluster-major layout."""
+                tile_n: int, rows: Optional[np.ndarray] = None):
+    """Shared permutation/offsets/bounds for the cluster-major layout.
+
+    ``assign_np`` is per-SLOT: without spill there is one slot per
+    document (``rows`` defaults to arange); a spilled layout passes one
+    extra slot per spilled document with ``rows`` carrying the original
+    document id of every slot. Returns the gather order over original
+    rows (== perm prefix), so builders materialize duplicated rows with
+    one jnp.take."""
+    s = len(assign_np)
     order = np.argsort(assign_np, kind="stable").astype(np.int32)
+    src = order if rows is None else rows[order].astype(np.int32)
     counts = np.bincount(assign_np, minlength=n_clusters)
     cluster_start = np.zeros(n_clusters + 1, dtype=np.int32)
     np.cumsum(counts, out=cluster_start[1:])
-    npad = -(-n // tile_n) * tile_n
+    npad = -(-s // tile_n) * tile_n
     perm = np.full(npad, -1, dtype=np.int32)
-    perm[:n] = order
+    perm[:s] = src
     # A cluster spanning rows [s, e) touches floor(s/T)..floor((e-1)/T):
     # at most ceil(max_count/T) + 1 tiles.
     max_count = int(counts.max()) if n_clusters else 0
     mct = int(-(-max_count // tile_n)) + 1
-    return order, cluster_start, perm, npad, mct
+    return src, cluster_start, perm, npad, mct
+
+
+def _spill_slots(
+    x, cent, assign_np: np.ndarray, spill_margin: Optional[float]
+):
+    """(rows, clusters) slot lists for a spilled layout: every document
+    in its primary cluster, plus documents whose second-nearest centroid
+    is within ``spill_margin`` cosine of the primary (None: all) in that
+    secondary cluster too. Boundary documents are the ones an
+    under-probed query misses; storing them twice is the classic
+    multi-assignment recall fix."""
+    from a_nice_rag_tpu.ops.kmeans import assign_clusters
+
+    n = len(assign_np)
+    ids, scs = assign_clusters(x, cent, top=2)
+    ids = np.asarray(ids)
+    scs = np.asarray(scs)
+    sec = np.where(ids[:, 0] == assign_np, ids[:, 1], ids[:, 0])
+    sec_s = np.where(ids[:, 0] == assign_np, scs[:, 1], scs[:, 0])
+    pri_s = np.where(ids[:, 0] == assign_np, scs[:, 0], scs[:, 1])
+    if spill_margin is None:
+        keep = np.ones(n, dtype=bool)
+    else:
+        keep = (pri_s - sec_s) <= float(spill_margin)
+    keep &= sec != assign_np  # C == 1 degenerate: nothing to spill to
+    rows = np.concatenate(
+        [np.arange(n, dtype=np.int32), np.arange(n, dtype=np.int32)[keep]]
+    )
+    clusters = np.concatenate([assign_np, sec[keep]])
+    return rows, clusters
 
 
 def _default_clusters(n: int, n_clusters: Optional[int]) -> int:
@@ -148,28 +197,41 @@ def build_ivf_dense(
     tile_n: int = 1024,
     n_iters: int = 10,
     seed: int = 0,
+    spill: bool = False,
+    spill_margin: Optional[float] = None,
 ) -> IVFDense:
-    """Cluster + permute a [N, D] dense matrix (one-time build cost)."""
+    """Cluster + permute a [N, D] dense matrix (one-time build cost).
+
+    ``spill`` additionally stores documents in their second-nearest
+    cluster (all of them, or only those within ``spill_margin`` cosine
+    of the primary assignment) — boundary documents stop being missed
+    by low-nprobe searches at the cost of up to 2x IVF memory.
+    Searches over a spilled layout dedup ids (ivf_search handles it)."""
     n, d = emb.shape
     n_clusters = _default_clusters(n, n_clusters)
     cent, assign = spherical_kmeans(
         emb, n_clusters, n_iters=n_iters, seed=seed
     )
+    assign_np = np.asarray(assign)
+    rows = None
+    if spill and n_clusters > 1:
+        rows, assign_np = _spill_slots(emb, cent, assign_np, spill_margin)
     order, cluster_start, perm, npad, mct = _ivf_layout(
-        np.asarray(assign), n, n_clusters, tile_n
+        assign_np, n, n_clusters, tile_n, rows=rows
     )
     # Device-side row permutation (one-time; XLA row gather).
     emb_p = jnp.take(emb, jnp.asarray(order), axis=0)
-    if npad != n:
-        emb_p = jnp.pad(emb_p, ((0, npad - n), (0, 0)))
+    if npad != len(order):
+        emb_p = jnp.pad(emb_p, ((0, npad - len(order)), (0, 0)))
     return IVFDense(
         centroids=cent,
         emb=emb_p,
         perm=jnp.asarray(perm),
         cluster_start=jnp.asarray(cluster_start),
         tile_n=tile_n,
-        n_real=n,
+        n_real=len(order),
         max_cluster_tiles=mct,
+        spilled=rows is not None,
     )
 
 
@@ -179,6 +241,8 @@ def build_ivf_quantized(
     tile_n: int = 1024,
     n_iters: int = 10,
     seed: int = 0,
+    spill: bool = False,
+    spill_margin: Optional[float] = None,
 ) -> IVFDense:
     """IVF over an int8-quantized matrix (ops.quantized.QuantizedDense).
 
@@ -194,15 +258,21 @@ def build_ivf_quantized(
     cent, assign = spherical_kmeans(
         qd.values, n_clusters, n_iters=n_iters, seed=seed
     )
+    assign_np = np.asarray(assign)
+    rows = None
+    if spill and n_clusters > 1:
+        rows, assign_np = _spill_slots(
+            qd.values, cent, assign_np, spill_margin
+        )
     order, cluster_start, perm, npad, mct = _ivf_layout(
-        np.asarray(assign), n, n_clusters, tile_n
+        assign_np, n, n_clusters, tile_n, rows=rows
     )
     order_d = jnp.asarray(order)
     vals_p = jnp.take(qd.values, order_d, axis=0)
     scales_p = jnp.take(qd.scales, order_d, axis=0)
-    if npad != n:
-        vals_p = jnp.pad(vals_p, ((0, npad - n), (0, 0)))
-        scales_p = jnp.pad(scales_p, (0, npad - n))
+    if npad != len(order):
+        vals_p = jnp.pad(vals_p, ((0, npad - len(order)), (0, 0)))
+        scales_p = jnp.pad(scales_p, (0, npad - len(order)))
     return IVFDense(
         centroids=cent,
         values=vals_p,
@@ -210,8 +280,9 @@ def build_ivf_quantized(
         perm=jnp.asarray(perm),
         cluster_start=jnp.asarray(cluster_start),
         tile_n=tile_n,
-        n_real=n,
+        n_real=len(order),
         max_cluster_tiles=mct,
+        spilled=rows is not None,
     )
 
 
@@ -273,6 +344,8 @@ def attach_ivf(
     tile_n: int = 1024,
     n_iters: int = 10,
     seed: int = 0,
+    spill: bool = False,
+    spill_margin: Optional[float] = None,
 ) -> IVFDense:
     """Build and attach an IVF structure for one of an ArrayIndex's
     dense models (float or int8-quantized). The original matrix is
@@ -283,11 +356,13 @@ def attach_ivf(
         ivf = build_ivf_dense(
             index.dense[model_name], n_clusters=n_clusters,
             tile_n=tile_n, n_iters=n_iters, seed=seed,
+            spill=spill, spill_margin=spill_margin,
         )
     elif index.dense_q and model_name in index.dense_q:
         ivf = build_ivf_quantized(
             index.dense_q[model_name], n_clusters=n_clusters,
             tile_n=tile_n, n_iters=n_iters, seed=seed,
+            spill=spill, spill_margin=spill_margin,
         )
     else:
         raise KeyError(f"no dense matrix for model {model_name!r}")
@@ -318,6 +393,10 @@ def ivf_search(
         ivf_dense_top_k_int8,
     )
 
+    # Spilled layouts can surface a boundary document from BOTH of its
+    # clusters: fetch double-width, merge duplicates (identical scores;
+    # keep one), compact back to k.
+    k_fetch = min(2 * k, ivf.n_real) if ivf.spilled else k
     if max_tiles is None:
         # Worst case: every probed cluster on a distinct tile run, plus
         # batch-wide dedup usually shrinks this a lot. Cap at the whole
@@ -333,7 +412,7 @@ def ivf_search(
     )
     if ivf.emb is not None:
         vals, pidx = ivf_dense_top_k(
-            ivf.emb, queries, table, k,
+            ivf.emb, queries, table, k_fetch,
             tile_n=ivf.tile_n, n_real=ivf.n_real, interpret=interpret,
         )
     else:
@@ -341,7 +420,7 @@ def ivf_search(
 
         qv, qs = quantize_queries(queries)
         vals, pidx = ivf_dense_top_k_int8(
-            ivf.values, ivf.scales, qv, qs, table, k,
+            ivf.values, ivf.scales, qv, qs, table, k_fetch,
             tile_n=ivf.tile_n, n_real=ivf.n_real, interpret=interpret,
         )
     ids = jnp.where(
@@ -349,4 +428,10 @@ def ivf_search(
         jnp.take(ivf.perm, jnp.clip(pidx, 0, ivf.perm.shape[0] - 1)),
         -1,
     )
+    if ivf.spilled:
+        from a_nice_rag_tpu.ops.topk import dedup_ranked
+
+        vals, ids = dedup_ranked(vals, ids)
+        vals = vals[:, :k]
+        ids = ids[:, :k]
     return vals, ids, n_unique

@@ -130,6 +130,47 @@ def spherical_kmeans(
     return cent, assign
 
 
+@functools.partial(jax.jit, static_argnames=("top", "chunk"))
+def _assign_top(x, cent, top: int, chunk: int):
+    """Top-``top`` cluster assignment with scores. Returns
+    (ids [Np, top] int32 by descending score, scores [Np, top] f32)."""
+    npad, d = x.shape
+    cdt = _compute_dtype(x)
+    cent_t = cent.astype(cdt).T
+
+    def body(i, carry):
+        ids, scs = carry
+        xc = jax.lax.dynamic_slice(x, (i * chunk, 0), (chunk, d))
+        xc = xc.astype(cdt)
+        scores = jnp.dot(xc, cent_t, preferred_element_type=jnp.float32)
+        v, a = jax.lax.top_k(scores, top)
+        ids = jax.lax.dynamic_update_slice(
+            ids, a.astype(jnp.int32), (i * chunk, 0)
+        )
+        scs = jax.lax.dynamic_update_slice(scs, v, (i * chunk, 0))
+        return ids, scs
+
+    ids = jnp.zeros((npad, top), jnp.int32)
+    scs = jnp.zeros((npad, top), jnp.float32)
+    return jax.lax.fori_loop(0, npad // chunk, body, (ids, scs))
+
+
+def assign_clusters(
+    x: jax.Array, cent: jax.Array, top: int = 1, chunk: int = 8192
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-``top`` hard assignments of rows to the given centroids
+    (cosine == dot for unit-norm rows), chunk-streamed like the Lloyd
+    iterations. Used by the IVF spill layout (secondary assignments).
+    Returns (cluster ids [N, top], scores [N, top])."""
+    n, d = x.shape
+    chunk = min(chunk, -(-n // 256) * 256)
+    npad = -(-n // chunk) * chunk
+    if npad != n:
+        x = jnp.pad(x, ((0, npad - n), (0, 0)))
+    ids, scs = _assign_top(x, cent, min(top, cent.shape[0]), chunk)
+    return ids[:n], scs[:n]
+
+
 def kmeans_init_rows(n: int, c: int, seed: int) -> np.ndarray:
     """The row subset :func:`spherical_kmeans` initializes from."""
     return np.asarray(

@@ -83,3 +83,41 @@ def merge_top_k(
     vals, ci = jax.lax.top_k(flat_v, k)
     idx = jnp.take_along_axis(flat_i, ci, axis=-1)
     return vals, jnp.where(jnp.isneginf(vals), -1, idx)
+
+
+@jax.jit
+def dedup_ranked(
+    values: jax.Array, ids: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Deduplicate a descending-ranked (values, ids) top-k list per row.
+
+    A spilled IVF layout stores some documents in two clusters, so a
+    probe covering both returns the same id twice (identical scores).
+    Keep the best-scoring slot per id, demote later duplicates to
+    (-inf, -1), and re-compact so real entries stay a dense descending
+    prefix. -1 ids (unfilled slots) are never merged with each other.
+
+    values/ids: [..., k]. Pure XLA (three variadic sorts over the k
+    axis) — cheap at serving k. Equal-score ties between DISTINCT ids
+    may reorder relative to the input (sort by id breaks ties by id).
+    """
+    big = jnp.int32(2**30)
+    key_id = jnp.where(ids < 0, big, ids)
+    # Pass 1: group by id (ascending), best score first within a group.
+    sid, sval = jax.lax.sort(
+        (key_id, -values), dimension=-1, num_keys=2, is_stable=True
+    )
+    first = jnp.concatenate(
+        [
+            jnp.ones_like(sid[..., :1], jnp.bool_),
+            sid[..., 1:] != sid[..., :-1],
+        ],
+        axis=-1,
+    ) & (sid < big)
+    nval = jnp.where(first, -sval, -jnp.inf)
+    nid = jnp.where(first, sid, -1)
+    # Pass 2: back to descending-score order, survivors first.
+    fval, fid = jax.lax.sort(
+        (-nval, nid), dimension=-1, num_keys=1, is_stable=True
+    )
+    return -fval, fid

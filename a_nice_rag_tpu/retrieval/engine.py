@@ -216,27 +216,39 @@ class FusedRetriever:
                         nprobe=min(nprobe, iv.n_clusters), max_tiles=mt,
                         tile_n=iv.tile_n, mct=iv.max_cluster_tiles,
                     )
+                    # Spilled layouts can return a boundary doc from
+                    # both its clusters: fetch double, dedup, cut to k.
+                    k_ivf = (
+                        min(2 * similarity_k, iv.n_real)
+                        if iv.spilled else similarity_k
+                    )
                     if iv.emb is not None:
-                        _, pidx = ivf_dense_top_k(
-                            iv.emb, q, table, similarity_k,
+                        ivals, pidx = ivf_dense_top_k(
+                            iv.emb, q, table, k_ivf,
                             tile_n=iv.tile_n, n_real=iv.n_real,
                             interpret=interpret,
                         )
                     else:
                         qv, qs = quantize_queries(q)
-                        _, pidx = ivf_dense_top_k_int8(
+                        ivals, pidx = ivf_dense_top_k_int8(
                             iv.values, iv.scales, qv, qs, table,
-                            similarity_k, tile_n=iv.tile_n,
+                            k_ivf, tile_n=iv.tile_n,
                             n_real=iv.n_real, interpret=interpret,
                         )
-                    lists.append(jnp.where(
+                    iids = jnp.where(
                         pidx >= 0,
                         jnp.take(
                             iv.perm,
                             jnp.clip(pidx, 0, iv.perm.shape[0] - 1),
                         ),
                         -1,
-                    ))
+                    )
+                    if iv.spilled:
+                        from a_nice_rag_tpu.ops.topk import dedup_ranked
+
+                        _, iids = dedup_ranked(ivals, iids)
+                        iids = iids[:, :similarity_k]
+                    lists.append(iids)
                     continue
                 quantized = isinstance(mat, QuantizedDense)
                 if use_pallas and quantized:

@@ -68,11 +68,14 @@ def build_state(
     nprobe: int = 0,
     ivf_clusters: Optional[int] = None,
     ivf_cache: Optional[str] = None,
+    ivf_spill: bool = False,
 ) -> ServeState:
     """``nprobe > 0`` serves the flagship model through the IVF ANN
     route (building the IVF layout at startup if the artifact does not
     already carry one); filtered queries transparently fall back to the
-    exact scan."""
+    exact scan. ``ivf_spill`` stores boundary documents in their two
+    nearest clusters (single-device route; up to 2x IVF memory for
+    better low-nprobe recall)."""
     import jax
 
     monitor = None
@@ -144,7 +147,8 @@ def build_state(
         if nprobe > 0 and (index.ivf or {}).get(model_names[0]) is None:
             from a_nice_rag_tpu.index.ivf import attach_ivf
 
-            attach_ivf(index, model_names[0], n_clusters=ivf_clusters)
+            attach_ivf(index, model_names[0], n_clusters=ivf_clusters,
+                       spill=ivf_spill)
             logger.info("serve: IVF built for %s (%d clusters)",
                         model_names[0],
                         index.ivf[model_names[0]].n_clusters)
@@ -297,6 +301,10 @@ def main(argv=None) -> None:
                         "this many clusters per query (0 = exact)")
     p.add_argument("--ivf-clusters", type=int, default=None,
                    help="IVF cluster count (default ~sqrt(N))")
+    p.add_argument("--ivf-spill", action="store_true",
+                   help="store boundary docs in their two nearest "
+                        "clusters (better low-nprobe recall, up to 2x "
+                        "IVF memory; single-device route)")
     p.add_argument("--ivf-cache", default=None,
                    help="path to persist/reuse the sharded IVF "
                         "clustering layout (skips startup k-means)")
@@ -327,7 +335,7 @@ def main(argv=None) -> None:
         autotune=args.autotune, shards=args.shards,
         two_tier_common=args.two_tier_common,
         nprobe=args.nprobe, ivf_clusters=args.ivf_clusters,
-        ivf_cache=args.ivf_cache,
+        ivf_cache=args.ivf_cache, ivf_spill=args.ivf_spill,
     )
     weights = {m: (5.0 if m == model_names[0] else 1.0)
                for m in model_names}

@@ -165,7 +165,7 @@ def at_scale_metrics() -> dict:
     @jax.jit
     def _loop2(x0, emb, bm, q, t, mask, bmask, wv, wk):
         def body(i, x):
-            dq = q + jnp.isnan(x) * 0.0
+            dq = q + jnp.isnan(x).astype(q.dtype)  # runtime +0.0, not foldable
             dt = t + jnp.isnan(x).astype(jnp.int32)
             _, fvals, _ = retr._run((emb,), bm, (dq,), dt, mask, bmask, wv, wk)
             return x + 0.0 * fvals[0, 0]
@@ -289,6 +289,14 @@ def ivf_scale_metrics() -> dict:
     dispatch-free) for IVF vs the exact kernel at the same B=8, the
     planted-gold recall@10 (the accuracy price), and the mean scheduled
     tile fraction (the bandwidth saving's source).
+
+    The corpus carries PLANTED cluster structure (2048 centers,
+    within-cluster cosine ~0.6): real embedding corpora are clustered —
+    that is the premise IVF monetizes — while a uniform-random sphere
+    is its adversarial worst case (k-means cells are arbitrary there;
+    measured recall@10 at this config was 0.55 on uniform data vs ~1.0
+    with structure, identical latency either way since the scheduled
+    tile count is nprobe-bound).
     """
     import jax
     import jax.numpy as jnp
@@ -303,12 +311,22 @@ def ivf_scale_metrics() -> dict:
     K = 16
     NPROBE = 32
     MAXT = 512
+    N_CENTERS = 2048
     rng = np.random.default_rng(31)
 
     @jax.jit
     def gen_corpus(key):
-        e = jax.random.normal(key, (N, D), dtype=jnp.bfloat16)
-        e = e.astype(jnp.float32)
+        kc, ka, kn = jax.random.split(key, 3)
+        cent = jax.random.normal(kc, (N_CENTERS, D), dtype=jnp.float32)
+        cent = cent * jax.lax.rsqrt(
+            jnp.sum(cent * cent, axis=1, keepdims=True) + 1e-12
+        )
+        which = jax.random.randint(ka, (N,), 0, N_CENTERS)
+        e = jnp.take(cent, which, axis=0)
+        # sigma = 0.08: within-cluster cosine 1/sqrt(1 + 0.08^2 * 256)
+        # ~= 0.61 — tight enough to be clustered, loose enough that
+        # cluster mates compete in the top-10.
+        e = e + 0.08 * jax.random.normal(kn, (N, D), dtype=jnp.float32)
         inv = jax.lax.rsqrt(jnp.sum(e * e, axis=1, keepdims=True) + 1e-12)
         return (e * inv).astype(jnp.bfloat16)
 
@@ -326,7 +344,10 @@ def ivf_scale_metrics() -> dict:
     @jax.jit
     def gen_queries(emb, gold_rows, key):
         g = jnp.take(emb, gold_rows.reshape(-1), axis=0).astype(jnp.float32)
-        q = g + 0.10 * jax.random.normal(key, g.shape, dtype=jnp.float32)
+        # 0.05: query-to-gold cosine ~0.78 (realistic retrieval regime;
+        # at 0.10 the noise norm 0.1*sqrt(256) = 1.6 exceeds |g| = 1 and
+        # the query is mostly noise).
+        q = g + 0.05 * jax.random.normal(key, g.shape, dtype=jnp.float32)
         inv = jax.lax.rsqrt(jnp.sum(q * q, axis=1, keepdims=True))
         return (q * inv).reshape(64, B, -1)
 
@@ -364,7 +385,7 @@ def ivf_scale_metrics() -> dict:
     @jax.jit
     def _loop_ivf(x0, emb_p, cent, cstart, q):
         def body(i, x):
-            dq = q + jnp.isnan(x) * 0.0
+            dq = q + jnp.isnan(x).astype(q.dtype)  # runtime +0.0, not foldable
             vals, _, _ = ann(emb_p, cent, cstart, dq)
             return x + 0.0 * vals[0, 0]
         return jax.lax.fori_loop(0, n_loop, body, x0)
@@ -378,7 +399,7 @@ def ivf_scale_metrics() -> dict:
     @jax.jit
     def _loop_exact(x0, emb, q):
         def body(i, x):
-            dq = q + jnp.isnan(x) * 0.0
+            dq = q + jnp.isnan(x).astype(q.dtype)  # runtime +0.0, not foldable
             vals, _ = fused_dense_top_k(emb, dq, K)
             return x + 0.0 * vals[0, 0]
         return jax.lax.fori_loop(0, n_loop, body, x0)
@@ -588,7 +609,7 @@ def main() -> None:
     @jax.jit
     def _loop(x0, emb, bm, q, t, mask, bmask, wv, wk):
         def body(i, x):
-            dq = q + jnp.isnan(x) * 0.0
+            dq = q + jnp.isnan(x).astype(q.dtype)  # runtime +0.0, not foldable
             dt = t + jnp.isnan(x).astype(jnp.int32)
             _, fvals, _ = retriever._run(
                 (emb,), bm, (dq,), dt, mask, bmask, wv, wk

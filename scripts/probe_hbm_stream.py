@@ -49,7 +49,7 @@ def true_ms(fn, *args, n_loop=N_LOOP):
     def loop(x0, *a):
         def body(i, x):
             da = tuple(
-                v + (jnp.isnan(x) * 0).astype(v.dtype) for v in a
+                v + jnp.isnan(x).astype(v.dtype) for v in a
             )
             return x + 0.0 * fn(*da)
 

@@ -283,18 +283,29 @@ def test_committed_ivf_recall_sweep_gates():
     path = os.path.join(os.path.dirname(__file__), "..", "results",
                         "ivf_recall_sweep_synthetic.csv")
     with open(path) as f:
-        rows = list(csv.DictReader(f))
-    assert len(rows) >= 6
-    rec = [float(r["recall@10_planted"]) for r in rows]
-    frac = [float(r["mean_tile_fraction_b8"]) for r in rows]
-    assert all(b >= a - 1e-9 for a, b in zip(rec, rec[1:]))
-    assert all(b >= a - 1e-9 for a, b in zip(frac, frac[1:]))
-    last = rows[-1]
-    assert int(last["nprobe"]) == int(last["n_clusters"])
-    assert float(last["overlap@10_vs_exact"]) == 1.0
-    assert rec[-1] == float(last["exact_recall@10_planted"])
-    # The ANN price at the cheapest probe is visible but small.
-    assert frac[0] < 0.5 and rec[0] >= 0.8 * rec[-1]
+        all_rows = list(csv.DictReader(f))
+    by_spill = {
+        s: [r for r in all_rows if int(r.get("spill", 0)) == s]
+        for s in (0, 1)
+    }
+    assert len(by_spill[0]) >= 6 and len(by_spill[1]) >= 6
+    for rows in by_spill.values():
+        rec = [float(r["recall@10_planted"]) for r in rows]
+        frac = [float(r["mean_tile_fraction_b8"]) for r in rows]
+        assert all(b >= a - 1e-9 for a, b in zip(rec, rec[1:]))
+        assert all(b >= a - 1e-9 for a, b in zip(frac, frac[1:]))
+        last = rows[-1]
+        assert int(last["nprobe"]) == int(last["n_clusters"])
+        assert float(last["overlap@10_vs_exact"]) == 1.0
+        assert rec[-1] == float(last["exact_recall@10_planted"])
+        # The ANN price at the cheapest probe is visible but small.
+        assert frac[0] < 0.5 and rec[0] >= 0.8 * rec[-1]
+    # Spill's purpose: strictly better low-nprobe agreement with the
+    # exact top-10 (boundary docs recovered from the second cluster).
+    o0 = float(by_spill[0][0]["overlap@10_vs_exact"])
+    o1 = float(by_spill[1][0]["overlap@10_vs_exact"])
+    assert int(by_spill[0][0]["nprobe"]) == 1
+    assert o1 > o0, (o0, o1)
 
 
 def test_ivf_with_online_updates():
@@ -371,3 +382,168 @@ def test_batched_kmeans_matches_sequential():
         )
         agree = np.mean(assign_b[s, :reals[s]] == np.asarray(assign))
         assert agree >= 0.99, (s, agree)
+
+
+# ------------------------------------------------------------ spill
+
+
+def test_spill_layout_invariants(clustered):
+    x, q, _ = clustered
+    ivf = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=8, seed=0,
+        spill=True,
+    )
+    n = len(x)
+    assert ivf.spilled
+    # Full spill: every doc in exactly two clusters.
+    assert ivf.n_real == 2 * n
+    perm = np.asarray(ivf.perm)
+    counts = np.bincount(perm[perm >= 0], minlength=n)
+    assert (counts == 2).all()
+    # Duplicated rows carry the same embedding as the original.
+    emb = np.asarray(ivf.emb)
+    for r in range(0, ivf.n_real, 97):
+        np.testing.assert_array_equal(emb[r], x[perm[r]])
+    # cluster_start covers all slots.
+    cs = np.asarray(ivf.cluster_start)
+    assert cs[-1] == ivf.n_real
+    # Margin-limited spill stores fewer copies.
+    ivf_m = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=8, seed=0,
+        spill=True, spill_margin=0.05,
+    )
+    assert n <= ivf_m.n_real <= 2 * n
+    assert ivf_m.n_real < 2 * n  # planted clusters: most docs interior
+
+
+def test_spill_full_probe_equals_exact_after_dedup(clustered):
+    """Full probe over a spilled layout sees every doc (some twice);
+    dedup must land exactly on the brute-force top-k."""
+    x, q, _ = clustered
+    ivf = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=8, seed=0,
+        spill=True,
+    )
+    k = 9
+    vals, ids, _ = ivf_search(
+        ivf, jnp.asarray(q), k, nprobe=12, interpret=True
+    )
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    ref = q @ x.T
+    ref_ids = np.argsort(-ref, axis=1)[:, :k]
+    for b in range(q.shape[0]):
+        assert len(set(ids[b])) == k  # no duplicates survive
+        assert set(ids[b]) == set(ref_ids[b])
+        np.testing.assert_allclose(
+            np.sort(vals[b]), np.sort(ref[b, ref_ids[b]]), rtol=1e-5
+        )
+
+
+def test_spill_lifts_low_nprobe_overlap(clustered):
+    """The point of spilling: nprobe=1 must recover boundary docs the
+    unspilled layout misses, and never do worse."""
+    x, q, _ = clustered
+    k = 9
+    ref_ids = np.argsort(-(q @ x.T), axis=1)[:, :k]
+
+    def overlap(spill):
+        ivf = build_ivf_dense(
+            jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=8, seed=0,
+            spill=spill,
+        )
+        _, ids, _ = ivf_search(
+            ivf, jnp.asarray(q), k, nprobe=1, interpret=True
+        )
+        ids = np.asarray(ids)
+        return np.mean(
+            [len(set(ids[b]) & set(ref_ids[b])) / k for b in range(len(q))]
+        )
+
+    o0, o1 = overlap(False), overlap(True)
+    assert o1 >= o0, (o0, o1)
+    assert o1 > o0 or o0 == 1.0, (o0, o1)
+
+
+def test_spill_quantized_and_persistence(tmp_path, clustered):
+    from a_nice_rag_tpu.index.ivf import (
+        build_ivf_quantized,
+        load_ivf,
+        save_ivf,
+    )
+    from a_nice_rag_tpu.ops.quantized import quantize_embeddings
+
+    x, q, _ = clustered
+    qd = quantize_embeddings(jnp.asarray(x))
+    ivf = build_ivf_quantized(
+        qd, n_clusters=12, tile_n=128, n_iters=8, seed=0, spill=True,
+    )
+    assert ivf.spilled and ivf.n_real == 2 * len(x)
+    k = 9
+    vals, ids, _ = ivf_search(
+        ivf, jnp.asarray(q), k, nprobe=12, interpret=True
+    )
+    ids = np.asarray(ids)
+    for b in range(q.shape[0]):
+        assert len(set(ids[b])) == k
+    path = str(tmp_path / "ivf_spill.npz")
+    save_ivf(ivf, path)
+    back = load_ivf(path)
+    assert back.spilled and back.n_real == ivf.n_real
+    v2, i2, _ = ivf_search(
+        back, jnp.asarray(q), k, nprobe=12, interpret=True
+    )
+    np.testing.assert_array_equal(ids, np.asarray(i2))
+
+
+def test_dedup_ranked():
+    from a_nice_rag_tpu.ops.topk import dedup_ranked
+
+    v = jnp.asarray([[9.0, 9.0, 7.0, 7.0, 5.0, -jnp.inf],
+                     [3.0, 2.0, 1.0, -jnp.inf, -jnp.inf, -jnp.inf]])
+    i = jnp.asarray([[4, 4, 2, 9, 4, -1],
+                     [7, 7, 7, -1, -1, -1]], jnp.int32)
+    dv, di = dedup_ranked(v, i)
+    np.testing.assert_array_equal(
+        np.asarray(di), [[4, 2, 9, -1, -1, -1], [7, -1, -1, -1, -1, -1]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(dv),
+        [[9.0, 7.0, 7.0, -np.inf, -np.inf, -np.inf],
+         [3.0, -np.inf, -np.inf, -np.inf, -np.inf, -np.inf]],
+    )
+
+
+def test_engine_spilled_ivf_route():
+    """FusedRetriever(nprobe=...) over a spilled IVF: unique ids, and
+    full probe matches the exact program."""
+    from a_nice_rag_tpu.index import build_index
+    from a_nice_rag_tpu.index.ivf import attach_ivf
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(n_docs=600, dim=32, n_queries=8, seed=3)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    attach_ivf(idx, "voyage-3-large", n_clusters=10, tile_n=128,
+               n_iters=6, seed=0, spill=True)
+    assert idx.ivf["voyage-3-large"].spilled
+    q = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    terms = idx.pad_term_ids(c.query_tokens, 8)
+    w = {"voyage-3-large": 1.0, "BM25": 0.0}
+    exact = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=False,
+        similarity_k=10, common_sections_n=10,
+    )
+    ann = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=False,
+        similarity_k=10, common_sections_n=10, nprobe=10,
+    )
+    r_exact, _, _ = exact(q, terms, w, None, 40.0)
+    r_ann, _, _ = ann(q, terms, w, None, 40.0)
+    r_exact, r_ann = np.asarray(r_exact), np.asarray(r_ann)
+    for b in range(8):
+        valid = r_ann[b][r_ann[b] >= 0]
+        assert len(set(valid)) == len(valid), "duplicate ids surfaced"
+    np.testing.assert_array_equal(r_exact, r_ann)

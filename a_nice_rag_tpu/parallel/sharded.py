@@ -95,6 +95,12 @@ class ShardedIndex:
     ivf_n_real: Optional[jax.Array] = None  # [S] int32
     ivf_tile_n: int = 0
     ivf_mct: int = 0
+    # Spilled per-shard layouts store boundary docs in their two nearest
+    # clusters (index/ivf.py spill); the retriever dedups per shard
+    # before the cross-shard merge. Margin kept so failure recovery
+    # rebuilds the same configuration.
+    ivf_spilled: bool = False
+    ivf_spill_margin: Optional[float] = None
 
     def __post_init__(self) -> None:
         self._mask_cache: Dict[Optional[str], jax.Array] = {}
@@ -317,6 +323,8 @@ def shard_ivf(
     tile_n: int = 1024,
     n_iters: int = 10,
     seed: int = 0,
+    spill: bool = False,
+    spill_margin: Optional[float] = None,
 ) -> ShardedIndex:
     """Build the per-shard IVF ANN layout for one flagship model.
 
@@ -326,6 +334,12 @@ def shard_ivf(
     layout — the kernel's dynamic real-row count (carried in the tile
     table's trailing slot) masks exactly the boundary over-scan into
     the pad tail, so per-shard pad counts may differ freely.
+
+    ``spill`` stores each shard's boundary documents in their two
+    nearest LOCAL clusters too (all of them, or only those within
+    ``spill_margin`` cosine of the primary), like
+    index.ivf.build_ivf_dense(spill=True); duplicates stay within one
+    shard, so the retriever dedups per shard before the ICI merge.
 
     Returns a new ShardedIndex carrying the IVF arrays; serve it with
     ``ShardedRetriever(..., nprobe=p)``.
@@ -371,38 +385,85 @@ def shard_ivf(
     )
     cents_np = np.asarray(cents_d)
     assign_np = np.asarray(assign_d)
-    del xs, locals_np
+    del xs
 
-    cents, perms, cstarts = [], [], []
-    mct = 1
+    # Per-shard slot lists: primary assignment for every real row, plus
+    # (when spilling) the secondary cluster for boundary rows. Slots
+    # carry LOCAL row ids; duplicates are confined to their shard.
+    slot_rows, slot_clusters = [], []
     for s in range(s_cnt):
         real = reals[s]
-        assign = assign_np[s, :real]
-        # Pads (rows >= real) sort AFTER every cluster.
+        a1 = assign_np[s, :real]
+        rows_s = np.arange(real, dtype=np.int32)
+        clusters_s = a1.astype(np.int64)
+        if spill and real > 0 and c > 1:
+            from a_nice_rag_tpu.ops.kmeans import assign_clusters
+
+            ids2, scs2 = assign_clusters(
+                jnp.asarray(locals_np[s][:real]),
+                jnp.asarray(cents_np[s]), top=2,
+            )
+            ids2, scs2 = np.asarray(ids2), np.asarray(scs2)
+            sec = np.where(ids2[:, 0] == a1, ids2[:, 1], ids2[:, 0])
+            sec_s = np.where(ids2[:, 0] == a1, scs2[:, 1], scs2[:, 0])
+            pri_s = np.where(ids2[:, 0] == a1, scs2[:, 0], scs2[:, 1])
+            keep = (
+                np.ones(real, bool) if spill_margin is None
+                else (pri_s - sec_s) <= float(spill_margin)
+            )
+            keep &= sec != a1
+            rows_s = np.concatenate([rows_s, rows_s[keep]])
+            clusters_s = np.concatenate([clusters_s, sec[keep]])
+        slot_rows.append(rows_s)
+        slot_clusters.append(clusters_s)
+    del locals_np
+
+    # Uniform padded slot width so the stacked arrays shard cleanly.
+    max_slots = max((len(r) for r in slot_rows), default=0)
+    npl = max(tile_n, -(-max(max_slots, 1) // tile_n) * tile_n)
+
+    cents, perms, cstarts = [], [], []
+    slot_counts = []
+    mct = 1
+    for s in range(s_cnt):
+        n_slots = len(slot_rows[s])
+        # Pads (slots >= n_slots) sort AFTER every cluster.
         key = np.full(npl, c, np.int64)
-        key[:real] = assign
+        key[:n_slots] = slot_clusters[s]
         order = np.argsort(key, kind="stable").astype(np.int32)
-        counts = np.bincount(assign, minlength=c)
+        counts = np.bincount(
+            slot_clusters[s].astype(np.int64), minlength=c
+        ).astype(np.int64)
         cstart = np.zeros(c + 1, np.int32)
         np.cumsum(counts, out=cstart[1:])
-        perm = np.where(order < real, order, -1).astype(np.int32)
+        if n_slots:
+            perm = np.where(
+                order < n_slots,
+                slot_rows[s][np.clip(order, 0, n_slots - 1)],
+                -1,
+            ).astype(np.int32)
+        else:  # empty shard (all padding): every slot is a pad
+            perm = np.full(npl, -1, np.int32)
         cents.append(
-            cents_np[s] if real > 0 else np.zeros((c, d), np.float32)
+            cents_np[s] if reals[s] > 0 else np.zeros((c, d), np.float32)
         )
         perms.append(perm)
         cstarts.append(cstart)
+        slot_counts.append(n_slots)
         if counts.size:
             mct = max(mct, int(-(-counts.max() // tile_n)) + 1)
 
     return _materialize_shard_ivf(
         sidx, model_name, np.stack(cents).astype(np.float32),
         np.stack(perms), np.stack(cstarts),
-        np.asarray(reals, np.int32), tile_n, mct,
+        np.asarray(slot_counts, np.int32), tile_n, mct,
+        spilled=spill, spill_margin=spill_margin,
     )
 
 
 def _materialize_shard_ivf(sidx, model_name, cents, perms, cstarts,
-                           reals, tile_n, mct):
+                           reals, tile_n, mct, spilled=False,
+                           spill_margin=None):
     """Gather the cluster-major permuted per-shard rows from the base
     matrix (perm rows < 0 — the pad tail — become zero rows / zero
     scales) and device_put everything with corpus-axis shardings."""
@@ -418,14 +479,23 @@ def _materialize_shard_ivf(sidx, model_name, cents, perms, cstarts,
     for s in range(s_cnt):
         lo = s * nl
         local = vals_np[lo:min(lo + nl, vals_np.shape[0])]
-        local = np.pad(local, ((0, npl - local.shape[0]), (0, 0)))
+        # The slot width is independent of the local row count (spill
+        # grows it, a tiny corpus shrinks it); every perm id is a real
+        # local row < npl either way, so truncation is safe.
+        if local.shape[0] < npl:
+            local = np.pad(local, ((0, npl - local.shape[0]), (0, 0)))
+        else:
+            local = local[:npl]
         p = perms[s]
         rows_v.append(
             np.where((p >= 0)[:, None], local[np.clip(p, 0, npl - 1)], 0)
         )
         if quantized:
             lsc = np.asarray(mat.scales)[lo:min(lo + nl, vals_np.shape[0])]
-            lsc = np.pad(lsc, (0, npl - lsc.shape[0]))
+            if lsc.shape[0] < npl:
+                lsc = np.pad(lsc, (0, npl - lsc.shape[0]))
+            else:
+                lsc = lsc[:npl]
             rows_s.append(np.where(p >= 0, lsc[np.clip(p, 0, npl - 1)], 0.0))
 
     mesh = sidx.mesh
@@ -452,6 +522,8 @@ def _materialize_shard_ivf(sidx, model_name, cents, perms, cstarts,
         ivf_n_real=jax.device_put(reals, sh1),
         ivf_tile_n=tile_n,
         ivf_mct=mct,
+        ivf_spilled=bool(spilled),
+        ivf_spill_margin=spill_margin,
     )
 
 
@@ -469,8 +541,13 @@ def save_shard_ivf(sidx: ShardedIndex, path: str) -> None:
         cluster_start=np.asarray(sidx.ivf_cluster_start),
         n_real=np.asarray(sidx.ivf_n_real),
         layout=np.asarray(
-            [sidx.ivf_tile_n, sidx.ivf_mct, sidx.n_shards, sidx.n_local],
+            [sidx.ivf_tile_n, sidx.ivf_mct, sidx.n_shards, sidx.n_local,
+             int(sidx.ivf_spilled)],
             np.int64,
+        ),
+        spill_margin=np.asarray(
+            np.nan if sidx.ivf_spill_margin is None
+            else float(sidx.ivf_spill_margin)
         ),
     )
 
@@ -480,7 +557,13 @@ def load_shard_ivf(sidx: ShardedIndex, path: str) -> ShardedIndex:
     shard geometry must match the one the layout was built for (a
     changed device count needs a shard_ivf rebuild)."""
     with np.load(path) as z:
-        tile_n, mct, s_cnt, nl = (int(v) for v in z["layout"])
+        layout = [int(v) for v in z["layout"]]
+        tile_n, mct, s_cnt, nl = layout[:4]
+        spilled = bool(layout[4]) if len(layout) > 4 else False
+        margin = None
+        if "spill_margin" in z:
+            m = float(z["spill_margin"])
+            margin = None if np.isnan(m) else m
         if (s_cnt, nl) != (sidx.n_shards, sidx.n_local):
             raise ValueError(
                 f"IVF layout built for {s_cnt} shards x {nl} local rows; "
@@ -490,6 +573,7 @@ def load_shard_ivf(sidx: ShardedIndex, path: str) -> ShardedIndex:
         return _materialize_shard_ivf(
             sidx, str(z["model"]), z["centroids"], z["perm"],
             z["cluster_start"], z["n_real"], tile_n, mct,
+            spilled=spilled, spill_margin=margin,
         )
 
 
@@ -682,16 +766,21 @@ class ShardedRetriever:
                     table = jnp.concatenate(
                         [table, nrl[None].astype(jnp.int32)]
                     )
+                    # Spilled shards can return a boundary doc from both
+                    # its clusters: fetch double, dedup per shard (the
+                    # duplicates never cross shards), cut back to
+                    # k_local before the ICI merge.
+                    k_ivf = 2 * k_local if sidx.ivf_spilled else k_local
                     if iq:
                         qv, qs = quantize_queries(q)
                         vals, pidx = ivf_dense_top_k_int8(
                             rows.values, rows.scales, qv, qs, table,
-                            k_local, tile_n=tile_n, n_real=0,
+                            k_ivf, tile_n=tile_n, n_real=0,
                             interpret=interpret,
                         )
                     else:
                         vals, pidx = ivf_dense_top_k(
-                            rows, q, table, k_local, tile_n=tile_n,
+                            rows, q, table, k_ivf, tile_n=tile_n,
                             n_real=0, interpret=interpret,
                         )
                     lidx = jnp.where(
@@ -699,6 +788,12 @@ class ShardedRetriever:
                         jnp.take(perm, jnp.clip(pidx, 0, npl - 1)),
                         -1,
                     )
+                    if sidx.ivf_spilled:
+                        from a_nice_rag_tpu.ops.topk import dedup_ranked
+
+                        vals, lidx = dedup_ranked(vals, lidx)
+                        vals = vals[:, :k_local]
+                        lidx = lidx[:, :k_local]
                     gidx = jnp.where(
                         (lidx >= 0) & jnp.isfinite(vals),
                         lidx + _shard_offset(n_local, ca, ha, n_corpus),
@@ -1026,8 +1121,11 @@ def reshard_surviving(
     if sidx.ivf_model is not None:
         # Re-cluster over the new shard boundaries (the per-shard IVF
         # layout is shard-count-dependent); a recovered deployment
-        # serving with nprobe keeps its ANN route.
-        out = shard_ivf(out, sidx.ivf_model, tile_n=sidx.ivf_tile_n)
+        # serving with nprobe keeps its ANN route AND its spill config.
+        out = shard_ivf(
+            out, sidx.ivf_model, tile_n=sidx.ivf_tile_n,
+            spill=sidx.ivf_spilled, spill_margin=sidx.ivf_spill_margin,
+        )
     return out
 
 

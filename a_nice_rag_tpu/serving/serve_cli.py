@@ -74,8 +74,8 @@ def build_state(
     route (building the IVF layout at startup if the artifact does not
     already carry one); filtered queries transparently fall back to the
     exact scan. ``ivf_spill`` stores boundary documents in their two
-    nearest clusters (single-device route; up to 2x IVF memory for
-    better low-nprobe recall)."""
+    nearest clusters (up to 2x IVF memory for better low-nprobe
+    recall) on both the single-device and sharded routes."""
     import jax
 
     monitor = None
@@ -111,7 +111,8 @@ def build_state(
                                    "rebuilding", e)
             if sidx2 is None:
                 sidx2 = shard_ivf(sidx, model_names[0],
-                                  n_clusters=ivf_clusters)
+                                  n_clusters=ivf_clusters,
+                                  spill=ivf_spill)
                 logger.info(
                     "serve: per-shard IVF built (%d clusters/shard)",
                     int(sidx2.ivf_centroids.shape[1]))
@@ -304,7 +305,7 @@ def main(argv=None) -> None:
     p.add_argument("--ivf-spill", action="store_true",
                    help="store boundary docs in their two nearest "
                         "clusters (better low-nprobe recall, up to 2x "
-                        "IVF memory; single-device route)")
+                        "IVF memory)")
     p.add_argument("--ivf-cache", default=None,
                    help="path to persist/reuse the sharded IVF "
                         "clustering layout (skips startup k-means)")

@@ -334,3 +334,103 @@ def test_save_load_shard_ivf_quantized(setup, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(fresh.ivf_rows.scales),
         np.asarray(sidx_q.ivf_rows.scales))
+
+
+# ------------------------------------------------------------ spill
+
+
+def test_spilled_shard_ivf_full_probe_matches_exact(setup):
+    """Spilled per-shard layout: every real row stored once or twice,
+    full probe equals the exact retriever after per-shard dedup, and
+    no duplicate ids survive."""
+    c, idx, x, q, _, mesh, _ = setup
+    sidx = shard_ivf(shard_index(idx, mesh), "voyage-3-large",
+                     tile_n=128, spill=True)
+    assert sidx.ivf_spilled
+    reals = np.asarray(sidx.ivf_n_real)
+    assert idx.n_docs < reals.sum() <= 2 * idx.n_docs
+    perms = np.asarray(sidx.ivf_perm)
+    for s in range(sidx.n_shards):
+        p = perms[s][perms[s] >= 0]
+        counts = np.bincount(p)
+        assert ((counts >= 1) & (counts <= 2)).all()
+        assert len(p) == int(reals[s])
+    cfull = int(np.asarray(sidx.ivf_centroids).shape[1])
+    sr_ivf = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12, nprobe=cfull,
+    )
+    sr_x = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12,
+    )
+    _, ids_i = sr_ivf({"voyage-3-large": q}, None, W, None, 40.0)
+    _, ids_x = sr_x({"voyage-3-large": q}, None, W, None, 40.0)
+    for b in range(q.shape[0]):
+        valid = ids_i[b][ids_i[b] >= 0]
+        assert len(set(valid.tolist())) == len(valid)
+    np.testing.assert_array_equal(ids_i, ids_x)
+
+
+def test_spilled_shard_ivf_persistence_and_recovery(setup, tmp_path):
+    from a_nice_rag_tpu.parallel import load_shard_ivf, save_shard_ivf
+
+    c, idx, x, q, _, mesh, _ = setup
+    sidx = shard_ivf(shard_index(idx, mesh), "voyage-3-large",
+                     tile_n=128, spill=True, spill_margin=0.2)
+    path = str(tmp_path / "shard_ivf_spill.npz")
+    save_shard_ivf(sidx, path)
+    back = load_shard_ivf(shard_index(idx, mesh), path)
+    assert back.ivf_spilled and back.ivf_spill_margin == 0.2
+    np.testing.assert_array_equal(
+        np.asarray(back.ivf_perm), np.asarray(sidx.ivf_perm)
+    )
+    sr_a = ShardedRetriever(sidx, MODELS, use_bm25=False,
+                            similarity_k=12, common_sections_n=12,
+                            nprobe=4)
+    sr_b = ShardedRetriever(back, MODELS, use_bm25=False,
+                            similarity_k=12, common_sections_n=12,
+                            nprobe=4)
+    _, ids_a = sr_a({"voyage-3-large": q}, None, W, None, 40.0)
+    _, ids_b = sr_b({"voyage-3-large": q}, None, W, None, 40.0)
+    np.testing.assert_array_equal(ids_a, ids_b)
+    # Failure recovery keeps the spill configuration.
+    devs = jax.devices()[:6]
+    out = reshard_surviving(sidx, devs, dp=2)
+    assert out.ivf_spilled and out.ivf_spill_margin == 0.2
+    sr_r = ShardedRetriever(out, MODELS, use_bm25=False,
+                            similarity_k=12, common_sections_n=12,
+                            nprobe=4)
+    _, ids_r = sr_r({"voyage-3-large": q}, None, W, None, 40.0)
+    # Recovered results stay high-quality (re-clustered boundaries can
+    # shift partial-probe results; gold overlap is the contract).
+    ref = np.argsort(-(q @ x.T), axis=1)[:, :12]
+    overlap = np.mean([
+        len(set(ids_r[b][ids_r[b] >= 0]) & set(ref[b])) / 12
+        for b in range(q.shape[0])
+    ])
+    assert overlap >= 0.8, overlap
+
+
+def test_spilled_quantized_shard_ivf(setup):
+    c, idx, x, q, _, mesh, _ = setup
+    qidx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings={"voyage-3-large": x}, token_lists=c.tokens,
+        quantize_dense=True,
+    )
+    sidx = shard_ivf(shard_index(qidx, mesh), "voyage-3-large",
+                     tile_n=128, spill=True)
+    assert sidx.ivf_spilled
+    cfull = int(np.asarray(sidx.ivf_centroids).shape[1])
+    sr_ivf = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12, nprobe=cfull,
+    )
+    sr_x = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=12,
+        common_sections_n=12,
+    )
+    _, ids_i = sr_ivf({"voyage-3-large": q}, None, W, None, 40.0)
+    _, ids_x = sr_x({"voyage-3-large": q}, None, W, None, 40.0)
+    np.testing.assert_array_equal(ids_i, ids_x)

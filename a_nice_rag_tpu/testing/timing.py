@@ -35,3 +35,48 @@ def chained_dispatch_ms(fn, n: int = 8, trials: int = 1) -> float:
         _read_value(out)
         best = min(best, (time.perf_counter() - t0) / n * 1e3)
     return best
+
+
+def true_device_ms(
+    make_call, q, *args, n_loop: int = 30, trials: int = 3
+) -> float:
+    """Dispatch-free device latency of ``make_call(q_perturbed, *args)``.
+
+    Pass every large array through ``*args`` — closing over one embeds
+    it as a compiled constant and ships it inside the remote-compile
+    request (413s at ~780 MB through the tunnel).
+
+    Runs the program ``n_loop`` times inside ONE jitted fori_loop,
+    threading the loop carry into the q operand (runtime +0.0) so XLA
+    cannot hoist the call (varying any operand of the opaque custom
+    call / fusion forces per-iteration execution), then divides by
+    ``n_loop``. Measured on the tunneled v5e: chained dispatch adds a
+    FIXED ~2.4 ms per call on top of true device time (2.1 GB stream:
+    6.17 ms chained vs 3.73 ms here), so this is the required
+    methodology for any single-digit-ms kernel number.
+
+    The perturbation must be ADDED (`q + isnan(x).astype(dtype)`) —
+    multiplying by zero is foldable and re-enables hoisting (see
+    CLAUDE.md timing notes).
+    """
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(x0, qq, *a):
+        def body(i, x):
+            dq = qq + jnp.isnan(x).astype(qq.dtype)
+            out = make_call(dq, *a)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return x + 0.0 * leaf.reshape(-1)[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, n_loop, body, x0)
+
+    import numpy as _np
+
+    float(_np.asarray(loop(jnp.zeros(()), q, *args)).ravel()[0])
+    best = float("inf")
+    for _ in range(max(1, trials)):
+        t0 = time.perf_counter()
+        float(_np.asarray(loop(jnp.zeros(()), q, *args)).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / n_loop * 1e3)
+    return best

@@ -182,14 +182,16 @@ def pallas_sum_k(parts, block_n):
 def main_multi():
     print("platform:", jax.devices()[0].platform)
 
-    @jax.jit
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("rows",))
     def gen(key, rows):
         return jax.random.normal(key, (rows, D), dtype=jnp.bfloat16)
 
     total_rows = N  # constant total bytes across stream counts
     for m in (1, 2, 3, 4, 6, 8):
         rows = total_rows // m
-        parts = [gen(jax.random.PRNGKey(i), rows) for i in range(m)]
+        parts = [gen(jax.random.PRNGKey(i), rows=rows) for i in range(m)]
         jax.block_until_ready(parts)
         gb = total_rows * D * 2 / 1e9
         ms = true_ms(lambda *a: pallas_sum_k(a, 4096), *parts)
@@ -199,3 +201,75 @@ def main_multi():
 
 if __name__ == "__main__" and "multi" in sys.argv[1:]:
     main_multi()
+
+
+def pallas_sum_biased(parts, bias, block_n):
+    """Sum with a scalar OPERAND: threading the fori_loop carry through
+    an operand of the opaque custom-call forces per-iteration execution
+    (XLA cannot hoist it), with zero extra HBM traffic — the correct
+    dispatch-free timing form for pure streams."""
+    n, d = parts[0].shape
+    m = len(parts)
+
+    def kernel(b_ref, *refs):
+        o_ref = refs[-1]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[0, 0] = b_ref[0, 0]
+
+        for r in refs[:-1]:
+            o_ref[0, 0] += jnp.sum(r[:].astype(jnp.float32))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // block_n,),
+        in_specs=[pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)] + [
+            pl.BlockSpec((block_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(m)
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+    )(bias.reshape(1, 1), *parts)[0, 0]
+
+
+def main_true():
+    import time as _t
+    print("platform:", jax.devices()[0].platform)
+
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("rows",))
+    def gen(key, rows):
+        return jax.random.normal(key, (rows, D), dtype=jnp.bfloat16)
+
+    n_loop = 30
+    for m in (1, 2, 4):
+        rows = N // m
+        parts = [gen(jax.random.PRNGKey(i), rows=rows) for i in range(m)]
+        jax.block_until_ready(parts)
+        gb = N * D * 2 / 1e9
+
+        @jax.jit
+        def loop(x0, *a):
+            def body(i, x):
+                s = pallas_sum_biased(a, x, 4096)
+                return x * 0.0 + 0.0 * s  # runtime 0, not foldable
+
+            return jax.lax.fori_loop(0, n_loop, body, x0)
+
+        float(np.asarray(loop(jnp.zeros(()), *parts)).ravel()[0])
+        best = float("inf")
+        for _ in range(3):
+            t0 = _t.perf_counter()
+            float(np.asarray(loop(jnp.zeros(()), *parts)).ravel()[0])
+            best = min(best, (_t.perf_counter() - t0) / n_loop * 1e3)
+        print(f"f) TRUE {m}-stream ({gb:.1f} GB): {best:7.3f} ms "
+              f"{gb/best*1e3:6.1f} GB/s")
+
+
+if __name__ == "__main__" and "true" in sys.argv[1:]:
+    main_true()

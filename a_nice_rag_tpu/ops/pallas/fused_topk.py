@@ -384,6 +384,113 @@ def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
                    row_groups=row_groups, s_scr=s_scr, gated=gated)
 
 
+def _kernel_dbuf(q_ref, e_hbm, vals_ref, idx_ref, run_v, run_i,
+                 ebuf0, ebuf1, s_scr, sem, *, k: int, block_n: int,
+                 block_q: int, subtiles: int):
+    """Manually double-buffered streaming fold (grid-free).
+
+    The automatic grid pipeline's measured anatomy is ADDITIVE — the
+    per-tile DMA time and the selection's VPU passes sum instead of
+    hiding under each other (docs/BENCHMARKS.md round-3 ablation).
+    This variant owns the pipeline: the embedding matrix stays in HBM
+    (`memory_space=ANY`) and a static 2-slot unrolled loop issues the
+    tile t+1 copy with `pltpu.make_async_copy` BEFORE folding tile t,
+    so the fold's compute runs while the next tile streams. If the
+    additivity is scheduling (hypothesis a of
+    scripts/probe_dma_overlap.py) this reclaims min(stream, compute);
+    if it is VMEM-port contention (hypothesis b) it changes nothing.
+
+    Slot indexing, query-block offsets, and the odd-tile prologue are
+    all static Python — no value-level dynamic slices (they do not
+    lower on this Mosaic, CLAUDE.md).
+    """
+    n = e_hbm.shape[0]
+    b = run_v.shape[0]
+    n_tiles = n // block_n
+    n_sub = subtiles
+    while block_n % n_sub:
+        n_sub //= 2
+    w = block_n // n_sub
+
+    run_v[:, :] = jnp.full((b, k), NEG, jnp.float32)
+    run_i[:, :] = jnp.full((b, k), -1, jnp.int32)
+
+    def dma(buf, slot, t):
+        return pltpu.make_async_copy(
+            e_hbm.at[pl.ds(t * block_n, block_n), :],
+            buf,
+            sem.at[slot],
+        )
+
+    def fold_tile(buf, t):
+        """Fold one resident [block_n, D] tile for every query block."""
+        e = buf[:, :]
+        for qb in range(b // block_q):
+            row0 = qb * block_q
+            scores = jax.lax.dot_general(
+                q_ref[row0:row0 + block_q, :],
+                e,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            rv = run_v[pl.ds(row0, block_q), :]
+            ri = run_i[pl.ds(row0, block_q), :]
+            for s in range(n_sub):
+                s_scr[:, :] = scores[:, s * w:(s + 1) * w]
+                rv, ri = _fold_tile_scratch(
+                    s_scr, t * block_n + s * w, rv, ri
+                )
+            run_v[pl.ds(row0, block_q), :] = rv
+            run_i[pl.ds(row0, block_q), :] = ri
+
+    # Odd tile count: tile 0 runs through ebuf1 before the pair loop
+    # (tile 1 already prefetching into ebuf0), so the steady-state loop
+    # always finds its even tile in flight on ebuf0.
+    if n_tiles % 2:
+        dma(ebuf1, 1, 0).start()
+        if n_tiles > 1:
+            dma(ebuf0, 0, 1).start()
+        dma(ebuf1, 1, 0).wait()
+        fold_tile(ebuf1, 0)
+        start = 1
+    else:
+        dma(ebuf0, 0, 0).start()
+        start = 0
+    n_pairs = (n_tiles - start) // 2
+
+    def pair_body(p, _):
+        t0 = start + 2 * p
+        t1 = t0 + 1
+        dma(ebuf1, 1, t1).start()
+        dma(ebuf0, 0, t0).wait()
+        fold_tile(ebuf0, t0)
+
+        @pl.when(t0 + 2 < n_tiles)
+        def _():
+            dma(ebuf0, 0, t0 + 2).start()
+
+        dma(ebuf1, 1, t1).wait()
+        fold_tile(ebuf1, t1)
+        return 0
+
+    if n_pairs:
+        jax.lax.fori_loop(0, n_pairs, pair_body, 0)
+
+    for qb in range(b // block_q):
+        row0 = qb * block_q
+        new_v, new_i = _select_topk(
+            run_v[pl.ds(row0, block_q), :],
+            run_i[pl.ds(row0, block_q), :],
+            k,
+        )
+        vals_ref[pl.ds(row0, block_q), :] = jnp.where(
+            new_v <= NEG, -jnp.inf, new_v
+        )
+        idx_ref[pl.ds(row0, block_q), :] = jnp.where(
+            new_v <= NEG, -1, new_i
+        )
+
+
 def _kernel(q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, *,
             k: int, n_tile: int, m_fast: int):
     j = pl.program_id(1)
@@ -692,6 +799,65 @@ def fused_dense_top_k(
     b = queries.shape[0]
     block_q = min(block_q, b)
     assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
+    if algo == "dbuf":
+        if mask is not None:
+            raise NotImplementedError(
+                "algo='dbuf' is the maskless streaming fast path; use "
+                "algo='iterate' for filtered searches"
+            )
+        if n % _N_ALIGN:
+            # Zero-padded rows score 0.0 and would beat real negative
+            # scores; the iterate path handles that with a mask, which
+            # this fast path deliberately drops. Build large indexes
+            # aligned (build_index does) or route to algo='iterate'.
+            raise NotImplementedError(
+                f"algo='dbuf' needs a {_N_ALIGN}-aligned doc axis, got "
+                f"N={n}; use algo='iterate'"
+            )
+        n, block_n, _, emb = _align_doc_axis(
+            n, block_n, jnp.ones((0,), jnp.bool_), emb
+        )
+        n_sub = subtiles
+        while block_n % n_sub:
+            n_sub //= 2
+        kernel = functools.partial(
+            _kernel_dbuf, k=k, block_n=block_n, block_q=block_q,
+            subtiles=subtiles,
+        )
+        vals, idx = pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, k), jnp.float32),
+                jax.ShapeDtypeStruct((b, k), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.int32),
+                pltpu.VMEM((block_n, d), emb.dtype),
+                pltpu.VMEM((block_n, d), emb.dtype),
+                pltpu.VMEM((block_q, block_n // n_sub), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n * d,
+                bytes_accessed=emb.size * emb.dtype.itemsize
+                + queries.size * queries.dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(queries, emb)
+        return vals, idx
     if algo == "iterate":
         # Skip the whole-tile mask select only when no mask was asked
         # for AND no padding happens (padded zero rows score 0.0, which

@@ -132,3 +132,47 @@ def test_fused_new_levers_parity():
         )
         got = np.take_along_axis(scores, np.asarray(i), axis=1)
         np.testing.assert_array_equal(np.sort(got)[:, ::-1], ref)
+
+
+def test_fused_dbuf_matches_xla_topk():
+    """Manually double-buffered variant (algo='dbuf'): exact id parity
+    with the XLA path on an aligned, maskless corpus (its fast path)."""
+    rng = np.random.default_rng(311)
+    emb = rng.standard_normal((2048, 128)).astype(np.float32)
+    q = rng.standard_normal((128, 128)).astype(np.float32)
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=16, block_q=64, block_n=1024,
+        algo="dbuf", interpret=INTERPRET,
+    )
+    vals_x, idx_x = dense_top_k(jnp.asarray(emb), jnp.asarray(q), 16)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+    np.testing.assert_allclose(
+        np.asarray(vals_p), np.asarray(vals_x), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_fused_dbuf_odd_tile_count():
+    rng = np.random.default_rng(313)
+    emb = rng.standard_normal((3072, 64)).astype(np.float32)  # 3 tiles
+    q = rng.standard_normal((64, 64)).astype(np.float32)
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=8, block_q=64, block_n=1024,
+        algo="dbuf", interpret=INTERPRET,
+    )
+    vals_x, idx_x = dense_top_k(jnp.asarray(emb), jnp.asarray(q), 8)
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+
+
+def test_fused_dbuf_rejects_mask_and_misalignment():
+    rng = np.random.default_rng(317)
+    emb = jnp.asarray(rng.standard_normal((2048, 64)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32))
+    with pytest.raises(NotImplementedError):
+        fused_dense_top_k(
+            emb, q, k=8, algo="dbuf", mask=jnp.ones((2048,), bool),
+            interpret=INTERPRET,
+        )
+    with pytest.raises(NotImplementedError):
+        fused_dense_top_k(
+            emb[:2000], q, k=8, algo="dbuf", interpret=INTERPRET,
+        )

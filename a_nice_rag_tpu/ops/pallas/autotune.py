@@ -25,13 +25,17 @@ import jax
 
 logger = logging.getLogger(__name__)
 
-DEFAULT_CANDIDATES: Tuple[Tuple[int, int, int], ...] = (
-    (128, 8192, 2),
-    (128, 8192, 4),
-    (128, 16384, 2),
-    (256, 8192, 2),
-    (256, 16384, 2),
-    (64, 8192, 2),
+DEFAULT_CANDIDATES: Tuple[Tuple[int, int, int, str], ...] = (
+    (128, 8192, 2, "iterate"),
+    (128, 8192, 4, "iterate"),
+    (128, 16384, 2, "iterate"),
+    (256, 8192, 2, "iterate"),
+    (256, 16384, 2, "iterate"),
+    (64, 8192, 2, "iterate"),
+    # Manual double-buffered pipeline (maskless aligned fast path;
+    # falls back to iterate under a mask, so safe to tune in).
+    (128, 16384, 2, "dbuf"),
+    (256, 16384, 2, "dbuf"),
 )
 
 
@@ -40,6 +44,7 @@ class FusedKernelConfig:
     block_q: int = 128
     block_n: int = 8192
     subtiles: int = 2
+    algo: str = "iterate"
 
     def as_kwargs(self) -> Dict[str, int]:
         return dataclasses.asdict(self)
@@ -91,23 +96,28 @@ def tune_fused_blocks(
         return FusedKernelConfig()
 
     best_cfg, best_ms = FusedKernelConfig(), float("inf")
-    for bq, bn, st in candidates:
+    for cand in candidates:
+        bq, bn, st = cand[:3]
+        algo = cand[3] if len(cand) > 3 else "iterate"
         if b % min(bq, b):
             continue
         try:
             fn = lambda: fused_dense_top_k(
-                emb, queries, k, block_q=bq, block_n=bn, subtiles=st
+                emb, queries, k, block_q=bq, block_n=bn, subtiles=st,
+                algo=algo,
             )
             from a_nice_rag_tpu.testing.timing import chained_dispatch_ms
 
             ms = chained_dispatch_ms(fn, n=reps, trials=trials)
         except Exception as e:  # compile failure on exotic shapes
-            logger.info("autotune: (%d, %d, %d) failed: %s", bq, bn, st, e)
+            logger.info("autotune: (%d, %d, %d, %s) failed: %s",
+                        bq, bn, st, algo, e)
             continue
-        logger.info("autotune: bq=%d bn=%d st=%d -> %.2f ms", bq, bn, st, ms)
+        logger.info("autotune: bq=%d bn=%d st=%d algo=%s -> %.2f ms",
+                    bq, bn, st, algo, ms)
         if ms < best_ms:
             best_ms = ms
-            best_cfg = FusedKernelConfig(bq, bn, st)
+            best_cfg = FusedKernelConfig(bq, bn, st, algo)
 
     _memory_cache[sig] = best_cfg
     if cache_path:

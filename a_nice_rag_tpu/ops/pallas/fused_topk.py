@@ -653,6 +653,10 @@ def fused_dense_top_k_int8(
     while b % block_q:
         block_q //= 2
     assert block_q >= 1
+    if algo == "dbuf":
+        # No int8 dbuf yet; a config autotuned on the f32/bf16 kernel
+        # must not fall into the legacy count-gated branch below.
+        algo = "iterate"
     if algo == "iterate":
         # The mask pass can only be skipped when NO mask was requested
         # AND no doc-axis padding happens (padded rows score exactly 0.0
@@ -799,21 +803,14 @@ def fused_dense_top_k(
     b = queries.shape[0]
     block_q = min(block_q, b)
     assert b % block_q == 0, f"B={b} must be divisible by block_q={block_q}"
+    if algo == "dbuf" and (mask is not None or n % _N_ALIGN):
+        # dbuf is the maskless aligned fast path: it has no mask operand
+        # (the select is a full VPU pass per tile) and zero-padded rows
+        # would score 0.0 past real negatives. Autotuned configs carry
+        # algo per index signature, so a filtered call on a dbuf-tuned
+        # engine must still work — route it to the general kernel.
+        algo = "iterate"
     if algo == "dbuf":
-        if mask is not None:
-            raise NotImplementedError(
-                "algo='dbuf' is the maskless streaming fast path; use "
-                "algo='iterate' for filtered searches"
-            )
-        if n % _N_ALIGN:
-            # Zero-padded rows score 0.0 and would beat real negative
-            # scores; the iterate path handles that with a mask, which
-            # this fast path deliberately drops. Build large indexes
-            # aligned (build_index does) or route to algo='iterate'.
-            raise NotImplementedError(
-                f"algo='dbuf' needs a {_N_ALIGN}-aligned doc axis, got "
-                f"N={n}; use algo='iterate'"
-            )
         n, block_n, _, emb = _align_doc_axis(
             n, block_n, jnp.ones((0,), jnp.bool_), emb
         )

@@ -163,16 +163,24 @@ def test_fused_dbuf_odd_tile_count():
     np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
 
 
-def test_fused_dbuf_rejects_mask_and_misalignment():
+def test_fused_dbuf_mask_and_misalignment_fall_back():
+    """dbuf with a mask or a misaligned doc axis silently routes to the
+    general iterate kernel — autotuned algo= configs must not break
+    filtered calls."""
     rng = np.random.default_rng(317)
     emb = jnp.asarray(rng.standard_normal((2048, 64)).astype(np.float32))
     q = jnp.asarray(rng.standard_normal((64, 64)).astype(np.float32))
-    with pytest.raises(NotImplementedError):
-        fused_dense_top_k(
-            emb, q, k=8, algo="dbuf", mask=jnp.ones((2048,), bool),
-            interpret=INTERPRET,
-        )
-    with pytest.raises(NotImplementedError):
-        fused_dense_top_k(
-            emb[:2000], q, k=8, algo="dbuf", interpret=INTERPRET,
-        )
+    mask = np.zeros(2048, bool)
+    mask[200:900] = True
+    _, idx_m = fused_dense_top_k(
+        emb, q, k=8, block_q=64, block_n=1024, algo="dbuf",
+        mask=jnp.asarray(mask), interpret=INTERPRET,
+    )
+    _, idx_x = dense_top_k(emb, q, 8, mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_x))
+    _, idx_u = fused_dense_top_k(
+        emb[:2000], q, k=8, block_q=64, block_n=1024, algo="dbuf",
+        interpret=INTERPRET,
+    )
+    _, idx_y = dense_top_k(emb[:2000], q, 8)
+    np.testing.assert_array_equal(np.asarray(idx_u), np.asarray(idx_y))

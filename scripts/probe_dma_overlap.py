@@ -67,8 +67,9 @@ def _kernel(seed_ref, e_ref, out_ref, acc, work, *, x_iters: int):
         out_ref[:, :] = acc[:, :] + work[0, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("x_iters", "block_n"))
-def probe(seed, emb, x_iters: int, block_n: int):
+@functools.partial(jax.jit, static_argnames=("x_iters", "block_n",
+                                              "work_cols"))
+def probe(seed, emb, x_iters: int, block_n: int, work_cols: int = 2048):
     n, d = emb.shape
     return pl.pallas_call(
         functools.partial(_kernel, x_iters=x_iters),
@@ -84,7 +85,7 @@ def probe(seed, emb, x_iters: int, block_n: int):
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.float32),
-            pltpu.VMEM((128, 2048), jnp.float32),
+            pltpu.VMEM((128, work_cols), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -95,6 +96,7 @@ def probe(seed, emb, x_iters: int, block_n: int):
 def main():
     n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 22
     block_n = int(sys.argv[2]) if len(sys.argv) > 2 else 16384
+    work_cols = int(sys.argv[3]) if len(sys.argv) > 3 else 2048
     n, d = 1 << n_log2, 256
 
     emb = jax.jit(
@@ -112,8 +114,8 @@ def main():
     t0 = None
     for x in (0, 1, 2, 4, 8, 16, 32, 64):
         ms = true_device_ms(
-            lambda q, e, xx=x: probe(q, e, xx, block_n), seed, emb,
-            n_loop=20, trials=3,
+            lambda q, e, xx=x: probe(q, e, xx, block_n, work_cols),
+            seed, emb, n_loop=20, trials=3,
         )
         if t0 is None:
             t0 = ms

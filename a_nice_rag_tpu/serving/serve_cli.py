@@ -39,13 +39,37 @@ logger = logging.getLogger(__name__)
 class ServeState:
     """Mutable serving state; the health monitor swaps retrievers."""
 
-    def __init__(self, index, retriever, pool, monitor=None, t_max=16):
+    def __init__(self, index, retriever, pool, monitor=None, t_max=16,
+                 embedder=None):
         self.index = index
         self.retriever = retriever
         self.pool = pool
         self.monitor = monitor
         self.t_max = t_max
+        # Optional on-device query embedder (models/embedder.py
+        # protocol): lets /v1/search take raw text, closing the loop
+        # the reference outsources to the Voyage API
+        # (reference src/search_engine.py:148-159).
+        self.embedder = embedder
         self.loop: Optional[asyncio.AbstractEventLoop] = None
+
+    def encode_text_query(self, text: str):
+        """Raw text -> (query embedding [D] f32, padded term ids
+        [t_max] i32) via the on-device embedder + the index's BM25
+        vocabulary (same preprocessing as the corpus side)."""
+        if self.embedder is None:
+            raise ValueError(
+                "server has no embedder; pass 'query_embedding' or "
+                "start with --embedder"
+            )
+        from a_nice_rag_tpu.text.preprocess import preprocess_text
+
+        q_vec = np.asarray(
+            self.embedder.embed_queries([text]), np.float32
+        )[0]
+        toks = preprocess_text(text, use_lemmatization=True)
+        terms = self.index.pad_term_ids([toks], self.t_max)[0]
+        return q_vec, terms
 
     def submit_sync(self, q_emb: Dict[str, np.ndarray], q_terms, weights,
                     filt, wrrf_k, timeout_s: float = 30.0):
@@ -69,6 +93,7 @@ def build_state(
     ivf_clusters: Optional[int] = None,
     ivf_cache: Optional[str] = None,
     ivf_spill: bool = False,
+    embedder=None,
 ) -> ServeState:
     """``nprobe > 0`` serves the flagship model through the IVF ANN
     route (building the IVF layout at startup if the artifact does not
@@ -172,6 +197,7 @@ def build_state(
     from a_nice_rag_tpu.serving import SchedulerPool
 
     state.pool = SchedulerPool(state.retriever, **(scheduler_kwargs or {}))
+    state.embedder = embedder
     return state
 
 
@@ -217,15 +243,25 @@ def _make_handler(state: ServeState, default_weights: Dict[str, float]):
                 return
             try:
                 emb = payload.get("query_embedding")
-                if emb is None:
-                    raise ValueError("'query_embedding' is required")
+                text = payload.get("query")
+                text_terms = None
+                if emb is not None:
+                    q_vec = np.asarray(emb, np.float32)
+                elif text is not None:
+                    q_vec, text_terms = state.encode_text_query(str(text))
+                else:
+                    raise ValueError(
+                        "'query_embedding' or 'query' is required"
+                    )
                 model = payload.get(
                     "model", state.retriever.model_names[0]
                 )
-                q = {model: np.asarray(emb, np.float32)}
+                q = {model: q_vec}
                 terms = None
                 if payload.get("terms") is not None:
                     terms = np.asarray(payload["terms"], np.int32)
+                elif text_terms is not None:
+                    terms = text_terms
                 weights = payload.get("model_weights") or default_weights
                 rows, scores = state.submit_sync(
                     q, terms, weights,
@@ -309,6 +345,14 @@ def main(argv=None) -> None:
     p.add_argument("--ivf-cache", default=None,
                    help="path to persist/reuse the sharded IVF "
                         "clustering layout (skips startup k-means)")
+    p.add_argument("--embedder", default=None,
+                   help="on-device query embedder so /v1/search "
+                        "accepts raw 'query' text: 'hashing' "
+                        "(hashing-tokenizer flax encoder, random init "
+                        "unless --embedder-ckpt)")
+    p.add_argument("--embedder-ckpt", default=None,
+                   help="orbax checkpoint dir with trained encoder "
+                        "params (models/train.py output)")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -331,12 +375,30 @@ def main(argv=None) -> None:
         else list(index.dense_model_names)
     )
     use_bm25 = not args.no_bm25 and index.bm25 is not None
+    embedder = None
+    if args.embedder == "hashing":
+        from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+        from a_nice_rag_tpu.models.encoder import EncoderConfig
+
+        out_dim = int(index.dense_matrix(model_names[0]).shape[1])
+        embedder = OnDeviceEmbedder(EncoderConfig(out_dim=out_dim))
+        if args.embedder_ckpt:
+            from a_nice_rag_tpu.models.checkpoint import (
+                restore_checkpoint,
+            )
+
+            embedder.params = restore_checkpoint(
+                args.embedder_ckpt, template=embedder.params
+            )
+    elif args.embedder:
+        raise SystemExit(f"unknown --embedder {args.embedder!r}")
     state = build_state(
         index, tuple(model_names), use_bm25=use_bm25,
         autotune=args.autotune, shards=args.shards,
         two_tier_common=args.two_tier_common,
         nprobe=args.nprobe, ivf_clusters=args.ivf_clusters,
         ivf_cache=args.ivf_cache, ivf_spill=args.ivf_spill,
+        embedder=embedder,
     )
     weights = {m: (5.0 if m == model_names[0] else 1.0)
                for m in model_names}

@@ -169,3 +169,57 @@ def test_serve_cli_ivf_cache_roundtrip(corpus_index, tmp_path):
         np.asarray(s2.retriever.sidx.ivf_perm),
     )
     assert s2.retriever.use_ivf
+
+
+def test_serve_cli_text_query_with_embedder():
+    """Raw-text /v1/search: on-device embedder + index-vocab BM25 terms
+    (the reference outsources this hop to the Voyage API,
+    src/search_engine.py:148-159). Corpus embedded by the same model,
+    so querying a document's own text must return that document."""
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
+    from a_nice_rag_tpu.text.preprocess import preprocess_text
+
+    contents = [
+        f"guideline about condition {i} treatment plan alpha{i}"
+        for i in range(64)
+    ]
+    emb_model = OnDeviceEmbedder(EncoderConfig(
+        n_layers=1, dim=32, out_dim=32, vocab_size=1024, n_heads=2,
+        dtype=jnp.float32,
+    ))
+    doc_emb = np.asarray(
+        emb_model.embed_documents(contents), np.float32
+    )
+    tokens = [preprocess_text(c, use_lemmatization=True) for c in contents]
+    idx = build_index(
+        ids=[f"id{i}" for i in range(64)],
+        sources=["CG1"] * 64,
+        contents=contents,
+        embeddings={"local": doc_emb},
+        token_lists=tokens,
+        normalize=True,
+    )
+    state = build_state(idx, ("local",), use_bm25=True, embedder=emb_model)
+    srv = serve_state(state, {"local": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        out = _search(port, {"query": contents[7]})
+        assert out["results"][0]["id"] == "id7"
+        # Embedding-free server still requires a precomputed embedding.
+        state.embedder = None
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/search",
+            data=json.dumps({"query": "anything"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()

@@ -435,3 +435,55 @@ def ivf_search(
         vals = vals[:, :k]
         ids = ids[:, :k]
     return vals, ids, n_unique
+
+
+def tune_nprobe(
+    ivf: IVFDense,
+    queries: jax.Array,
+    k: int = 10,
+    target_recall: float = 0.95,
+    candidates: Tuple[int, ...] = (4, 8, 16, 32, 64, 128, 256),
+    exact_ids: Optional[np.ndarray] = None,
+    interpret: bool = False,
+) -> Tuple[int, dict]:
+    """Pick the smallest ``nprobe`` whose recall@k vs the exact scan
+    meets ``target_recall`` on a validation query batch.
+
+    The TPU analog of the reference's BM25 hyperparameter tuner
+    (src/processing/bm25_test.py:192-247): tune the latency/quality
+    knob offline against held-out queries, then serve with the winner
+    (``FusedRetriever(nprobe=...)`` / ``serve_cli --nprobe``). The
+    exact baseline is the IVF layout probed with every cluster — the
+    parity anchor ``ivf_search`` documents — unless ``exact_ids`` from
+    another exact route is supplied.
+
+    Returns (best nprobe, {nprobe: measured recall}). Falls back to the
+    largest candidate when none reaches the target (callers can see
+    that from the report). Candidates above the cluster count are
+    clamped and deduplicated.
+    """
+    cands = sorted({min(int(c), ivf.n_clusters) for c in candidates})
+    if exact_ids is None:
+        _, exact, _ = ivf_search(
+            ivf, queries, k, nprobe=ivf.n_clusters, interpret=interpret
+        )
+        exact_ids = np.asarray(exact)
+    exact_sets = [set(r[r >= 0].tolist()) for r in np.asarray(exact_ids)]
+    denom = max(1, sum(len(s) for s in exact_sets))
+    report: dict = {}
+    best = cands[-1]
+    for cand in cands:
+        _, got, _ = ivf_search(
+            ivf, queries, k, nprobe=cand, interpret=interpret
+        )
+        got = np.asarray(got)
+        hits = sum(
+            len(exact_sets[i] & set(got[i][got[i] >= 0].tolist()))
+            for i in range(len(exact_sets))
+        )
+        recall = hits / denom
+        report[cand] = recall
+        if recall >= target_recall:
+            best = cand
+            break
+    return best, report

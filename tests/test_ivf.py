@@ -547,3 +547,27 @@ def test_engine_spilled_ivf_route():
         valid = r_ann[b][r_ann[b] >= 0]
         assert len(set(valid)) == len(valid), "duplicate ids surfaced"
     np.testing.assert_array_equal(r_exact, r_ann)
+
+
+def test_tune_nprobe_picks_smallest_meeting_target(clustered):
+    from a_nice_rag_tpu.index.ivf import tune_nprobe
+
+    x, q, gold = clustered
+    ivf = build_ivf_dense(
+        jnp.asarray(x), n_clusters=12, tile_n=128, n_iters=12, seed=1
+    )
+    best, report = tune_nprobe(
+        ivf, jnp.asarray(q), k=5, target_recall=0.9,
+        candidates=(1, 2, 4, 8, 64), interpret=True,
+    )
+    assert best in report and report[best] >= 0.9
+    # Monotone-ish: every candidate cheaper than best fell short.
+    for c, r in report.items():
+        if c < best:
+            assert r < 0.9
+    # The full probe (clamped 64 -> 12 clusters) is exact: recall 1.0.
+    _, full_report = tune_nprobe(
+        ivf, jnp.asarray(q), k=5, target_recall=2.0,  # unreachable
+        candidates=(12,), interpret=True,
+    )
+    assert full_report[12] == 1.0

@@ -1,0 +1,322 @@
+"""Decoder-only LM with KV-cache autoregressive decoding on TPU.
+
+The reference routes ALL generation to SaaS chat APIs
+(reference src/query_rag.py:434-513); this module closes the remaining
+SaaS dependency the way models/embedder.py did for query embedding: a
+Qwen3-architecture causal LM (same blocks as models/qwen3.py, so real
+Qwen3 checkpoints convert with the same weight mapping) with
+
+* one unified forward for training, prefill, and per-token decode —
+  every call writes its keys/values into a fixed-size cache at
+  ``cache_len`` and attends over the cache prefix, so the step path is
+  O(s * cache) with static shapes (XLA-friendly: the only dynamic
+  values are scalar offsets into ``lax.dynamic_update_slice``);
+* a byte-level reversible tokenizer (no external vocab files);
+* a streaming ``generate_stream`` generator (greedy or temperature
+  sampling) whose per-token step is a single jitted program, yielding
+  UTF-8-safe text deltas for the RAG streaming contract.
+
+Untrained weights generate noise, of course — the point is the
+infrastructure: ``lm_loss``/``train_lm_steps`` fit small corpora (the
+memorization test pins decode correctness end to end), and converted
+checkpoints drop in via models/qwen3.convert_hf_qwen3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Generator, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from a_nice_rag_tpu.models.qwen3 import Qwen3Config, _RMSNorm, _rope
+
+BOS, EOS, PAD = 256, 257, 258
+BYTE_VOCAB = 259
+
+
+class ByteTokenizer:
+    """Reversible byte-level tokenizer: ids 0-255 are raw bytes, plus
+    BOS/EOS/PAD specials. Streaming-safe decode via ``ByteDecoder``."""
+
+    vocab_size = BYTE_VOCAB
+    bos_id, eos_id, pad_id = BOS, EOS, PAD
+
+    def encode(self, text: str, add_bos: bool = True) -> List[int]:
+        ids = list(text.encode("utf-8"))
+        return ([BOS] if add_bos else []) + ids
+
+    def decode(self, ids) -> str:
+        data = bytes(int(i) for i in ids if 0 <= int(i) < 256)
+        return data.decode("utf-8", errors="replace")
+
+
+class ByteDecoder:
+    """Incremental UTF-8 decoder: feed token ids, get back only the
+    text that is complete so far (multi-byte codepoints buffer until
+    their continuation bytes arrive)."""
+
+    def __init__(self):
+        self._buf = b""
+
+    def feed(self, token_id: int) -> str:
+        if not (0 <= token_id < 256):
+            return ""
+        self._buf += bytes([token_id])
+        try:
+            out = self._buf.decode("utf-8")
+            self._buf = b""
+            return out
+        except UnicodeDecodeError:
+            if len(self._buf) >= 4:  # invalid sequence, flush lossily
+                out = self._buf.decode("utf-8", errors="replace")
+                self._buf = b""
+                return out
+            return ""
+
+    def flush(self) -> str:
+        out = self._buf.decode("utf-8", errors="replace")
+        self._buf = b""
+        return out
+
+
+class _CachedBlock(nn.Module):
+    """Qwen3 block over a KV cache window.
+
+    ``x`` holds s new tokens at absolute positions
+    ``cache_len .. cache_len+s-1``; their keys/values are written into
+    the [B, Smax, nkv, hd] caches in place and attention runs over the
+    cache prefix with a causal mask. With ``cache_len=0`` and ``s=Smax``
+    this is exactly the full causal forward of models/qwen3._Qwen3Block
+    (same parameter names — converted checkpoints load unchanged)."""
+
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, x, kcache, vcache, cache_len):
+        cfg = self.cfg
+        hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+        b, s, _ = x.shape
+        smax = kcache.shape[1]
+        positions = cache_len + jnp.arange(s, dtype=jnp.int32)[None, :]
+        positions = jnp.broadcast_to(positions, (b, s))
+
+        h = _RMSNorm(cfg.hidden_size, cfg.rms_eps, name="input_norm")(x)
+        q = nn.Dense(nh * hd, use_bias=False, dtype=cfg.dtype,
+                     name="q_proj")(h).reshape(b, s, nh, hd)
+        k = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype,
+                     name="k_proj")(h).reshape(b, s, nkv, hd)
+        v = nn.Dense(nkv * hd, use_bias=False, dtype=cfg.dtype,
+                     name="v_proj")(h).reshape(b, s, nkv, hd)
+        q = _RMSNorm(hd, cfg.rms_eps, name="q_norm")(q)
+        k = _RMSNorm(hd, cfg.rms_eps, name="k_norm")(k)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+
+        kcache = jax.lax.dynamic_update_slice(
+            kcache, k.astype(kcache.dtype), (0, cache_len, 0, 0)
+        )
+        vcache = jax.lax.dynamic_update_slice(
+            vcache, v.astype(vcache.dtype), (0, cache_len, 0, 0)
+        )
+        rep = nh // nkv
+        k_all = jnp.repeat(kcache, rep, axis=2)  # [B, Smax, nh, hd]
+        v_all = jnp.repeat(vcache, rep, axis=2)
+
+        attn = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_all,
+            preferred_element_type=jnp.float32,
+        ) / np.sqrt(hd)
+        key_pos = jnp.arange(smax, dtype=jnp.int32)
+        # Query at absolute position cache_len + qi sees keys <= it.
+        q_pos = cache_len + jnp.arange(s, dtype=jnp.int32)
+        keep = key_pos[None, :] <= q_pos[:, None]  # [s, Smax]
+        attn = jnp.where(keep[None, None, :, :], attn, -1e30)
+        attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_all).reshape(
+            b, s, nh * hd
+        )
+        x = x + nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                         name="o_proj")(out)
+
+        h = _RMSNorm(cfg.hidden_size, cfg.rms_eps, name="post_attn_norm")(x)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        dtype=cfg.dtype, name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False,
+                      dtype=cfg.dtype, name="up_proj")(h)
+        x = x + nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
+                         name="down_proj")(nn.silu(gate) * up)
+        return x, kcache, vcache
+
+
+class DecoderLM(nn.Module):
+    """Causal LM head over the cached Qwen3 stack (tied embeddings)."""
+
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, token_ids, kcaches, vcaches, cache_len):
+        """token_ids [B, s]; kcaches/vcaches lists of per-layer
+        [B, Smax, nkv, hd]; cache_len scalar int32. Returns
+        (logits [B, s, V] f32, new kcaches, new vcaches)."""
+        cfg = self.cfg
+        embed = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                         dtype=cfg.dtype, name="embed")
+        x = embed(jnp.maximum(token_ids, 0))
+        new_k, new_v = [], []
+        for i in range(cfg.num_layers):
+            x, kc, vc = _CachedBlock(cfg, name=f"layer_{i}")(
+                x, kcaches[i], vcaches[i], cache_len
+            )
+            new_k.append(kc)
+            new_v.append(vc)
+        x = _RMSNorm(cfg.hidden_size, cfg.rms_eps, name="final_norm")(x)
+        logits = embed.attend(x.astype(cfg.dtype)).astype(jnp.float32)
+        return logits, new_k, new_v
+
+
+def small_lm_config(**overrides) -> Qwen3Config:
+    base = dict(
+        vocab_size=BYTE_VOCAB, hidden_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+        rms_eps=1e-6, rope_theta=10000.0, dtype=jnp.float32,
+    )
+    base.update(overrides)
+    fields = {f.name for f in dataclasses.fields(Qwen3Config)}
+    return Qwen3Config(**{k: v for k, v in base.items() if k in fields})
+
+
+def init_caches(cfg: Qwen3Config, batch: int, max_len: int):
+    shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    k = [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.num_layers)]
+    v = [jnp.zeros(shape, cfg.dtype) for _ in range(cfg.num_layers)]
+    return k, v
+
+
+def init_decoder(cfg: Qwen3Config, seed: int = 0, max_len: int = 128):
+    model = DecoderLM(cfg)
+    kc, vc = init_caches(cfg, 1, max_len)
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, 1), jnp.int32), kc, vc, jnp.int32(0),
+    )
+    return model, params
+
+
+def lm_logits(model: DecoderLM, params, token_ids: jax.Array) -> jax.Array:
+    """Full causal forward (training path): cache sized to the sequence,
+    cache_len 0 — bitwise the same computation the decode path splits
+    into prefill + steps."""
+    b, s = token_ids.shape
+    kc, vc = init_caches(model.cfg, b, s)
+    logits, _, _ = model.apply(params, token_ids, kc, vc, jnp.int32(0))
+    return logits
+
+
+def lm_loss(model: DecoderLM, params, token_ids, mask=None) -> jax.Array:
+    """Mean next-token cross-entropy; ``mask`` [B, S] marks real tokens."""
+    logits = lm_logits(model, params, token_ids)  # [B, S, V]
+    targets = token_ids[:, 1:]
+    lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+    nll = -jnp.take_along_axis(lp, targets[..., None], axis=-1)[..., 0]
+    if mask is None:
+        mask = jnp.ones_like(targets, jnp.float32)
+    else:
+        mask = mask[:, 1:].astype(jnp.float32)
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def train_lm_steps(model, params, token_ids, n_steps: int = 200,
+                   lr: float = 3e-3, mask=None):
+    """Adam fit on one (small) batch; returns (params, losses)."""
+    import optax
+
+    opt = optax.adam(lr)
+    state = opt.init(params)
+
+    @jax.jit
+    def step(p, s):
+        loss, g = jax.value_and_grad(
+            lambda pp: lm_loss(model, pp, token_ids, mask)
+        )(p)
+        upd, s = opt.update(g, s, p)
+        return optax.apply_updates(p, upd), s, loss
+
+    losses = []
+    for _ in range(n_steps):
+        params, state, loss = step(params, state)
+        losses.append(float(loss))
+    return params, losses
+
+
+def generate_stream(
+    model: DecoderLM,
+    params,
+    prompt_ids: List[int],
+    max_new_tokens: int = 64,
+    temperature: float = 0.0,
+    seed: int = 0,
+    eos_id: int = EOS,
+    max_len: Optional[int] = None,
+) -> Iterator[int]:
+    """Yield generated token ids one at a time (greedy when
+    ``temperature == 0``). Prefill runs once over the prompt; each
+    subsequent token is one jitted cached step."""
+    smax = max_len or (len(prompt_ids) + max_new_tokens)
+    assert len(prompt_ids) + max_new_tokens <= smax + 1
+    kc, vc = init_caches(model.cfg, 1, smax)
+    ids = jnp.asarray(prompt_ids, jnp.int32)[None, :]
+
+    @jax.jit
+    def prefill(p, ids, kc, vc):
+        logits, kc, vc = model.apply(p, ids, kc, vc, jnp.int32(0))
+        return logits[:, -1], kc, vc
+
+    @jax.jit
+    def step(p, tok, kc, vc, pos, key):
+        logits, kc, vc = model.apply(p, tok, kc, vc, pos)
+        last = logits[:, -1]
+        if temperature > 0:
+            nxt = jax.random.categorical(key, last / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(last, axis=-1)
+        return nxt.astype(jnp.int32), kc, vc
+
+    key = jax.random.PRNGKey(seed)
+    last, kc, vc = prefill(params, ids, kc, vc)
+    if temperature > 0:
+        key, sub = jax.random.split(key)
+        tok = jax.random.categorical(sub, last / temperature, axis=-1)
+    else:
+        tok = jnp.argmax(last, axis=-1)
+    tok = tok.astype(jnp.int32)
+    pos = len(prompt_ids)
+    for _ in range(max_new_tokens):
+        t = int(tok[0])
+        if t == eos_id or pos >= smax:
+            return
+        yield t
+        key, sub = jax.random.split(key)
+        tok, kc, vc = step(
+            params, tok[:, None], kc, vc, jnp.int32(pos), sub
+        )
+        pos += 1
+
+
+def generate_text_stream(
+    model, params, prompt: str, tokenizer: Optional[ByteTokenizer] = None,
+    **kwargs,
+) -> Generator[str, None, None]:
+    """Text-level streaming: UTF-8-safe deltas from the token stream."""
+    tok = tokenizer or ByteTokenizer()
+    dec = ByteDecoder()
+    for t in generate_stream(model, params, tok.encode(prompt), **kwargs):
+        piece = dec.feed(t)
+        if piece:
+            yield piece
+    tail = dec.flush()
+    if tail:
+        yield tail

@@ -94,6 +94,46 @@ class FakeLLMClient:
             yield text[i : i + self.chunk_size]
 
 
+class LocalTpuLLMClient:
+    """On-device generation client: streams deltas from the KV-cached
+    decoder LM (models/decoder.py) instead of a SaaS chat API — the
+    last network hop of the reference's serve path
+    (src/query_rag.py:434-513) made local. Pass a trained/converted
+    (model, params) pair; quality is whatever those weights carry.
+    """
+
+    def __init__(self, model, params, tokenizer=None,
+                 max_new_tokens: int = 256, max_prompt_tokens: int = 1024):
+        from a_nice_rag_tpu.models.decoder import ByteTokenizer
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer or ByteTokenizer()
+        self.max_new_tokens = max_new_tokens
+        self.max_prompt_tokens = max_prompt_tokens
+
+    def stream_chat(self, model, messages, **params):
+        from a_nice_rag_tpu.models.decoder import generate_text_stream
+
+        prompt = "\n\n".join(
+            f"{m.get('role', 'user')}: {m.get('content', '')}"
+            for m in messages
+        ) + "\n\nassistant: "
+        ids = self.tokenizer.encode(prompt)
+        if len(ids) > self.max_prompt_tokens:
+            # Keep the tail: the question and the nearest context.
+            ids = [self.tokenizer.bos_id] + ids[-self.max_prompt_tokens:]
+        prompt = self.tokenizer.decode(ids)
+        yield from generate_text_stream(
+            self.model, self.params, prompt,
+            tokenizer=self.tokenizer,
+            max_new_tokens=int(
+                params.get("max_tokens", self.max_new_tokens)
+            ),
+            temperature=float(params.get("temperature", 0.0)),
+        )
+
+
 def build_default_clients(env: Optional[Dict[str, str]] = None) -> Dict[str, ChatClient]:
     """Env-keyed client set mirroring the reference's provider matrix."""
     env = env if env is not None else os.environ
@@ -125,6 +165,8 @@ def route_model(
     if "fake" in name or "echo" in name:
         client = clients.get("fake")
         return (client, {"temperature": 0}) if client else None
+    if ("local" in name or "tpu" in name) and "local" in clients:
+        return clients["local"], {"temperature": 0}
     if "gemini" in name and "gemini" in clients:
         return clients["gemini"], {"temperature": 0}
     if "gpt-4" in name and "openai" in clients:

@@ -252,47 +252,70 @@ def train_lm_steps(model, params, token_ids, n_steps: int = 200,
     return params, losses
 
 
+def sample_logits(last: jax.Array, key, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 0.0) -> jax.Array:
+    """One sampling decision over [B, V] logits: greedy at
+    ``temperature == 0``; otherwise temperature scaling with optional
+    top-k truncation and/or top-p (nucleus) truncation. The knobs are
+    static — each setting is its own compiled program."""
+    if temperature <= 0:
+        return jnp.argmax(last, axis=-1).astype(jnp.int32)
+    logits = last / temperature
+    if top_k and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p and 0.0 < top_p < 1.0:
+        srt = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # Keep the smallest prefix whose mass reaches top_p (the first
+        # token always survives: cum is shifted right by one position).
+        keep = jnp.concatenate(
+            [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1
+        ) < top_p
+        cutoff = jnp.min(
+            jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def generate_stream(
     model: DecoderLM,
     params,
     prompt_ids: List[int],
     max_new_tokens: int = 64,
     temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
     seed: int = 0,
     eos_id: int = EOS,
     max_len: Optional[int] = None,
 ) -> Iterator[int]:
     """Yield generated token ids one at a time (greedy when
-    ``temperature == 0``). Prefill runs once over the prompt; each
-    subsequent token is one jitted cached step."""
+    ``temperature == 0``; temperature/top-k/top-p otherwise). Prefill
+    runs once over the prompt; each subsequent token is one jitted
+    cached step."""
     smax = max_len or (len(prompt_ids) + max_new_tokens)
     assert len(prompt_ids) + max_new_tokens <= smax + 1
     kc, vc = init_caches(model.cfg, 1, smax)
     ids = jnp.asarray(prompt_ids, jnp.int32)[None, :]
 
     @jax.jit
-    def prefill(p, ids, kc, vc):
+    def prefill(p, ids, kc, vc, key):
         logits, kc, vc = model.apply(p, ids, kc, vc, jnp.int32(0))
-        return logits[:, -1], kc, vc
+        tok = sample_logits(logits[:, -1], key, temperature, top_k, top_p)
+        return tok, kc, vc
 
     @jax.jit
     def step(p, tok, kc, vc, pos, key):
         logits, kc, vc = model.apply(p, tok, kc, vc, pos)
-        last = logits[:, -1]
-        if temperature > 0:
-            nxt = jax.random.categorical(key, last / temperature, axis=-1)
-        else:
-            nxt = jnp.argmax(last, axis=-1)
-        return nxt.astype(jnp.int32), kc, vc
+        nxt = sample_logits(logits[:, -1], key, temperature, top_k, top_p)
+        return nxt, kc, vc
 
     key = jax.random.PRNGKey(seed)
-    last, kc, vc = prefill(params, ids, kc, vc)
-    if temperature > 0:
-        key, sub = jax.random.split(key)
-        tok = jax.random.categorical(sub, last / temperature, axis=-1)
-    else:
-        tok = jnp.argmax(last, axis=-1)
-    tok = tok.astype(jnp.int32)
+    key, sub = jax.random.split(key)
+    tok, kc, vc = prefill(params, ids, kc, vc, sub)
     pos = len(prompt_ids)
     for _ in range(max_new_tokens):
         t = int(tok[0])

@@ -131,6 +131,8 @@ class LocalTpuLLMClient:
                 params.get("max_tokens", self.max_new_tokens)
             ),
             temperature=float(params.get("temperature", 0.0)),
+            top_k=int(params.get("top_k", 0)),
+            top_p=float(params.get("top_p", 0.0)),
         )
 
 

@@ -91,7 +91,12 @@ class _CachedBlock(nn.Module):
     the [B, Smax, nkv, hd] caches in place and attention runs over the
     cache prefix with a causal mask. With ``cache_len=0`` and ``s=Smax``
     this is exactly the full causal forward of models/qwen3._Qwen3Block
-    (same parameter names — converted checkpoints load unchanged)."""
+    (same parameter names — converted checkpoints load unchanged).
+
+    ``cache_len`` may be a scalar (all rows at the same offset — the
+    single-stream decode path) or shape [B] (each row at its own
+    offset — the batched/continuous-batching path, where every slot of
+    the batch sits at a different point in its own sequence)."""
 
     cfg: Qwen3Config
 
@@ -101,7 +106,10 @@ class _CachedBlock(nn.Module):
         hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
         b, s, _ = x.shape
         smax = kcache.shape[1]
-        positions = cache_len + jnp.arange(s, dtype=jnp.int32)[None, :]
+        cl = jnp.asarray(cache_len, jnp.int32)
+        per_row = cl.ndim == 1
+        offs = cl[:, None] if per_row else cl
+        positions = offs + jnp.arange(s, dtype=jnp.int32)[None, :]
         positions = jnp.broadcast_to(positions, (b, s))
 
         h = _RMSNorm(cfg.hidden_size, cfg.rms_eps, name="input_norm")(x)
@@ -116,12 +124,19 @@ class _CachedBlock(nn.Module):
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
 
-        kcache = jax.lax.dynamic_update_slice(
-            kcache, k.astype(kcache.dtype), (0, cache_len, 0, 0)
-        )
-        vcache = jax.lax.dynamic_update_slice(
-            vcache, v.astype(vcache.dtype), (0, cache_len, 0, 0)
-        )
+        if per_row:
+            row_upd = lambda c, u, o: jax.lax.dynamic_update_slice(
+                c, u, (o, 0, 0)
+            )
+            kcache = jax.vmap(row_upd)(kcache, k.astype(kcache.dtype), cl)
+            vcache = jax.vmap(row_upd)(vcache, v.astype(vcache.dtype), cl)
+        else:
+            kcache = jax.lax.dynamic_update_slice(
+                kcache, k.astype(kcache.dtype), (0, cache_len, 0, 0)
+            )
+            vcache = jax.lax.dynamic_update_slice(
+                vcache, v.astype(vcache.dtype), (0, cache_len, 0, 0)
+            )
         rep = nh // nkv
         k_all = jnp.repeat(kcache, rep, axis=2)  # [B, Smax, nh, hd]
         v_all = jnp.repeat(vcache, rep, axis=2)
@@ -132,9 +147,9 @@ class _CachedBlock(nn.Module):
         ) / np.sqrt(hd)
         key_pos = jnp.arange(smax, dtype=jnp.int32)
         # Query at absolute position cache_len + qi sees keys <= it.
-        q_pos = cache_len + jnp.arange(s, dtype=jnp.int32)
-        keep = key_pos[None, :] <= q_pos[:, None]  # [s, Smax]
-        attn = jnp.where(keep[None, None, :, :], attn, -1e30)
+        q_pos = offs + jnp.arange(s, dtype=jnp.int32)[None, :]  # [B|1, s]
+        keep = key_pos[None, None, :] <= q_pos[:, :, None]  # [B|1, s, Smax]
+        attn = jnp.where(keep[:, None, :, :], attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v_all).reshape(
             b, s, nh * hd
@@ -291,12 +306,23 @@ def generate_stream(
     seed: int = 0,
     eos_id: int = EOS,
     max_len: Optional[int] = None,
+    chunk: int = 1,
 ) -> Iterator[int]:
     """Yield generated token ids one at a time (greedy when
     ``temperature == 0``; temperature/top-k/top-p otherwise). Prefill
     runs once over the prompt; each subsequent token is one jitted
-    cached step."""
-    smax = max_len or (len(prompt_ids) + max_new_tokens)
+    cached step.
+
+    ``chunk > 1`` moves the decode loop on-device: one dispatched
+    program ``lax.scan``s over ``chunk`` cached steps (sampling
+    included) and returns the whole token block, so host<->device
+    round-trips drop by that factor — through a dispatch-latency-bound
+    link (see CLAUDE.md on the tunnel RTT) this IS the decode
+    throughput knob. Token-for-token identical to ``chunk=1``; text
+    still streams, in blocks of up to ``chunk`` tokens."""
+    n_chunks = -(-max_new_tokens // chunk) if chunk > 1 else 0
+    smax = max_len or (len(prompt_ids) + max(max_new_tokens,
+                                             n_chunks * chunk))
     assert len(prompt_ids) + max_new_tokens <= smax + 1
     kc, vc = init_caches(model.cfg, 1, smax)
     ids = jnp.asarray(prompt_ids, jnp.int32)[None, :]
@@ -313,10 +339,55 @@ def generate_stream(
         nxt = sample_logits(logits[:, -1], key, temperature, top_k, top_p)
         return nxt, kc, vc
 
+    @jax.jit
+    def chunk_steps(p, tok, kc, vc, pos, key, done):
+        """``chunk`` cached steps in one program. A finished stream
+        (EOS seen) freezes: emits ``eos_id``, stops advancing ``pos``
+        (so its cache-writes pin to one already-dead slot)."""
+
+        def body(carry, _):
+            tok, kc, vc, pos, key, done = carry
+            logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(
+                logits[:, -1], sub, temperature, top_k, top_p
+            )
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            pos = jnp.where(done[0], pos, pos + 1)
+            done = done | (nxt == eos_id)
+            return (nxt, kc, vc, pos, key, done), nxt
+
+        carry, toks = jax.lax.scan(
+            body, (tok, kc, vc, pos, key, done), None, length=chunk
+        )
+        tok, kc, vc, pos, key, done = carry
+        return toks[:, 0], tok, kc, vc, pos, key, done
+
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
     tok, kc, vc = prefill(params, ids, kc, vc, sub)
     pos = len(prompt_ids)
+
+    if chunk > 1:
+        t = int(tok[0])
+        if t == eos_id:
+            return
+        yield t
+        emitted = 1
+        done = jnp.zeros((1,), bool)
+        pos_dev = jnp.int32(pos)  # write slot of the carried token
+        while emitted < max_new_tokens:
+            toks, tok, kc, vc, pos_dev, key, done = chunk_steps(
+                params, tok, kc, vc, pos_dev, key, done
+            )
+            for t in np.asarray(toks):
+                t = int(t)
+                if t == eos_id or emitted >= max_new_tokens:
+                    return
+                yield t
+                emitted += 1
+        return
+
     for _ in range(max_new_tokens):
         t = int(tok[0])
         if t == eos_id or pos >= smax:
@@ -327,6 +398,95 @@ def generate_stream(
             params, tok[:, None], kc, vc, jnp.int32(pos), sub
         )
         pos += 1
+
+
+def generate_batch(
+    model: DecoderLM,
+    params,
+    prompts: List[List[int]],
+    max_new_tokens: int = 64,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    seed: int = 0,
+    eos_id: int = EOS,
+    max_len: Optional[int] = None,
+    chunk: int = 8,
+) -> List[List[int]]:
+    """Generate continuations for B ragged prompts in one batched
+    program. Prompts are right-padded to a common prefill width (padded
+    tail keys are never attended: each row's decode overwrites slot
+    ``len_i + t`` at step t before any query position can see it), and
+    decode runs with per-row cache offsets (``cache_len`` as [B]) so
+    every row advances through its own sequence. The decode loop is
+    on-device (``lax.scan`` over ``chunk`` steps per dispatch). Each
+    row stops at its own EOS; returns one token list per prompt."""
+    bsz = len(prompts)
+    lens = np.asarray([len(p) for p in prompts], np.int32)
+    pmax = int(lens.max())
+    n_chunks = -(-max_new_tokens // chunk)
+    smax = max_len or (pmax + n_chunks * chunk)
+    padded = np.full((bsz, pmax), PAD, np.int32)
+    for i, p in enumerate(prompts):
+        padded[i, : len(p)] = p
+
+    kc, vc = init_caches(model.cfg, bsz, smax)
+
+    @jax.jit
+    def prefill(p, ids, lens, kc, vc, key):
+        logits, kc, vc = model.apply(p, ids, kc, vc, jnp.int32(0))
+        last = jnp.take_along_axis(
+            logits, (lens - 1)[:, None, None], axis=1
+        )[:, 0]  # [B, V]
+        tok = sample_logits(last, key, temperature, top_k, top_p)
+        return tok, kc, vc
+
+    @jax.jit
+    def chunk_steps(p, tok, kc, vc, pos, key, done):
+        def body(carry, _):
+            tok, kc, vc, pos, key, done = carry
+            logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(
+                logits[:, -1], sub, temperature, top_k, top_p
+            )
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            pos = jnp.where(done, pos, pos + 1)
+            done = done | (nxt == eos_id)
+            return (nxt, kc, vc, pos, key, done), nxt
+
+        carry, toks = jax.lax.scan(
+            body, (tok, kc, vc, pos, key, done), None, length=chunk
+        )
+        tok, kc, vc, pos, key, done = carry
+        return toks, tok, kc, vc, pos, key, done
+
+    key = jax.random.PRNGKey(seed)
+    key, sub = jax.random.split(key)
+    tok, kc, vc = prefill(
+        params, jnp.asarray(padded), jnp.asarray(lens), kc, vc, sub
+    )
+    done = tok == eos_id
+    pos = jnp.asarray(lens)
+    blocks = [np.asarray(tok)[None]]  # prefill's sample is token 0
+    while len(blocks) == 1 or not bool(np.asarray(done).all()):
+        if (len(blocks) - 1) * chunk + 1 >= max_new_tokens:
+            break
+        toks, tok, kc, vc, pos, key, done = chunk_steps(
+            params, tok, kc, vc, pos, key, done
+        )
+        blocks.append(np.asarray(toks))  # [chunk, B]
+    stream = np.concatenate(blocks, axis=0)  # [T, B]
+    out: List[List[int]] = []
+    for i in range(bsz):
+        row: List[int] = []
+        for t in stream[:, i]:
+            t = int(t)
+            if t == eos_id or len(row) >= max_new_tokens:
+                break
+            row.append(t)
+        out.append(row)
+    return out
 
 
 def generate_text_stream(

@@ -1,0 +1,303 @@
+"""Continuous-batching generation server for the on-device decoder LM.
+
+The reference's generation hop is a per-request SaaS stream
+(reference src/query_rag.py:434-513) — one connection per query, no
+batching. Serving an LM *on the TPU* wants the opposite shape: decode
+is memory-bound and a single stream leaves the chip idle, so requests
+should share one batched decode program. This module implements
+slot-based continuous batching (the vLLM serving pattern, built
+TPU-first):
+
+* a fixed number of **slots** — rows of one batched KV cache
+  [S, Smax, nkv, hd]. Static shapes: admission/retirement never
+  reshapes or recompiles anything;
+* **admission** prefills a new request's prompt into a free slot's
+  cache row (prompt padded to a power-of-two bucket, so a handful of
+  compiled prefill programs serve all lengths) while other slots keep
+  decoding;
+* a **decode tick** advances every active slot by ``chunk`` tokens in
+  ONE dispatched program — a ``lax.scan`` of cached steps with
+  per-slot cache offsets (models/decoder._CachedBlock with
+  ``cache_len: [S]``), per-slot EOS freezing, and sampling on device.
+  Per-dispatch cost is amortized over ``slots x chunk`` tokens, which
+  is what makes throughput survive a dispatch-latency-bound link (see
+  CLAUDE.md on the tunnel RTT);
+* rows are independent under attention (masks/positions are per-row),
+  so each request's greedy stream is bit-identical to running it
+  alone through models/decoder.generate_stream — pinned by
+  tests/test_genserver.py.
+
+Use ``tick()`` directly for deterministic stepping (tests, embedding
+into an existing loop), or ``start()`` for a background thread feeding
+per-request token queues (the HTTP /v1/generate SSE path).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a_nice_rag_tpu.models.decoder import (
+    EOS,
+    PAD,
+    ByteDecoder,
+    ByteTokenizer,
+    init_caches,
+    sample_logits,
+)
+
+_END = object()  # sentinel on a request's token queue
+
+
+@dataclass
+class _Request:
+    prompt_ids: List[int]
+    max_new_tokens: int
+    out: "queue.Queue" = field(default_factory=queue.Queue)
+    emitted: int = 0
+    slot: int = -1
+
+
+class GenerationServer:
+    """Slot-based continuous batching over the KV-cached decoder LM."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        slots: int = 4,
+        max_len: int = 512,
+        chunk: int = 8,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 0.0,
+        eos_id: int = EOS,
+        seed: int = 0,
+        min_prefill_bucket: int = 16,
+    ):
+        self.model, self.params = model, params
+        self.slots, self.smax, self.chunk = slots, max_len, chunk
+        self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
+        self.eos_id = eos_id
+        self.min_bucket = min_prefill_bucket
+        self._pending: "queue.Queue[_Request]" = queue.Queue()
+        self._active: List[Optional[_Request]] = [None] * slots
+        self._lock = threading.Lock()
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+        self._kc, self._vc = init_caches(model.cfg, slots, max_len)
+        self._tok = jnp.zeros((slots,), jnp.int32)
+        self._pos = jnp.zeros((slots,), jnp.int32)
+        self._done = jnp.ones((slots,), bool)
+        self._key = jax.random.PRNGKey(seed)
+
+        cfg = model.cfg
+        t, k, p = temperature, top_k, top_p
+
+        def _prefill(prm, kc, vc, ids, length, slot, key):
+            """Prefill ``ids`` [1, P] into cache row ``slot``; returns
+            the first sampled token for that row."""
+            row_shape = (1, max_len, cfg.num_kv_heads, cfg.head_dim)
+            kr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            vr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            logits, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
+            last = jnp.take_along_axis(
+                logits, (length - 1)[None, None, None], axis=1
+            )[:, 0]
+            tok = sample_logits(last, key, t, k, p)[0]
+            kc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(kc, kr)
+            ]
+            vc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(vc, vr)
+            ]
+            return tok, kc, vc
+
+        self._prefill = jax.jit(_prefill)
+
+        def _tick(prm, tok, kc, vc, pos, key, done):
+            """One chunk of batched decode across all slots."""
+
+            def body(carry, _):
+                tok, kc, vc, pos, key, done = carry
+                logits, kc, vc = model.apply(prm, tok[:, None], kc, vc, pos)
+                key, sub = jax.random.split(key)
+                nxt = sample_logits(logits[:, -1], sub, t, k, p)
+                nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+                pos = jnp.where(done, pos, pos + 1)
+                done = done | (nxt == eos_id)
+                return (nxt, kc, vc, pos, key, done), nxt
+
+            carry, toks = jax.lax.scan(
+                body, (tok, kc, vc, pos, key, done), None, length=chunk
+            )
+            return toks, carry
+
+        self._tick_fn = jax.jit(_tick)
+
+    # ------------------------------------------------------------ API
+
+    def submit(self, prompt_ids: List[int],
+               max_new_tokens: int = 64) -> _Request:
+        """Enqueue a request; its tokens arrive on ``request.out``."""
+        n_chunks = -(-max_new_tokens // self.chunk)
+        need = len(prompt_ids) + n_chunks * self.chunk
+        if need > self.smax:
+            raise ValueError(
+                f"prompt({len(prompt_ids)}) + budget({max_new_tokens}) "
+                f"needs {need} cache slots > max_len={self.smax}"
+            )
+        req = _Request(list(prompt_ids), max_new_tokens)
+        self._pending.put(req)
+        return req
+
+    def stream(self, prompt_ids: List[int],
+               max_new_tokens: int = 64) -> Iterator[int]:
+        """Submit and iterate tokens (requires the background loop, or
+        interleave with explicit tick() calls from another thread)."""
+        req = self.submit(prompt_ids, max_new_tokens)
+        while True:
+            item = req.out.get()
+            if item is _END:
+                return
+            yield item
+
+    def stream_text(self, prompt: str, max_new_tokens: int = 64,
+                    tokenizer: Optional[ByteTokenizer] = None
+                    ) -> Iterator[str]:
+        tok = tokenizer or ByteTokenizer()
+        dec = ByteDecoder()
+        for t in self.stream(tok.encode(prompt), max_new_tokens):
+            piece = dec.feed(t)
+            if piece:
+                yield piece
+        tail = dec.flush()
+        if tail:
+            yield tail
+
+    @property
+    def n_active(self) -> int:
+        return sum(r is not None for r in self._active)
+
+    # ----------------------------------------------------------- loop
+
+    def _admit(self) -> int:
+        """Prefill pending requests into free slots; returns #admitted."""
+        admitted = 0
+        for slot in range(self.slots):
+            if self._active[slot] is not None:
+                continue
+            try:
+                req = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            n = len(req.prompt_ids)
+            bucket = self.min_bucket
+            while bucket < n:
+                bucket *= 2
+            bucket = min(bucket, self.smax)  # n <= smax by submit()
+            ids = np.full((1, bucket), PAD, np.int32)
+            ids[0, :n] = req.prompt_ids
+            self._key, sub = jax.random.split(self._key)
+            tok0, self._kc, self._vc = self._prefill(
+                self.params, self._kc, self._vc, jnp.asarray(ids),
+                jnp.int32(n), jnp.int32(slot), sub,
+            )
+            self._tok = self._tok.at[slot].set(tok0)
+            self._pos = self._pos.at[slot].set(n)
+            self._done = self._done.at[slot].set(tok0 == self.eos_id)
+            req.slot = slot
+            self._active[slot] = req
+            first = int(tok0)
+            if first != self.eos_id:
+                req.out.put(first)
+                req.emitted = 1
+                if req.emitted >= req.max_new_tokens:
+                    self._retire(slot)
+            else:
+                self._retire(slot)
+            admitted += 1
+        return admitted
+
+    def _retire(self, slot: int) -> None:
+        req = self._active[slot]
+        if req is not None:
+            req.out.put(_END)
+        self._active[slot] = None
+        self._done = self._done.at[slot].set(True)
+
+    def tick(self) -> int:
+        """Admit + one chunked decode dispatch; returns #tokens emitted
+        to request queues. Safe to call with no active work (no-op)."""
+        with self._lock:
+            self._admit()
+            if self.n_active == 0:
+                return 0
+            toks, carry = self._tick_fn(
+                self.params, self._tok, self._kc, self._vc,
+                self._pos, self._key, self._done,
+            )
+            (self._tok, self._kc, self._vc,
+             self._pos, self._key, self._done) = carry
+            block = np.asarray(toks)  # [chunk, S]
+            emitted = 0
+            for slot in range(self.slots):
+                req = self._active[slot]
+                if req is None:
+                    continue
+                for t in block[:, slot]:
+                    t = int(t)
+                    if t == self.eos_id:
+                        self._retire(slot)
+                        break
+                    req.out.put(t)
+                    req.emitted += 1
+                    emitted += 1
+                    if req.emitted >= req.max_new_tokens:
+                        self._retire(slot)
+                        break
+            return emitted
+
+    def drain(self, max_ticks: int = 10_000) -> None:
+        """Tick until no pending and no active requests (tests/CLI)."""
+        for _ in range(max_ticks):
+            if self.n_active == 0 and self._pending.empty():
+                return
+            self.tick()
+        raise RuntimeError("drain did not converge")
+
+    # ------------------------------------------------- background mode
+
+    def start(self, idle_sleep_s: float = 0.002) -> None:
+        if self._thread is not None:
+            return
+        self._stop.clear()
+
+        def run():
+            import time
+
+            while not self._stop.is_set():
+                if self.n_active == 0 and self._pending.empty():
+                    time.sleep(idle_sleep_s)
+                    continue
+                self.tick()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+            self._thread = None

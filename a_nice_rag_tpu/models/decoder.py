@@ -295,6 +295,79 @@ def sample_logits(last: jax.Array, key, temperature: float = 0.0,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+_PROGRAMS: dict = {}
+
+
+def _decode_programs(model: DecoderLM, temperature: float, top_k: int,
+                     top_p: float, eos_id: int, chunk: int):
+    """Jitted (prefill, step, chunk_steps, prefill_batch) for one
+    (model-architecture, sampling, chunk) setting, cached at module
+    level — programs defined inside generate_* would be fresh jit
+    objects every call, recompiling per request (observed: ~1.5 s per
+    dispatch through the remote-compile tunnel). Flax modules hash by
+    their config, so equal-config models share programs; params are
+    arguments, never closed over."""
+    try:
+        mkey = hash(model)
+    except TypeError:  # unhashable custom module
+        mkey = id(model)
+    key = (mkey, float(temperature), int(top_k), float(top_p),
+           int(eos_id), int(chunk))
+    if key in _PROGRAMS:
+        return _PROGRAMS[key]
+
+    @jax.jit
+    def prefill(p, ids, kc, vc, rkey):
+        logits, kc, vc = model.apply(p, ids, kc, vc, jnp.int32(0))
+        tok = sample_logits(logits[:, -1], rkey, temperature, top_k, top_p)
+        return tok, kc, vc
+
+    @jax.jit
+    def prefill_batch(p, ids, lens, kc, vc, rkey):
+        logits, kc, vc = model.apply(p, ids, kc, vc, jnp.int32(0))
+        last = jnp.take_along_axis(
+            logits, (lens - 1)[:, None, None], axis=1
+        )[:, 0]  # [B, V]
+        tok = sample_logits(last, rkey, temperature, top_k, top_p)
+        return tok, kc, vc
+
+    @jax.jit
+    def step(p, tok, kc, vc, pos, rkey):
+        logits, kc, vc = model.apply(p, tok, kc, vc, pos)
+        nxt = sample_logits(logits[:, -1], rkey, temperature, top_k, top_p)
+        return nxt, kc, vc
+
+    @jax.jit
+    def chunk_steps(p, tok, kc, vc, pos, rkey, done):
+        """``chunk`` cached steps in one program. A finished row (EOS
+        seen) freezes: emits ``eos_id``, stops advancing its ``pos``
+        (so its cache-writes pin to one already-dead slot). ``pos``
+        may be scalar (single stream) or [B] (per-row offsets)."""
+
+        def body(carry, _):
+            tok, kc, vc, pos, rkey, done = carry
+            logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
+            rkey, sub = jax.random.split(rkey)
+            nxt = sample_logits(
+                logits[:, -1], sub, temperature, top_k, top_p
+            )
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            frozen = done if pos.ndim else done[0]
+            pos = jnp.where(frozen, pos, pos + 1)
+            done = done | (nxt == eos_id)
+            return (nxt, kc, vc, pos, rkey, done), nxt
+
+        carry, toks = jax.lax.scan(
+            body, (tok, kc, vc, pos, rkey, done), None, length=chunk
+        )
+        tok, kc, vc, pos, rkey, done = carry
+        return toks, tok, kc, vc, pos, rkey, done
+
+    progs = (prefill, step, chunk_steps, prefill_batch)
+    _PROGRAMS[key] = progs
+    return progs
+
+
 def generate_stream(
     model: DecoderLM,
     params,
@@ -326,42 +399,9 @@ def generate_stream(
     assert len(prompt_ids) + max_new_tokens <= smax + 1
     kc, vc = init_caches(model.cfg, 1, smax)
     ids = jnp.asarray(prompt_ids, jnp.int32)[None, :]
-
-    @jax.jit
-    def prefill(p, ids, kc, vc, key):
-        logits, kc, vc = model.apply(p, ids, kc, vc, jnp.int32(0))
-        tok = sample_logits(logits[:, -1], key, temperature, top_k, top_p)
-        return tok, kc, vc
-
-    @jax.jit
-    def step(p, tok, kc, vc, pos, key):
-        logits, kc, vc = model.apply(p, tok, kc, vc, pos)
-        nxt = sample_logits(logits[:, -1], key, temperature, top_k, top_p)
-        return nxt, kc, vc
-
-    @jax.jit
-    def chunk_steps(p, tok, kc, vc, pos, key, done):
-        """``chunk`` cached steps in one program. A finished stream
-        (EOS seen) freezes: emits ``eos_id``, stops advancing ``pos``
-        (so its cache-writes pin to one already-dead slot)."""
-
-        def body(carry, _):
-            tok, kc, vc, pos, key, done = carry
-            logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
-            key, sub = jax.random.split(key)
-            nxt = sample_logits(
-                logits[:, -1], sub, temperature, top_k, top_p
-            )
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
-            pos = jnp.where(done[0], pos, pos + 1)
-            done = done | (nxt == eos_id)
-            return (nxt, kc, vc, pos, key, done), nxt
-
-        carry, toks = jax.lax.scan(
-            body, (tok, kc, vc, pos, key, done), None, length=chunk
-        )
-        tok, kc, vc, pos, key, done = carry
-        return toks[:, 0], tok, kc, vc, pos, key, done
+    prefill, step, chunk_steps, _ = _decode_programs(
+        model, temperature, top_k, top_p, eos_id, chunk
+    )
 
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
@@ -380,7 +420,7 @@ def generate_stream(
             toks, tok, kc, vc, pos_dev, key, done = chunk_steps(
                 params, tok, kc, vc, pos_dev, key, done
             )
-            for t in np.asarray(toks):
+            for t in np.asarray(toks)[:, 0]:
                 t = int(t)
                 if t == eos_id or emitted >= max_new_tokens:
                     return
@@ -431,39 +471,13 @@ def generate_batch(
         padded[i, : len(p)] = p
 
     kc, vc = init_caches(model.cfg, bsz, smax)
-
-    @jax.jit
-    def prefill(p, ids, lens, kc, vc, key):
-        logits, kc, vc = model.apply(p, ids, kc, vc, jnp.int32(0))
-        last = jnp.take_along_axis(
-            logits, (lens - 1)[:, None, None], axis=1
-        )[:, 0]  # [B, V]
-        tok = sample_logits(last, key, temperature, top_k, top_p)
-        return tok, kc, vc
-
-    @jax.jit
-    def chunk_steps(p, tok, kc, vc, pos, key, done):
-        def body(carry, _):
-            tok, kc, vc, pos, key, done = carry
-            logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
-            key, sub = jax.random.split(key)
-            nxt = sample_logits(
-                logits[:, -1], sub, temperature, top_k, top_p
-            )
-            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
-            pos = jnp.where(done, pos, pos + 1)
-            done = done | (nxt == eos_id)
-            return (nxt, kc, vc, pos, key, done), nxt
-
-        carry, toks = jax.lax.scan(
-            body, (tok, kc, vc, pos, key, done), None, length=chunk
-        )
-        tok, kc, vc, pos, key, done = carry
-        return toks, tok, kc, vc, pos, key, done
+    _, _, chunk_steps, prefill_batch = _decode_programs(
+        model, temperature, top_k, top_p, eos_id, chunk
+    )
 
     key = jax.random.PRNGKey(seed)
     key, sub = jax.random.split(key)
-    tok, kc, vc = prefill(
+    tok, kc, vc = prefill_batch(
         params, jnp.asarray(padded), jnp.asarray(lens), kc, vc, sub
     )
     done = tok == eos_id

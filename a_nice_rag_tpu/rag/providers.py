@@ -100,10 +100,19 @@ class LocalTpuLLMClient:
     last network hop of the reference's serve path
     (src/query_rag.py:434-513) made local. Pass a trained/converted
     (model, params) pair; quality is whatever those weights carry.
+
+    ``chunk`` batches that many decode steps into one dispatched device
+    program (token-for-token identical; see models/decoder).
+    ``server`` routes generation through a shared
+    serving.genserver.GenerationServer instead, so concurrent RAG
+    requests continuously batch onto one decode program — note the
+    server's sampling knobs are fixed at its construction (per-request
+    temperature/top_k/top_p are ignored on that path).
     """
 
     def __init__(self, model, params, tokenizer=None,
-                 max_new_tokens: int = 256, max_prompt_tokens: int = 1024):
+                 max_new_tokens: int = 256, max_prompt_tokens: int = 1024,
+                 chunk: int = 8, server=None):
         from a_nice_rag_tpu.models.decoder import ByteTokenizer
 
         self.model = model
@@ -111,6 +120,8 @@ class LocalTpuLLMClient:
         self.tokenizer = tokenizer or ByteTokenizer()
         self.max_new_tokens = max_new_tokens
         self.max_prompt_tokens = max_prompt_tokens
+        self.chunk = chunk
+        self.server = server
 
     def stream_chat(self, model, messages, **params):
         from a_nice_rag_tpu.models.decoder import generate_text_stream
@@ -124,15 +135,20 @@ class LocalTpuLLMClient:
             # Keep the tail: the question and the nearest context.
             ids = [self.tokenizer.bos_id] + ids[-self.max_prompt_tokens:]
         prompt = self.tokenizer.decode(ids)
+        max_new = int(params.get("max_tokens", self.max_new_tokens))
+        if self.server is not None:
+            yield from self.server.stream_text(
+                prompt, max_new_tokens=max_new, tokenizer=self.tokenizer
+            )
+            return
         yield from generate_text_stream(
             self.model, self.params, prompt,
             tokenizer=self.tokenizer,
-            max_new_tokens=int(
-                params.get("max_tokens", self.max_new_tokens)
-            ),
+            max_new_tokens=max_new,
             temperature=float(params.get("temperature", 0.0)),
             top_k=int(params.get("top_k", 0)),
             top_p=float(params.get("top_p", 0.0)),
+            chunk=self.chunk,
         )
 
 

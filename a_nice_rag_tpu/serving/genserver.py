@@ -125,26 +125,13 @@ class GenerationServer:
             return tok, kc, vc
 
         self._prefill = jax.jit(_prefill)
+        # Shared with generate_stream/generate_batch: one compiled
+        # decode program per (model, sampling, chunk) per process.
+        from a_nice_rag_tpu.models.decoder import _decode_programs
 
-        def _tick(prm, tok, kc, vc, pos, key, done):
-            """One chunk of batched decode across all slots."""
-
-            def body(carry, _):
-                tok, kc, vc, pos, key, done = carry
-                logits, kc, vc = model.apply(prm, tok[:, None], kc, vc, pos)
-                key, sub = jax.random.split(key)
-                nxt = sample_logits(logits[:, -1], sub, t, k, p)
-                nxt = jnp.where(done, jnp.int32(eos_id), nxt)
-                pos = jnp.where(done, pos, pos + 1)
-                done = done | (nxt == eos_id)
-                return (nxt, kc, vc, pos, key, done), nxt
-
-            carry, toks = jax.lax.scan(
-                body, (tok, kc, vc, pos, key, done), None, length=chunk
-            )
-            return toks, carry
-
-        self._tick_fn = jax.jit(_tick)
+        _, _, self._chunk_steps, _ = _decode_programs(
+            model, t, k, p, eos_id, chunk
+        )
 
     # ------------------------------------------------------------ API
 
@@ -164,8 +151,11 @@ class GenerationServer:
 
     def stream(self, prompt_ids: List[int],
                max_new_tokens: int = 64) -> Iterator[int]:
-        """Submit and iterate tokens (requires the background loop, or
-        interleave with explicit tick() calls from another thread)."""
+        """Submit and iterate tokens. Starts the background loop if it
+        is not already running (otherwise the get() would deadlock
+        unless another thread is calling tick())."""
+        if self._thread is None:
+            self.start()
         req = self.submit(prompt_ids, max_new_tokens)
         while True:
             item = req.out.get()
@@ -244,12 +234,11 @@ class GenerationServer:
             self._admit()
             if self.n_active == 0:
                 return 0
-            toks, carry = self._tick_fn(
+            (toks, self._tok, self._kc, self._vc,
+             self._pos, self._key, self._done) = self._chunk_steps(
                 self.params, self._tok, self._kc, self._vc,
                 self._pos, self._key, self._done,
             )
-            (self._tok, self._kc, self._vc,
-             self._pos, self._key, self._done) = carry
             block = np.asarray(toks)  # [chunk, S]
             emitted = 0
             for slot in range(self.slots):

@@ -13,6 +13,10 @@ Production surface over the retrieval/RAG layers:
   terminated by ``data: [DONE]``. Mirrors the reference's incremental
   delta streaming to its UI (reference src/query_rag.py:434-513);
   client disconnects abort the upstream generation (generator close).
+* ``POST /v1/generate`` (``/v1/generate/stream`` or ``"stream": true``
+  for SSE) — raw LM completion over the continuous-batching
+  GenerationServer (serving/genserver.py): concurrent requests share
+  one batched on-device decode program.
 * ``GET  /v1/health``  — liveness + index stats
 * ``GET  /`` (or ``/ui``) — self-contained browser chat UI
   (serving/webui.py), the reference Streamlit app's surface rendered
@@ -118,6 +122,39 @@ def _make_handler(api: "ServingAPI"):
             finally:
                 gen.close()
 
+        def _stream_gen(self, payload: dict) -> None:
+            """SSE for raw LM completion (/v1/generate stream mode):
+            one {"delta": ...} event per decoded text piece."""
+            gen = api.generate_stream(payload)
+            first = next(gen, None)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for piece in itertools.chain(
+                    [first] if first is not None else [], gen
+                ):
+                    readable, _, _ = select.select(
+                        [self.connection], [], [], 0
+                    )
+                    if readable and not self.connection.recv(
+                        1, socket.MSG_PEEK
+                    ):
+                        raise BrokenPipeError("SSE client closed")
+                    self.wfile.write(
+                        f"data: {json.dumps({'delta': piece})}\n\n"
+                        .encode("utf-8")
+                    )
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                logger.debug("SSE client disconnected; dropping stream")
+            finally:
+                gen.close()
+
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
@@ -134,6 +171,12 @@ def _make_handler(api: "ServingAPI"):
                     self._stream_rag(payload)
                 elif self.path == "/v1/rag":
                     self._reply(200, api.rag(payload))
+                elif self.path == "/v1/generate/stream" or (
+                    self.path == "/v1/generate" and payload.get("stream")
+                ):
+                    self._stream_gen(payload)
+                elif self.path == "/v1/generate":
+                    self._reply(200, api.generate(payload))
                 elif self.path == "/v1/feedback":
                     self._reply(200, api.feedback(payload))
                 else:
@@ -156,6 +199,7 @@ class ServingAPI:
         llm_options=None,
         suggested_queries=None,
         ui_defaults: Optional[dict] = None,
+        gen_server=None,
     ):
         self.rag_system = rag_system
         self.info_source = info_source
@@ -163,6 +207,9 @@ class ServingAPI:
         self.llm_options = llm_options
         self.suggested_queries = suggested_queries
         self.ui_defaults = ui_defaults
+        # Optional serving.genserver.GenerationServer: raw LM
+        # completion endpoint (/v1/generate) with continuous batching.
+        self.gen_server = gen_server
 
     def ui_page(self) -> str:
         from a_nice_rag_tpu.serving.webui import render_page
@@ -286,6 +333,22 @@ class ServingAPI:
             chunks.append(chunk)
         return {"answer": "".join(chunks), "sources": sources_data}
 
+    def generate_stream(self, payload: dict):
+        """Raw LM completion through the continuous-batching server:
+        concurrent requests share one batched decode program."""
+        if self.gen_server is None:
+            raise ValueError("no generation server attached")
+        prompt = payload.get("prompt")
+        if not prompt:
+            raise ValueError("'prompt' is required")
+        return self.gen_server.stream_text(
+            str(prompt),
+            max_new_tokens=int(payload.get("max_tokens", 64)),
+        )
+
+    def generate(self, payload: dict) -> dict:
+        return {"text": "".join(self.generate_stream(payload))}
+
 
 def serve(
     rag_system,
@@ -294,10 +357,12 @@ def serve(
     background: bool = False,
     feedback_log=None,
     llm_options=None,
+    gen_server=None,
 ) -> Optional[ThreadingHTTPServer]:
     """Start the HTTP API; returns the server when ``background``."""
     api = ServingAPI(
-        rag_system, feedback_log=feedback_log, llm_options=llm_options
+        rag_system, feedback_log=feedback_log, llm_options=llm_options,
+        gen_server=gen_server,
     )
     server = ThreadingHTTPServer((host, port), _make_handler(api))
     if background:

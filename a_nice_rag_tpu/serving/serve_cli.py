@@ -201,8 +201,22 @@ def build_state(
     return state
 
 
-def _make_handler(state: ServeState, default_weights: Dict[str, float]):
-    class Handler(BaseHTTPRequestHandler):
+def _make_handler(state: ServeState, default_weights: Dict[str, float],
+                  api=None):
+    """``api`` (serving.http_api.ServingAPI) adds the RAG surface:
+    every endpoint the scheduler path does not own (/v1/rag,
+    /v1/generate, /v1/feedback, the browser UI) delegates to the RAG
+    handler by inheritance, so one port serves both."""
+    if api is not None:
+        from a_nice_rag_tpu.serving.http_api import (
+            _make_handler as _rag_handler,
+        )
+
+        base = _rag_handler(api)
+    else:
+        base = BaseHTTPRequestHandler
+
+    class Handler(base):
         def log_message(self, fmt, *args):
             logger.debug(fmt, *args)
 
@@ -228,18 +242,24 @@ def _make_handler(state: ServeState, default_weights: Dict[str, float]):
                         state.monitor.events[-20:] if state.monitor else []
                     ),
                 })
+            elif api is not None:
+                super().do_GET()  # browser UI etc.
             else:
                 self._reply(404, {"error": "unknown endpoint"})
 
         def do_POST(self):
+            if self.path != "/v1/search":
+                if api is not None:
+                    # RAG/generate/feedback surface (reads rfile itself).
+                    super().do_POST()
+                else:
+                    self._reply(404, {"error": "unknown endpoint"})
+                return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": f"bad JSON: {e}"})
-                return
-            if self.path != "/v1/search":
-                self._reply(404, {"error": "unknown endpoint"})
                 return
             try:
                 emb = payload.get("query_embedding")
@@ -295,6 +315,7 @@ def serve_state(
     host: str = "127.0.0.1",
     port: int = 8800,
     background: bool = False,
+    api=None,
 ):
     """Start the asyncio scheduler loop thread + HTTP server."""
     loop = asyncio.new_event_loop()
@@ -303,8 +324,10 @@ def serve_state(
                      name="scheduler-loop").start()
     if state.monitor is not None:
         state.monitor.start()
+    if api is not None and api.gen_server is not None:
+        api.gen_server.start()
     server = ThreadingHTTPServer(
-        (host, port), _make_handler(state, default_weights)
+        (host, port), _make_handler(state, default_weights, api=api)
     )
     if background:
         threading.Thread(target=server.serve_forever, daemon=True).start()
@@ -353,6 +376,21 @@ def main(argv=None) -> None:
     p.add_argument("--embedder-ckpt", default=None,
                    help="orbax checkpoint dir with trained encoder "
                         "params (models/train.py output)")
+    p.add_argument("--llm", default=None, choices=["local"],
+                   help="'local' attaches the on-device decoder LM: "
+                        "adds /v1/rag (+SSE), /v1/generate "
+                        "(continuous-batching completion), /v1/feedback "
+                        "and the browser UI to this port. Random-init "
+                        "demo weights unless --llm-ckpt.")
+    p.add_argument("--llm-ckpt", default=None,
+                   help="HF-format Qwen3 checkpoint dir (config.json + "
+                        "*.safetensors) for the local LM")
+    p.add_argument("--gen-slots", type=int, default=4,
+                   help="continuous-batching decode slots")
+    p.add_argument("--gen-chunk", type=int, default=8,
+                   help="decode steps fused per dispatched program")
+    p.add_argument("--gen-max-len", type=int, default=1024,
+                   help="KV-cache length per slot")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -376,6 +414,8 @@ def main(argv=None) -> None:
     )
     use_bm25 = not args.no_bm25 and index.bm25 is not None
     embedder = None
+    if args.llm and not args.embedder:
+        args.embedder = "hashing"  # RAG needs a query embedder
     if args.embedder == "hashing":
         from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
         from a_nice_rag_tpu.models.encoder import EncoderConfig
@@ -404,7 +444,70 @@ def main(argv=None) -> None:
                for m in model_names}
     if use_bm25:
         weights["BM25"] = 1.0
-    serve_state(state, weights, host=args.host, port=args.port)
+    api = None
+    if args.llm == "local":
+        api = build_local_llm_api(
+            index, state, embedder, model_names,
+            llm_ckpt=args.llm_ckpt, gen_slots=args.gen_slots,
+            gen_chunk=args.gen_chunk, gen_max_len=args.gen_max_len,
+        )
+    serve_state(state, weights, host=args.host, port=args.port, api=api)
+
+
+def build_local_llm_api(index, state, embedder, model_names,
+                        llm_ckpt=None, gen_slots: int = 4,
+                        gen_chunk: int = 8, gen_max_len: int = 1024):
+    """Attach the on-device decoder LM to this deployment: a
+    continuous-batching GenerationServer shared by /v1/generate and the
+    RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
+    single-device), and a ServingAPI exposing /v1/rag (+SSE) and the
+    browser UI. No SaaS anywhere (the reference's generation hop is
+    SaaS-only, src/query_rag.py:434-513)."""
+    from a_nice_rag_tpu.config import InfoSource
+    from a_nice_rag_tpu.models.decoder import (
+        DecoderLM,
+        init_decoder,
+        small_lm_config,
+    )
+    from a_nice_rag_tpu.rag.providers import LocalTpuLLMClient
+    from a_nice_rag_tpu.rag.system import RAGSystem
+    from a_nice_rag_tpu.retrieval.rerank import IdentityReranker
+    from a_nice_rag_tpu.serving.genserver import GenerationServer
+    from a_nice_rag_tpu.serving.http_api import ServingAPI
+
+    if llm_ckpt:
+        from a_nice_rag_tpu.models.qwen3 import load_qwen3_checkpoint_dir
+
+        lm_cfg, _, lm_params = load_qwen3_checkpoint_dir(llm_ckpt)
+        lm = DecoderLM(lm_cfg)
+        logger.info("serve: local LM loaded from %s (%d layers)",
+                    llm_ckpt, lm_cfg.num_layers)
+    else:
+        lm, lm_params = init_decoder(small_lm_config(),
+                                     max_len=gen_max_len)
+        logger.warning("serve: local LM is RANDOM-INIT demo weights "
+                       "(pass --llm-ckpt for real generation)")
+    gen = GenerationServer(lm, lm_params, slots=gen_slots,
+                           max_len=gen_max_len, chunk=gen_chunk)
+    client = LocalTpuLLMClient(lm, lm_params, server=gen,
+                               max_prompt_tokens=max(
+                                   64, gen_max_len - 256))
+    rag = RAGSystem(
+        indexes={InfoSource.NICE: index},
+        embedder=embedder,
+        reranker=IdentityReranker(),
+        llm_clients={"local": client},
+    )
+    sidx = getattr(state.retriever, "sidx", None)
+    if sidx is not None:
+        from a_nice_rag_tpu.parallel.engine import ShardedSearchEngine
+
+        rag.attach_index(
+            InfoSource.NICE, index,
+            engine=ShardedSearchEngine(sidx, embedder=embedder,
+                                       reranker=IdentityReranker()),
+        )
+    return ServingAPI(rag, gen_server=gen, llm_options=["local-tpu"])
 
 
 if __name__ == "__main__":

@@ -223,3 +223,63 @@ def test_serve_cli_text_query_with_embedder():
             assert e.code == 400
     finally:
         srv.shutdown()
+
+
+def test_serve_cli_local_llm_surface(corpus_index):
+    """--llm local equivalent: one port serves scheduler-batched
+    /v1/search PLUS the RAG surface (/v1/rag via the on-device decoder
+    through the continuous-batching GenerationServer) and raw
+    /v1/generate completion, no SaaS anywhere."""
+    from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
+    from a_nice_rag_tpu.serving.serve_cli import build_local_llm_api
+
+    c, idx = corpus_index
+    emb_dim = int(idx.dense_matrix("voyage-3-large").shape[1])
+    embedder = OnDeviceEmbedder(EncoderConfig(
+        n_layers=1, dim=32, out_dim=emb_dim, vocab_size=1024, n_heads=2,
+    ))
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True,
+                        embedder=embedder)
+    api = build_local_llm_api(idx, state, embedder, ("voyage-3-large",),
+                              gen_slots=2, gen_chunk=4, gen_max_len=640)
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True, api=api)
+    try:
+        port = srv.server_address[1]
+        # Scheduler-batched search still works on the same port.
+        out = _search(port, {
+            "query_embedding":
+                c.query_embeddings["voyage-3-large"][0].tolist(),
+            "terms": idx.pad_term_ids(c.query_tokens, 16)[0].tolist(),
+        })
+        assert out["results"][0]["id"] == c.gold_ids[0]
+        # Raw completion over the continuous-batching server.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate",
+            data=json.dumps({"prompt": "hello", "max_tokens": 8}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            gen = json.loads(resp.read())
+        assert isinstance(gen["text"], str)
+        # Full RAG with the local decoder as the LLM.
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/rag",
+            data=json.dumps({
+                "query": "question 0", "llm_model": "local-tpu",
+                "use_hybrid_search": True, "use_reranker": False,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            rag = json.loads(resp.read())
+        assert "answer" in rag and isinstance(rag["sources"], list)
+        # Browser UI delegated from the same port.
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/ui", timeout=30
+        ) as resp:
+            assert b"<html" in resp.read()[:200].lower()
+    finally:
+        api.gen_server.stop()
+        srv.shutdown()

@@ -422,6 +422,71 @@ def ivf_scale_metrics() -> dict:
     }
 
 
+def gen_serving_metrics() -> dict:
+    """LM generation serving throughput (models/decoder.py +
+    serving/genserver.py): host-visible tok/s for one stream with the
+    on-device chunked decode loop (chunk=32: one dispatch per 32
+    tokens), and aggregate tok/s for 16 concurrent requests
+    continuously batched over 8 slots (chunk=8). The reference has no
+    on-device generation at all (SaaS-only,
+    reference src/query_rag.py:434-513)."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from a_nice_rag_tpu.models.decoder import (
+        DecoderLM,
+        generate_stream,
+        init_caches,
+    )
+    from a_nice_rag_tpu.models.qwen3 import Qwen3Config
+    from a_nice_rag_tpu.serving.genserver import GenerationServer
+
+    cfg = Qwen3Config(
+        vocab_size=32_000, hidden_size=512, num_layers=4,
+        num_heads=8, num_kv_heads=4, head_dim=64,
+        intermediate_size=1024, dtype=jnp.bfloat16,
+    )
+    model = DecoderLM(cfg)
+    smax, n_new, prompt = 256, 64, list(range(2, 66))
+    kc0, vc0 = init_caches(cfg, 1, smax)
+    params = jax.jit(
+        lambda key: model.init(
+            key, jnp.zeros((1, 1), jnp.int32), kc0, vc0, jnp.int32(0)
+        )
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    def _stream_once():
+        return sum(1 for _ in generate_stream(
+            model, params, prompt, max_new_tokens=n_new, chunk=32,
+            eos_id=-1, max_len=smax))
+
+    _stream_once()  # compile
+    t0 = _time.perf_counter()
+    n = _stream_once()
+    stream_tok_s = n / (_time.perf_counter() - t0)
+
+    srv = GenerationServer(model, params, slots=8, max_len=smax,
+                           chunk=8, eos_id=-1)
+    reqs = [srv.submit(prompt, n_new) for _ in range(8)]
+    srv.drain()  # compile + warm
+    for r in reqs:
+        while not r.out.empty():
+            r.out.get_nowait()
+    n_req = 16
+    t0 = _time.perf_counter()
+    reqs = [srv.submit(prompt, n_new) for _ in range(n_req)]
+    srv.drain()
+    agg_tok_s = n_req * n_new / (_time.perf_counter() - t0)
+    return {
+        "gen_stream_tok_s": round(stream_tok_s, 1),
+        "gen_batched_tok_s": round(agg_tok_s, 1),
+        "gen_model": "4L-512h-bf16",
+    }
+
+
 def _probe_platform(timeout_s: float = 150.0):
     """Backend probe in a SUBPROCESS: a dead TPU tunnel makes
     jax.devices() HANG (observed, not just raise), and a hang inside
@@ -660,6 +725,14 @@ def main() -> None:
             ivf_scale = {"ivf_scale_error": str(e)[:160]}
     else:
         ivf_scale = {}
+    gc.collect()
+    if platform == "tpu":
+        try:
+            gen_serving = gen_serving_metrics()
+        except Exception as e:
+            gen_serving = {"gen_serving_error": str(e)[:160]}
+    else:
+        gen_serving = {}
 
     print(
         json.dumps(
@@ -683,6 +756,7 @@ def main() -> None:
                 **at_scale,
                 **at_scale_int8,
                 **ivf_scale,
+                **gen_serving,
             }
         )
     )

@@ -125,6 +125,48 @@ class GenerationServer:
             return tok, kc, vc
 
         self._prefill = jax.jit(_prefill)
+
+        def _prefill_rows(prm, ids):
+            """Prefill ``ids`` [1, P] into FRESH full-length cache rows
+            and return them (prefix caching: the rows are stored and
+            later copied into a slot)."""
+            row_shape = (1, max_len, cfg.num_kv_heads, cfg.head_dim)
+            kr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            vr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            _, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
+            return kr, vr
+
+        self._prefill_rows = jax.jit(_prefill_rows)
+
+        def _prefill_suffix(prm, kc, vc, kr, vr, ids, length, offset,
+                            slot, key):
+            """Continue a cached prefix: run ``ids`` [1, P] (the suffix
+            bucket, ``length`` real tokens) at cache offset ``offset``
+            over the stored prefix rows, then install the combined row
+            into slot ``slot``."""
+            logits, kr, vr = model.apply(prm, ids, kr, vr, offset)
+            last = jnp.take_along_axis(
+                logits, (length - 1)[None, None, None], axis=1
+            )[:, 0]
+            tok = sample_logits(last, key, t, k, p)[0]
+            kc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(kc, kr)
+            ]
+            vc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(vc, vr)
+            ]
+            return tok, kc, vc
+
+        self._prefill_suffix = jax.jit(_prefill_suffix)
+        # prefix tuple -> (krows, vrows) device arrays; insertion order
+        # doubles as LRU order.
+        self._prefix_cache: dict = {}
+        self.prefix_cache_max = 8
+        self.prefix_hits = 0
         # Shared with generate_stream/generate_batch: one compiled
         # decode program per (model, sampling, chunk) per process.
         from a_nice_rag_tpu.models.decoder import _decode_programs
@@ -180,6 +222,47 @@ class GenerationServer:
     def n_active(self) -> int:
         return sum(r is not None for r in self._active)
 
+    def _bucket(self, n: int) -> int:
+        b = self.min_bucket
+        while b < n:
+            b *= 2
+        return min(b, self.smax)
+
+    def cache_prefix(self, prefix_ids: List[int]) -> None:
+        """Precompute and store the KV rows for a shared prompt prefix
+        (e.g. the RAG system prompt). Subsequent requests whose prompt
+        starts with it prefill only their suffix — the prefix costs
+        zero forward work per request. LRU-bounded at
+        ``prefix_cache_max`` entries (~2 * layers * max_len * nkv * hd
+        bytes each)."""
+        key_t = tuple(int(i) for i in prefix_ids)
+        if not key_t:
+            raise ValueError("empty prefix")
+        if len(key_t) + self.chunk > self.smax:
+            raise ValueError("prefix longer than the cache allows")
+        bucket = self._bucket(len(key_t))
+        ids = np.full((1, bucket), PAD, np.int32)
+        ids[0, : len(key_t)] = key_t
+        rows = self._prefill_rows(self.params, jnp.asarray(ids))
+        with self._lock:
+            self._prefix_cache.pop(key_t, None)
+            self._prefix_cache[key_t] = rows
+            while len(self._prefix_cache) > self.prefix_cache_max:
+                self._prefix_cache.pop(
+                    next(iter(self._prefix_cache))
+                )
+
+    def _longest_cached_prefix(self, prompt: List[int]):
+        """Longest stored prefix that is a PROPER prefix of ``prompt``
+        (at least one suffix token must remain to prefill)."""
+        best = None
+        for key_t in self._prefix_cache:
+            L = len(key_t)
+            if L < len(prompt) and (best is None or L > len(best)) \
+                    and tuple(prompt[:L]) == key_t:
+                best = key_t
+        return best
+
     # ----------------------------------------------------------- loop
 
     def _admit(self) -> int:
@@ -193,17 +276,34 @@ class GenerationServer:
             except queue.Empty:
                 break
             n = len(req.prompt_ids)
-            bucket = self.min_bucket
-            while bucket < n:
-                bucket *= 2
-            bucket = min(bucket, self.smax)  # n <= smax by submit()
-            ids = np.full((1, bucket), PAD, np.int32)
-            ids[0, :n] = req.prompt_ids
             self._key, sub = jax.random.split(self._key)
-            tok0, self._kc, self._vc = self._prefill(
-                self.params, self._kc, self._vc, jnp.asarray(ids),
-                jnp.int32(n), jnp.int32(slot), sub,
-            )
+            hit = self._longest_cached_prefix(req.prompt_ids)
+            if hit is not None and len(hit) + self._bucket(
+                n - len(hit)
+            ) <= self.smax:
+                L = len(hit)
+                suffix = req.prompt_ids[L:]
+                bucket = self._bucket(len(suffix))
+                ids = np.full((1, bucket), PAD, np.int32)
+                ids[0, : len(suffix)] = suffix
+                # Refresh LRU position.
+                rows = self._prefix_cache.pop(hit)
+                self._prefix_cache[hit] = rows
+                kr, vr = rows
+                tok0, self._kc, self._vc = self._prefill_suffix(
+                    self.params, self._kc, self._vc, kr, vr,
+                    jnp.asarray(ids), jnp.int32(len(suffix)),
+                    jnp.int32(L), jnp.int32(slot), sub,
+                )
+                self.prefix_hits += 1
+            else:
+                bucket = self._bucket(n)  # n <= smax by submit()
+                ids = np.full((1, bucket), PAD, np.int32)
+                ids[0, :n] = req.prompt_ids
+                tok0, self._kc, self._vc = self._prefill(
+                    self.params, self._kc, self._vc, jnp.asarray(ids),
+                    jnp.int32(n), jnp.int32(slot), sub,
+                )
             self._tok = self._tok.at[slot].set(tok0)
             self._pos = self._pos.at[slot].set(n)
             self._done = self._done.at[slot].set(tok0 == self.eos_id)

@@ -115,3 +115,52 @@ def test_background_thread_stream_text():
         assert isinstance(text, str) and ref
     finally:
         srv.stop()
+
+
+def test_prefix_cache_parity_and_hits():
+    """cache_prefix precomputes a shared prompt prefix's KV rows;
+    admissions that start with it prefill only their suffix and must
+    produce the exact same greedy stream as uncached requests."""
+    model, params = _setup()
+    prefix = list(range(30, 70))  # 40-token shared system prompt
+    tails = [[256, 5, 6, 7], list(range(80, 95)), [256, 9]]
+    prompts = [prefix + t for t in tails]
+    refs = [list(generate_stream(model, params, p, max_new_tokens=10))
+            for p in prompts]
+
+    srv = GenerationServer(model, params, slots=2, max_len=160, chunk=4)
+    srv.cache_prefix(prefix)
+    reqs = [srv.submit(p, 10) for p in prompts]
+    srv.drain()
+    for ref, req in zip(refs, reqs):
+        got, ended = _collect(req)
+        assert ended and got == ref
+    assert srv.prefix_hits == len(prompts)
+
+    # A prompt NOT starting with the prefix takes the full-prefill path.
+    other = list(range(200, 230))
+    ref = list(generate_stream(model, params, other, max_new_tokens=6))
+    req = srv.submit(other, 6)
+    srv.drain()
+    got, ended = _collect(req)
+    assert ended and got == ref
+    assert srv.prefix_hits == len(prompts)  # unchanged
+
+
+def test_prefix_cache_lru_eviction():
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=96, chunk=4)
+    srv.prefix_cache_max = 2
+    p1, p2, p3 = [list(range(i, i + 20)) for i in (10, 40, 70)]
+    srv.cache_prefix(p1)
+    srv.cache_prefix(p2)
+    srv.cache_prefix(p3)  # evicts p1
+    assert len(srv._prefix_cache) == 2
+    assert tuple(p1) not in srv._prefix_cache
+    # Evicted prefix still decodes correctly via the full path.
+    ref = list(generate_stream(model, params, p1 + [256],
+                               max_new_tokens=5))
+    req = srv.submit(p1 + [256], 5)
+    srv.drain()
+    got, ended = _collect(req)
+    assert ended and got == ref

@@ -267,14 +267,11 @@ def train_lm_steps(model, params, token_ids, n_steps: int = 200,
     return params, losses
 
 
-def sample_logits(last: jax.Array, key, temperature: float = 0.0,
-                  top_k: int = 0, top_p: float = 0.0) -> jax.Array:
-    """One sampling decision over [B, V] logits: greedy at
-    ``temperature == 0``; otherwise temperature scaling with optional
-    top-k truncation and/or top-p (nucleus) truncation. The knobs are
-    static — each setting is its own compiled program."""
-    if temperature <= 0:
-        return jnp.argmax(last, axis=-1).astype(jnp.int32)
+def truncated_logits(last: jax.Array, temperature: float,
+                     top_k: int = 0, top_p: float = 0.0) -> jax.Array:
+    """Temperature-scaled [B, V] logits with top-k / nucleus tokens
+    masked to -inf; softmax of the result is the exact sampling
+    distribution (shared by sample_logits and speculative verify)."""
     logits = last / temperature
     if top_k and top_k < logits.shape[-1]:
         kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
@@ -292,6 +289,18 @@ def sample_logits(last: jax.Array, key, temperature: float = 0.0,
             jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True
         )
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return logits
+
+
+def sample_logits(last: jax.Array, key, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 0.0) -> jax.Array:
+    """One sampling decision over [B, V] logits: greedy at
+    ``temperature == 0``; otherwise temperature scaling with optional
+    top-k truncation and/or top-p (nucleus) truncation. The knobs are
+    static — each setting is its own compiled program."""
+    if temperature <= 0:
+        return jnp.argmax(last, axis=-1).astype(jnp.int32)
+    logits = truncated_logits(last, temperature, top_k, top_p)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

@@ -29,61 +29,161 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from a_nice_rag_tpu.models.decoder import EOS, DecoderLM, init_caches
+from a_nice_rag_tpu.models.decoder import (
+    EOS,
+    DecoderLM,
+    init_caches,
+    truncated_logits,
+)
 
 _SPEC_PROGRAMS: dict = {}
 
 
-def _spec_programs(target: DecoderLM, draft: DecoderLM, gamma: int):
-    """Jitted (prefill_both, spec_round) for one (target, draft, gamma),
-    cached at module level (fresh jit objects per call would recompile
-    per request — see decoder._decode_programs)."""
+def spec_accept(ds, qs, ps, bonus_logits, key):
+    """Rejection-accept core of sampled speculative decoding
+    (Leviathan et al. 2023, app. A): accept draft token ``ds[i]``
+    (drawn from q_i) with prob min(1, p_i(ds_i)/q_i(ds_i)); at the
+    first rejection sample the replacement from norm(relu(p_i - q_i));
+    on full acceptance sample the bonus token from p_{gamma+1}. The
+    emitted sequence is distributed EXACTLY as target-only sampling
+    (pinned distributionally in tests/test_speculative.py).
+
+    ds [gamma] proposals; qs/ps [gamma, V] draft/target probs;
+    bonus_logits [1, V] target logits past the last proposal.
+    Returns (out [gamma+1], m): out[:m] are the emitted tokens."""
+    gamma = ds.shape[0]
+    k_u, k_rep, k_bonus = jax.random.split(key, 3)
+    idx = jnp.arange(gamma)
+    p_d = ps[idx, ds]
+    q_d = qs[idx, ds]
+    us = jax.random.uniform(k_u, (gamma,))
+    acc = (us * q_d < p_d).astype(jnp.int32)  # u < p/q, div-free
+    n_acc = jnp.cumprod(acc).sum()
+    # Residual distribution at every candidate rejection point; where
+    # p <= q everywhere (p == q) the residual is empty — fall back to
+    # p itself (that branch is only selected with probability 0).
+    res = jnp.maximum(ps - qs, 0.0)
+    res_sum = res.sum(-1, keepdims=True)
+    res = jnp.where(res_sum > 0, res / jnp.maximum(res_sum, 1e-30), ps)
+    rep = jax.random.categorical(
+        k_rep, jnp.log(res + 1e-30), axis=-1
+    ).astype(jnp.int32)  # [gamma]
+    bonus = jax.random.categorical(
+        k_bonus, bonus_logits, axis=-1
+    ).astype(jnp.int32)  # [1]
+    cand = jnp.concatenate([rep, bonus])
+    ds_pad = jnp.concatenate([ds, ds[-1:]])
+    out = jnp.where(jnp.arange(gamma + 1) < n_acc, ds_pad, cand)
+    return out, n_acc + 1
+
+
+def _spec_programs(target: DecoderLM, draft: DecoderLM, gamma: int,
+                   temperature: float = 0.0, top_k: int = 0,
+                   top_p: float = 0.0, rounds: int = 1):
+    """Jitted (prefill_both, spec_round) for one (target, draft, gamma,
+    sampling, rounds) setting, cached at module level (fresh jit
+    objects per call would recompile per request — see
+    decoder._decode_programs). ``temperature <= 0`` builds the
+    greedy-exact round; otherwise the distribution-preserving
+    rejection-sampling round. Both take and return an rng key (ignored
+    by the greedy round). ``rounds > 1`` scans that many speculation
+    rounds inside ONE dispatched program (outputs [rounds, gamma+1] +
+    per-round counts) — the dispatch-amortization knob for
+    RTT-dominated links, mirroring generate_stream's ``chunk``."""
     try:
-        key = (hash(target), hash(draft), int(gamma))
+        key = (hash(target), hash(draft), int(gamma), float(temperature),
+               int(top_k), float(top_p), int(rounds))
     except TypeError:
-        key = (id(target), id(draft), int(gamma))
+        key = (id(target), id(draft), int(gamma), float(temperature),
+               int(top_k), float(top_p), int(rounds))
     if key in _SPEC_PROGRAMS:
         return _SPEC_PROGRAMS[key]
+    greedy = temperature <= 0
 
     @jax.jit
-    def prefill_both(tp, dp, ids, tkc, tvc, dkc, dvc):
+    def prefill_both(tp, dp, ids, tkc, tvc, dkc, dvc, rkey):
         tlogits, tkc, tvc = target.apply(tp, ids, tkc, tvc, jnp.int32(0))
         _, dkc, dvc = draft.apply(dp, ids, dkc, dvc, jnp.int32(0))
-        tok = jnp.argmax(tlogits[:, -1], -1).astype(jnp.int32)
-        return tok, tkc, tvc, dkc, dvc
+        if greedy:
+            tok = jnp.argmax(tlogits[:, -1], -1).astype(jnp.int32)
+        else:
+            rkey, sub = jax.random.split(rkey)
+            ml = truncated_logits(tlogits[:, -1], temperature,
+                                  top_k, top_p)
+            tok = jax.random.categorical(sub, ml, axis=-1).astype(
+                jnp.int32
+            )
+        return tok, tkc, tvc, dkc, dvc, rkey
 
-    @jax.jit
-    def spec_round(tp, dp, tok, tkc, tvc, dkc, dvc, pos):
+    def _one_round(tp, dp, tok, tkc, tvc, dkc, dvc, pos, rkey):
         """One speculation round. ``tok`` [1] is the last accepted
         token (write slot ``pos``). Returns (out [gamma+1], m) where
-        out[:m] are the tokens plain target-greedy would emit next:
-        the accepted draft prefix plus the target's correction (or, on
-        full acceptance, its bonus token)."""
+        out[:m] are the emitted tokens: greedy mode reproduces plain
+        target-greedy bit-for-bit; sampled mode is distributed exactly
+        as plain target sampling (see spec_accept)."""
 
         def dbody(carry, _):
-            tok, dkc, dvc, p = carry
+            tok, dkc, dvc, p, k_ = carry
             logits, dkc, dvc = draft.apply(dp, tok[:, None], dkc, dvc, p)
-            nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
-            return (nxt, dkc, dvc, p + 1), nxt
+            if greedy:
+                nxt = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+                q = jnp.zeros((logits.shape[-1],), jnp.float32)
+            else:
+                k_, sub = jax.random.split(k_)
+                ml = truncated_logits(logits[:, -1], temperature,
+                                      top_k, top_p)
+                nxt = jax.random.categorical(sub, ml, axis=-1).astype(
+                    jnp.int32
+                )
+                q = jax.nn.softmax(ml[0].astype(jnp.float32), -1)
+            return (nxt, dkc, dvc, p + 1, k_), (nxt[0], q)
 
-        (_, dkc, dvc, _), ds = jax.lax.scan(
-            dbody, (tok, dkc, dvc, pos), None, length=gamma
+        (_, dkc, dvc, _, rkey), (ds, qs) = jax.lax.scan(
+            dbody, (tok, dkc, dvc, pos, rkey), None, length=gamma
         )
-        ds = ds[:, 0]  # [gamma] proposals d_1..d_gamma
 
         seq = jnp.concatenate([tok, ds])[None, :]  # [1, gamma+1]
         tlogits, tkc, tvc = target.apply(tp, seq, tkc, tvc, pos)
-        gs = jnp.argmax(tlogits[0], -1).astype(jnp.int32)  # g_1..g_{gamma+1}
 
-        match = (ds == gs[:gamma]).astype(jnp.int32)
-        n_acc = jnp.cumprod(match).sum()  # accepted draft tokens, 0..gamma
-        # out[j] = ds[j] for j < n_acc, gs[j] at j == n_acc (correction
-        # on mismatch; bonus token g_{gamma+1} on full acceptance).
-        ds_pad = jnp.concatenate([ds, ds[-1:]])
-        out = jnp.where(jnp.arange(gamma + 1) < n_acc, ds_pad, gs)
-        m = n_acc + 1
+        if greedy:
+            gs = jnp.argmax(tlogits[0], -1).astype(jnp.int32)
+            match = (ds == gs[:gamma]).astype(jnp.int32)
+            n_acc = jnp.cumprod(match).sum()
+            ds_pad = jnp.concatenate([ds, ds[-1:]])
+            out = jnp.where(jnp.arange(gamma + 1) < n_acc, ds_pad, gs)
+            m = n_acc + 1
+        else:
+            mlt = truncated_logits(tlogits[0], temperature, top_k, top_p)
+            ps = jax.nn.softmax(mlt[:gamma].astype(jnp.float32), -1)
+            rkey, sub = jax.random.split(rkey)
+            out, m = spec_accept(ds, qs, ps, mlt[gamma:gamma + 1], sub)
         new_tok = out[m - 1][None]
-        return out, m, new_tok, tkc, tvc, dkc, dvc, pos + m
+        return out, m, new_tok, tkc, tvc, dkc, dvc, pos + m, rkey
+
+    if rounds == 1:
+        @jax.jit
+        def spec_round(tp, dp, tok, tkc, tvc, dkc, dvc, pos, rkey):
+            out, m, tok, tkc, tvc, dkc, dvc, pos, rkey = _one_round(
+                tp, dp, tok, tkc, tvc, dkc, dvc, pos, rkey
+            )
+            return (out[None], m[None], tok, tkc, tvc, dkc, dvc, pos,
+                    rkey)
+    else:
+        @jax.jit
+        def spec_round(tp, dp, tok, tkc, tvc, dkc, dvc, pos, rkey):
+            def body(carry, _):
+                tok, tkc, tvc, dkc, dvc, pos, rkey = carry
+                out, m, tok, tkc, tvc, dkc, dvc, pos, rkey = _one_round(
+                    tp, dp, tok, tkc, tvc, dkc, dvc, pos, rkey
+                )
+                return (tok, tkc, tvc, dkc, dvc, pos, rkey), (out, m)
+
+            carry, (outs, ms) = jax.lax.scan(
+                body, (tok, tkc, tvc, dkc, dvc, pos, rkey), None,
+                length=rounds,
+            )
+            tok, tkc, tvc, dkc, dvc, pos, rkey = carry
+            return outs, ms, tok, tkc, tvc, dkc, dvc, pos, rkey
 
     progs = (prefill_both, spec_round)
     _SPEC_PROGRAMS[key] = progs
@@ -98,26 +198,41 @@ def speculative_generate_stream(
     prompt_ids: List[int],
     max_new_tokens: int = 64,
     gamma: int = 4,
+    temperature: float = 0.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    seed: int = 0,
     eos_id: int = EOS,
     max_len: Optional[int] = None,
+    rounds: int = 1,
     stats: Optional[dict] = None,
 ) -> Iterator[int]:
-    """Greedy streaming generation, bit-identical to
-    ``generate_stream(target, target_params, ...)`` (greedy), with the
-    draft model absorbing most of the sequential work. One dispatch per
-    round yields 1..gamma+1 tokens. Pass ``stats={}`` to receive
-    ``rounds`` and ``accepted`` counters (mean tokens/round =
-    accepted/rounds — the speedup factor when the draft is ~free)."""
+    """Streaming generation with the draft model absorbing most of the
+    sequential work; one dispatch per round yields 1..gamma+1 tokens.
+    Greedy (``temperature <= 0``) is bit-identical to
+    ``generate_stream(target, target_params, ...)``; sampled mode is
+    distributed exactly as plain target sampling (rejection scheme —
+    the draft changes latency, never the distribution). Pass
+    ``stats={}`` to receive ``rounds``/``accepted`` counters (mean
+    tokens/round = accepted/rounds — the speedup factor when the draft
+    is ~free). ``rounds > 1`` scans that many speculation rounds per
+    dispatch (1..rounds*(gamma+1) tokens per host round-trip) — use it
+    when dispatch latency dominates; tokens decoded past an in-block
+    EOS are discarded."""
     n_prompt = len(prompt_ids)
-    smax = max_len or (n_prompt + max_new_tokens + gamma + 1)
-    assert n_prompt + max_new_tokens + gamma + 1 <= smax + gamma + 1
+    block = rounds * (gamma + 1)
+    smax = max_len or (n_prompt + max_new_tokens + block)
+    assert n_prompt + max_new_tokens + block <= smax + block
     tkc, tvc = init_caches(target.cfg, 1, smax)
     dkc, dvc = init_caches(draft.cfg, 1, smax)
-    prefill_both, spec_round = _spec_programs(target, draft, gamma)
+    prefill_both, spec_round = _spec_programs(
+        target, draft, gamma, temperature, top_k, top_p, rounds
+    )
 
     ids = jnp.asarray(prompt_ids, jnp.int32)[None, :]
-    tok, tkc, tvc, dkc, dvc = prefill_both(
-        target_params, draft_params, ids, tkc, tvc, dkc, dvc
+    rkey = jax.random.PRNGKey(seed)
+    tok, tkc, tvc, dkc, dvc, rkey = prefill_both(
+        target_params, draft_params, ids, tkc, tvc, dkc, dvc, rkey
     )
     t = int(tok[0])
     if t == eos_id:
@@ -125,24 +240,27 @@ def speculative_generate_stream(
     yield t
     emitted = 1
     pos = jnp.int32(n_prompt)
-    rounds = accepted = 0
+    n_rounds = accepted = 0
     while emitted < max_new_tokens:
-        if int(pos) + gamma + 1 > smax:
+        if int(pos) + block > smax:
             break  # cache exhausted (caller sized max_len too small)
-        out, m, tok, tkc, tvc, dkc, dvc, pos = spec_round(
-            target_params, draft_params, tok, tkc, tvc, dkc, dvc, pos
+        outs, ms, tok, tkc, tvc, dkc, dvc, pos, rkey = spec_round(
+            target_params, draft_params, tok, tkc, tvc, dkc, dvc, pos,
+            rkey,
         )
-        block = np.asarray(out)
-        m = int(m)
-        rounds += 1
-        accepted += m
-        for t in block[:m]:
-            t = int(t)
-            if t == eos_id or emitted >= max_new_tokens:
-                if stats is not None:
-                    stats.update(rounds=rounds, accepted=accepted)
-                return
-            yield t
-            emitted += 1
+        outs_np = np.asarray(outs)   # [rounds, gamma+1]
+        ms_np = np.asarray(ms)       # [rounds]
+        for r in range(outs_np.shape[0]):
+            m = int(ms_np[r])
+            n_rounds += 1
+            accepted += m
+            for t in outs_np[r, :m]:
+                t = int(t)
+                if t == eos_id or emitted >= max_new_tokens:
+                    if stats is not None:
+                        stats.update(rounds=n_rounds, accepted=accepted)
+                    return
+                yield t
+                emitted += 1
     if stats is not None:
-        stats.update(rounds=rounds, accepted=accepted)
+        stats.update(rounds=n_rounds, accepted=accepted)

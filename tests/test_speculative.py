@@ -73,3 +73,69 @@ def test_speculative_eos_stops_stream():
         eos_id=fake_eos,
     ))
     assert a == b and fake_eos not in b and len(b) < len(ref)
+
+
+def test_spec_accept_preserves_target_distribution():
+    """The rejection-sampling core: over many trials with fixed draft
+    distribution q and target distribution p, the marginal of the
+    emitted token (accepted proposal OR residual replacement) must be
+    exactly p — the draft can change latency, never the distribution."""
+    import jax
+    import numpy as np
+
+    from a_nice_rag_tpu.models.speculative import spec_accept
+
+    V = 6
+    p = jnp.asarray([0.35, 0.05, 0.2, 0.1, 0.25, 0.05])
+    q = jnp.asarray([0.10, 0.30, 0.2, 0.2, 0.15, 0.05])
+
+    def one(key):
+        k1, k2 = jax.random.split(key)
+        d = jax.random.categorical(k1, jnp.log(q))[None]
+        out, _ = spec_accept(d.astype(jnp.int32), q[None, :], p[None, :],
+                             jnp.log(p)[None, :], k2)
+        return out[0]
+
+    N = 40_000
+    toks = jax.vmap(one)(jax.random.split(jax.random.PRNGKey(0), N))
+    emp = np.bincount(np.asarray(toks), minlength=V) / N
+    assert np.abs(emp - np.asarray(p)).max() < 0.01, emp
+
+
+def test_speculative_sampled_mode_runs_and_accepts():
+    """Sampled speculation with a self-draft accepts most proposals
+    (p == q up to cross-shape numerics) and respects the budget."""
+    target, tp = init_decoder(small_lm_config())
+    prompt = list(range(10, 30))
+    stats = {}
+    s = list(speculative_generate_stream(
+        target, tp, target, tp, prompt, max_new_tokens=40, gamma=4,
+        temperature=0.9, top_k=50, seed=3, stats=stats,
+    ))
+    assert len(s) == 40
+    assert stats["accepted"] / stats["rounds"] > 2.0, stats
+
+
+def test_speculative_multi_round_dispatch():
+    """rounds=R scans R speculation rounds inside one dispatched
+    program; the stream stays bit-identical to plain greedy, including
+    EOS raised mid-block."""
+    target, tp = init_decoder(small_lm_config())
+    draft, dp = init_decoder(
+        small_lm_config(hidden_size=64, num_layers=1), seed=9
+    )
+    prompt = list(range(10, 30))
+    ref = list(generate_stream(target, tp, prompt, max_new_tokens=30))
+    got = list(speculative_generate_stream(
+        target, tp, draft, dp, prompt, max_new_tokens=30, gamma=4,
+        rounds=3,
+    ))
+    assert got == ref
+    e = ref[7]
+    a = list(generate_stream(target, tp, prompt, max_new_tokens=30,
+                             eos_id=e))
+    b = list(speculative_generate_stream(
+        target, tp, draft, dp, prompt, max_new_tokens=30, gamma=4,
+        rounds=3, eos_id=e,
+    ))
+    assert a == b

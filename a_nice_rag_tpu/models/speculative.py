@@ -190,6 +190,97 @@ def _spec_programs(target: DecoderLM, draft: DecoderLM, gamma: int,
     return progs
 
 
+_BATCH_SPEC_PROGRAMS: dict = {}
+
+
+def _batched_spec_programs(target: DecoderLM, draft: DecoderLM,
+                           gamma: int, temperature: float = 0.0,
+                           top_k: int = 0, top_p: float = 0.0):
+    """Jitted batched speculation round for the continuous-batching
+    server (serving/genserver.py): every SLOT of the batch runs one
+    draft-propose/target-verify round at its OWN cache offset in one
+    dispatched program. Per-row semantics are exactly
+    ``_spec_programs``'s single-stream round — greedy rows reproduce
+    plain per-row target-greedy bit-for-bit; sampled rows are
+    distributed exactly as plain target sampling (vmapped
+    ``spec_accept``). ``done`` rows freeze: they advance by m=0 and
+    keep their token/pos (their cache rows still receive junk writes,
+    which is harmless — admission prefill rewrites the whole row).
+
+    Returns a jitted ``spec_tick(tp, dp, tok [S], tkc, tvc, dkc, dvc,
+    pos [S], rkey, done [S]) -> (out [S, gamma+1], m [S], new_tok,
+    tkc, tvc, dkc, dvc, pos, rkey)`` where row s emitted
+    ``out[s, :m[s]]`` this round."""
+    try:
+        key = (hash(target), hash(draft), int(gamma), float(temperature),
+               int(top_k), float(top_p))
+    except TypeError:
+        key = (id(target), id(draft), int(gamma), float(temperature),
+               int(top_k), float(top_p))
+    if key in _BATCH_SPEC_PROGRAMS:
+        return _BATCH_SPEC_PROGRAMS[key]
+    greedy = temperature <= 0
+
+    @jax.jit
+    def spec_tick(tp, dp, tok, tkc, tvc, dkc, dvc, pos, rkey, done):
+        s_rows = tok.shape[0]
+
+        def dbody(carry, _):
+            t_, dkc, dvc, p, k_ = carry
+            logits, dkc, dvc = draft.apply(dp, t_[:, None], dkc, dvc, p)
+            last = logits[:, -1]  # [S, V]
+            if greedy:
+                nxt = jnp.argmax(last, -1).astype(jnp.int32)
+                q = jnp.zeros_like(last)
+            else:
+                k_, sub = jax.random.split(k_)
+                ml = truncated_logits(last, temperature, top_k, top_p)
+                nxt = jax.random.categorical(sub, ml, axis=-1).astype(
+                    jnp.int32
+                )
+                q = jax.nn.softmax(ml.astype(jnp.float32), -1)
+            return (nxt, dkc, dvc, p + 1, k_), (nxt, q)
+
+        (_, dkc, dvc, _, rkey), (ds, qs) = jax.lax.scan(
+            dbody, (tok, dkc, dvc, pos, rkey), None, length=gamma
+        )
+        ds = jnp.swapaxes(ds, 0, 1)  # [S, gamma]
+        seq = jnp.concatenate([tok[:, None], ds], axis=1)  # [S, gamma+1]
+        tlogits, tkc, tvc = target.apply(tp, seq, tkc, tvc, pos)
+
+        if greedy:
+            gs = jnp.argmax(tlogits, -1).astype(jnp.int32)  # [S, g+1]
+            match = (ds == gs[:, :gamma]).astype(jnp.int32)
+            n_acc = jnp.cumprod(match, axis=1).sum(1)  # [S]
+            ds_pad = jnp.concatenate([ds, ds[:, -1:]], axis=1)
+            out = jnp.where(
+                jnp.arange(gamma + 1)[None, :] < n_acc[:, None],
+                ds_pad, gs,
+            )
+            m = n_acc + 1
+        else:
+            v = tlogits.shape[-1]
+            mlt = truncated_logits(
+                tlogits.reshape(-1, v), temperature, top_k, top_p
+            ).reshape(s_rows, gamma + 1, v)
+            ps = jax.nn.softmax(mlt[:, :gamma].astype(jnp.float32), -1)
+            rkey, sub = jax.random.split(rkey)
+            subs = jax.random.split(sub, s_rows)
+            out, m = jax.vmap(spec_accept)(
+                ds, jnp.swapaxes(qs, 0, 1), ps,
+                mlt[:, gamma:gamma + 1], subs,
+            )
+
+        m = jnp.where(done, 0, m)
+        new_tok = out[jnp.arange(s_rows), jnp.maximum(m, 1) - 1]
+        new_tok = jnp.where(done, tok, new_tok)
+        pos = pos + m
+        return out, m, new_tok, tkc, tvc, dkc, dvc, pos, rkey
+
+    _BATCH_SPEC_PROGRAMS[key] = spec_tick
+    return spec_tick
+
+
 def speculative_generate_stream(
     target: DecoderLM,
     target_params,

@@ -30,6 +30,14 @@ TPU-first):
 Use ``tick()`` directly for deterministic stepping (tests, embedding
 into an existing loop), or ``start()`` for a background thread feeding
 per-request token queues (the HTTP /v1/generate SSE path).
+
+Passing ``draft_model=/draft_params=`` switches the decode tick to
+**batched speculative decoding**: the draft proposes ``gamma`` tokens
+per slot (a [S]-row scan at per-row offsets), the target verifies all
+slots' windows in the same dispatched program, and each active slot
+advances by its own accept count (1..gamma+1 tokens/tick). Greedy
+streams remain bit-identical to the target-only server; sampled mode
+is distribution-preserving per row (models/speculative.spec_accept).
 """
 
 from __future__ import annotations
@@ -80,6 +88,9 @@ class GenerationServer:
         eos_id: int = EOS,
         seed: int = 0,
         min_prefill_bucket: int = 16,
+        draft_model=None,
+        draft_params=None,
+        gamma: int = 4,
     ):
         self.model, self.params = model, params
         self.slots, self.smax, self.chunk = slots, max_len, chunk
@@ -175,13 +186,66 @@ class GenerationServer:
             model, t, k, p, eos_id, chunk
         )
 
+        # Speculative mode: a draft model proposes gamma tokens per
+        # slot, the target verifies every slot's window in ONE batched
+        # dispatch (models/speculative._batched_spec_programs). Each
+        # tick then advances every active slot by 1..gamma+1 tokens
+        # instead of exactly ``chunk`` — greedy streams stay
+        # bit-identical to the target-only server.
+        self.draft, self.draft_params, self.gamma = (
+            draft_model, draft_params, gamma
+        )
+        if draft_model is not None:
+            from a_nice_rag_tpu.models.speculative import (
+                _batched_spec_programs,
+            )
+
+            self._dkc, self._dvc = init_caches(
+                draft_model.cfg, slots, max_len
+            )
+            self._spec_tick = _batched_spec_programs(
+                model, draft_model, gamma, t, k, p
+            )
+            dcfg = draft_model.cfg
+
+            def _prefill_draft(dprm, dkc, dvc, ids, slot):
+                """Prefill the draft's cache row for ``slot`` with the
+                FULL prompt (no sampling — the first token comes from
+                the target prefill)."""
+                row_shape = (1, max_len, dcfg.num_kv_heads, dcfg.head_dim)
+                kr = [jnp.zeros(row_shape, dcfg.dtype)
+                      for _ in range(dcfg.num_layers)]
+                vr = [jnp.zeros(row_shape, dcfg.dtype)
+                      for _ in range(dcfg.num_layers)]
+                _, kr, vr = draft_model.apply(dprm, ids, kr, vr,
+                                              jnp.int32(0))
+                dkc = [
+                    jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                    for c, r in zip(dkc, kr)
+                ]
+                dvc = [
+                    jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                    for c, r in zip(dvc, vr)
+                ]
+                return dkc, dvc
+
+            self._prefill_draft = jax.jit(_prefill_draft)
+
     # ------------------------------------------------------------ API
 
     def submit(self, prompt_ids: List[int],
                max_new_tokens: int = 64) -> _Request:
         """Enqueue a request; its tokens arrive on ``request.out``."""
-        n_chunks = -(-max_new_tokens // self.chunk)
-        need = len(prompt_ids) + n_chunks * self.chunk
+        if self.draft is not None:
+            # An active row sits at pos = len(prompt) + emitted with
+            # emitted <= budget - 1, and a spec round writes
+            # pos..pos+gamma — so this bound keeps every write of an
+            # active row in range (dead rows may clamp-write inside
+            # their own row, which admission prefill rewrites anyway).
+            need = len(prompt_ids) + max_new_tokens + self.gamma
+        else:
+            n_chunks = -(-max_new_tokens // self.chunk)
+            need = len(prompt_ids) + n_chunks * self.chunk
         if need > self.smax:
             raise ValueError(
                 f"prompt({len(prompt_ids)}) + budget({max_new_tokens}) "
@@ -304,6 +368,17 @@ class GenerationServer:
                     self.params, self._kc, self._vc, jnp.asarray(ids),
                     jnp.int32(n), jnp.int32(slot), sub,
                 )
+            if self.draft is not None:
+                # The draft always prefills the full prompt (its
+                # forward is the cheap one; prefix caching only covers
+                # the target's rows).
+                bucket_d = self._bucket(n)
+                ids_d = np.full((1, bucket_d), PAD, np.int32)
+                ids_d[0, :n] = req.prompt_ids
+                self._dkc, self._dvc = self._prefill_draft(
+                    self.draft_params, self._dkc, self._dvc,
+                    jnp.asarray(ids_d), jnp.int32(slot),
+                )
             self._tok = self._tok.at[slot].set(tok0)
             self._pos = self._pos.at[slot].set(n)
             self._done = self._done.at[slot].set(tok0 == self.eos_id)
@@ -334,18 +409,30 @@ class GenerationServer:
             self._admit()
             if self.n_active == 0:
                 return 0
-            (toks, self._tok, self._kc, self._vc,
-             self._pos, self._key, self._done) = self._chunk_steps(
-                self.params, self._tok, self._kc, self._vc,
-                self._pos, self._key, self._done,
-            )
-            block = np.asarray(toks)  # [chunk, S]
+            if self.draft is not None:
+                (out, m, self._tok, self._kc, self._vc, self._dkc,
+                 self._dvc, self._pos, self._key) = self._spec_tick(
+                    self.params, self.draft_params, self._tok,
+                    self._kc, self._vc, self._dkc, self._dvc,
+                    self._pos, self._key, self._done,
+                )
+                block = np.asarray(out)  # [S, gamma+1]
+                counts = np.asarray(m)   # [S]
+                rows = [block[s, :counts[s]] for s in range(self.slots)]
+            else:
+                (toks, self._tok, self._kc, self._vc,
+                 self._pos, self._key, self._done) = self._chunk_steps(
+                    self.params, self._tok, self._kc, self._vc,
+                    self._pos, self._key, self._done,
+                )
+                block = np.asarray(toks)  # [chunk, S]
+                rows = [block[:, s] for s in range(self.slots)]
             emitted = 0
             for slot in range(self.slots):
                 req = self._active[slot]
                 if req is None:
                     continue
-                for t in block[:, slot]:
+                for t in rows[slot]:
                     t = int(t)
                     if t == self.eos_id:
                         self._retire(slot)

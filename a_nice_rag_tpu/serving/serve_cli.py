@@ -391,6 +391,14 @@ def main(argv=None) -> None:
                    help="decode steps fused per dispatched program")
     p.add_argument("--gen-max-len", type=int, default=1024,
                    help="KV-cache length per slot")
+    p.add_argument("--draft-ckpt", default=None,
+                   help="smaller HF-format Qwen3 checkpoint dir used "
+                        "as the speculative-decoding draft: every "
+                        "decode tick becomes one batched draft-propose"
+                        "/target-verify round per slot (greedy streams "
+                        "stay bit-identical to target-only)")
+    p.add_argument("--gamma", type=int, default=4,
+                   help="draft proposals per speculation round")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -450,13 +458,15 @@ def main(argv=None) -> None:
             index, state, embedder, model_names,
             llm_ckpt=args.llm_ckpt, gen_slots=args.gen_slots,
             gen_chunk=args.gen_chunk, gen_max_len=args.gen_max_len,
+            draft_ckpt=args.draft_ckpt, gamma=args.gamma,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
 
 def build_local_llm_api(index, state, embedder, model_names,
                         llm_ckpt=None, gen_slots: int = 4,
-                        gen_chunk: int = 8, gen_max_len: int = 1024):
+                        gen_chunk: int = 8, gen_max_len: int = 1024,
+                        draft_ckpt=None, gamma: int = 4):
     """Attach the on-device decoder LM to this deployment: a
     continuous-batching GenerationServer shared by /v1/generate and the
     RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
@@ -487,8 +497,24 @@ def build_local_llm_api(index, state, embedder, model_names,
                                      max_len=gen_max_len)
         logger.warning("serve: local LM is RANDOM-INIT demo weights "
                        "(pass --llm-ckpt for real generation)")
+    draft = draft_params = None
+    if draft_ckpt:
+        from a_nice_rag_tpu.models.qwen3 import load_qwen3_checkpoint_dir
+
+        d_cfg, _, draft_params = load_qwen3_checkpoint_dir(draft_ckpt)
+        if lm.cfg.vocab_size != d_cfg.vocab_size:
+            raise SystemExit(
+                f"--draft-ckpt vocab ({d_cfg.vocab_size}) must match "
+                f"the target's ({lm.cfg.vocab_size})"
+            )
+        draft = DecoderLM(d_cfg)
+        logger.info("serve: speculative draft loaded from %s "
+                    "(%d layers, gamma=%d)", draft_ckpt,
+                    d_cfg.num_layers, gamma)
     gen = GenerationServer(lm, lm_params, slots=gen_slots,
-                           max_len=gen_max_len, chunk=gen_chunk)
+                           max_len=gen_max_len, chunk=gen_chunk,
+                           draft_model=draft, draft_params=draft_params,
+                           gamma=gamma)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
                                max_prompt_tokens=max(
                                    64, gen_max_len - 256))

@@ -164,3 +164,81 @@ def test_prefix_cache_lru_eviction():
     srv.drain()
     got, ended = _collect(req)
     assert ended and got == ref
+
+
+def _draft_setup():
+    from a_nice_rag_tpu.models.decoder import init_decoder as _init
+
+    dcfg = small_lm_config(num_layers=1, hidden_size=64, num_heads=2,
+                           num_kv_heads=1, head_dim=32,
+                           intermediate_size=128)
+    return _init(dcfg, seed=7)
+
+
+def test_speculative_server_matches_single_stream():
+    """Batched speculation (draft proposes, target verifies, every slot
+    at its own offset in one dispatch) must leave every greedy stream
+    bit-identical to target-only decoding — including staggered
+    admission and slot reuse, where per-slot accept counts differ."""
+    model, params = _setup()
+    draft, dparams = _draft_setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128,
+                           draft_model=draft, draft_params=dparams,
+                           gamma=3)
+    prompts = [
+        list(range(10, 22)),
+        [256, 40, 41],
+        list(range(60, 84)),  # waits for a retired slot
+    ]
+    budgets = [9, 17, 5]
+    reqs = [srv.submit(p, b) for p, b in zip(prompts, budgets)]
+    srv.tick()
+    late = srv.submit([256, 7, 8, 9], 12)  # admitted mid-flight
+    srv.drain()
+    checks = list(zip(prompts + [[256, 7, 8, 9]], budgets + [12],
+                      reqs + [late]))
+    for p, b, req in checks:
+        ref = list(generate_stream(model, params, p, max_new_tokens=b))
+        got, ended = _collect(req)
+        assert ended and got == ref, (p[:2], ref, got)
+
+
+def test_speculative_server_self_draft_full_accept():
+    """With draft == target every greedy proposal verifies, so each
+    tick advances an active row by exactly gamma+1 tokens."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=128,
+                           draft_model=model, draft_params=params,
+                           gamma=4)
+    req = srv.submit(list(range(10, 20)), 11)
+    srv.tick()  # admission (1 token) + first spec round
+    assert req.emitted == 1 + 5
+    srv.drain()
+    got, ended = _collect(req)
+    ref = list(generate_stream(model, params, list(range(10, 20)),
+                               max_new_tokens=11))
+    assert ended and got == ref
+
+
+def test_speculative_server_capacity_guard_and_sampled_smoke():
+    model, params = _setup()
+    draft, dparams = _draft_setup()
+    srv = GenerationServer(model, params, slots=1, max_len=32,
+                           draft_model=draft, draft_params=dparams,
+                           gamma=4)
+    try:
+        srv.submit(list(range(20)), 10)  # 20 + 10 + 4 > 32
+        raise AssertionError("spec capacity guard did not trip")
+    except ValueError:
+        pass
+    srv2 = GenerationServer(model, params, slots=2, max_len=96,
+                            temperature=0.8, top_k=40,
+                            draft_model=draft, draft_params=dparams,
+                            gamma=3, seed=3)
+    reqs = [srv2.submit(list(range(10 + i, 18 + i)), 9)
+            for i in range(3)]
+    srv2.drain()
+    for req in reqs:
+        got, ended = _collect(req)
+        assert ended and 0 <= len(got) <= 9
+        assert all(0 <= t < 260 for t in got)

@@ -283,3 +283,63 @@ def test_serve_cli_local_llm_surface(corpus_index):
     finally:
         api.gen_server.stop()
         srv.shutdown()
+
+
+def test_serve_cli_draft_ckpt_wiring(corpus_index, monkeypatch, tmp_path):
+    """--draft-ckpt plumbs a draft model into the GenerationServer
+    (speculative mode) and enforces vocab match with the target."""
+    from a_nice_rag_tpu.models import qwen3 as qwen3_mod
+    from a_nice_rag_tpu.models.decoder import (
+        init_decoder,
+        small_lm_config,
+    )
+    from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
+    from a_nice_rag_tpu.serving.serve_cli import build_local_llm_api
+
+    c, idx = corpus_index
+    emb_dim = int(idx.dense_matrix("voyage-3-large").shape[1])
+    embedder = OnDeviceEmbedder(EncoderConfig(
+        n_layers=1, dim=32, out_dim=emb_dim, vocab_size=1024, n_heads=2,
+    ))
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True,
+                        embedder=embedder)
+
+    dcfg = small_lm_config(num_layers=1, hidden_size=64, num_heads=2,
+                           num_kv_heads=1, head_dim=32,
+                           intermediate_size=128)
+    _, dparams = init_decoder(dcfg, seed=3)
+
+    def fake_loader(path, **kw):
+        assert path == "fake-draft-dir"
+        return dcfg, None, dparams
+
+    monkeypatch.setattr(qwen3_mod, "load_qwen3_checkpoint_dir",
+                        fake_loader)
+    api = build_local_llm_api(idx, state, embedder, ("voyage-3-large",),
+                              gen_slots=2, gen_chunk=4, gen_max_len=640,
+                              draft_ckpt="fake-draft-dir", gamma=3)
+    gen = api.gen_server
+    try:
+        assert gen.draft is not None and gen.gamma == 3
+        # The demo target and the draft share the byte vocab, so the
+        # spec tick really decodes.
+        text = "".join(gen.stream_text("hello", max_new_tokens=6))
+        assert isinstance(text, str)
+    finally:
+        gen.stop()
+
+    # Vocab mismatch is refused.
+    bad_cfg = small_lm_config(vocab_size=512, num_layers=1,
+                              hidden_size=64, num_heads=2,
+                              num_kv_heads=1, head_dim=32,
+                              intermediate_size=128)
+    _, bad_params = init_decoder(bad_cfg, seed=4)
+    monkeypatch.setattr(qwen3_mod, "load_qwen3_checkpoint_dir",
+                        lambda path, **kw: (bad_cfg, None, bad_params))
+    import pytest
+
+    with pytest.raises(SystemExit):
+        build_local_llm_api(idx, state, embedder, ("voyage-3-large",),
+                            gen_slots=2, gen_chunk=4, gen_max_len=640,
+                            draft_ckpt="fake-draft-dir")

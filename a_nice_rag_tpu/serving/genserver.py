@@ -31,6 +31,14 @@ Use ``tick()`` directly for deterministic stepping (tests, embedding
 into an existing loop), or ``start()`` for a background thread feeding
 per-request token queues (the HTTP /v1/generate SSE path).
 
+``prefill_chunk=C`` turns admission into **incremental (chunked)
+prefill**: a long prompt runs C tokens per tick into partial
+full-length rows carried between ticks, interleaved with the decode
+dispatches, so active streams never stall longer than one chunk's
+forward (admission otherwise blocks the tick for the whole prompt's
+prefill). The chunked forward is the same computation in pieces —
+streams are identical to whole-prompt prefill (pinned).
+
 Passing ``draft_model=/draft_params=`` switches the decode tick to
 **batched speculative decoding**: the draft proposes ``gamma`` tokens
 per slot (a [S]-row scan at per-row offsets), the target verifies all
@@ -91,12 +99,21 @@ class GenerationServer:
         draft_model=None,
         draft_params=None,
         gamma: int = 4,
+        prefill_chunk: Optional[int] = None,
     ):
         self.model, self.params = model, params
         self.slots, self.smax, self.chunk = slots, max_len, chunk
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.eos_id = eos_id
         self.min_bucket = min_prefill_bucket
+        # Chunked (incremental) prefill: a long prompt is prefilled
+        # ``prefill_chunk`` tokens per tick into PARTIAL full-length
+        # rows carried between ticks, interleaved with decode
+        # dispatches, so admission never stalls active streams for
+        # longer than one chunk's forward. One prefill in flight at a
+        # time (bounds the extra row memory to one slot's worth).
+        self.prefill_chunk = prefill_chunk
+        self._pf: Optional[dict] = None
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._active: List[Optional[_Request]] = [None] * slots
         self._lock = threading.Lock()
@@ -173,6 +190,35 @@ class GenerationServer:
             return tok, kc, vc
 
         self._prefill_suffix = jax.jit(_prefill_suffix)
+
+        def _prefill_step(prm, kr, vr, ids, offset):
+            """One chunk of an incremental prefill: run ``ids`` [1, C]
+            at absolute cache offset ``offset`` over partial rows."""
+            logits, kr, vr = model.apply(prm, ids, kr, vr, offset)
+            return logits, kr, vr
+
+        self._prefill_step = jax.jit(_prefill_step)
+
+        def _install_rows(kc, vc, kr, vr, slot):
+            kc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(kc, kr)
+            ]
+            vc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(vc, vr)
+            ]
+            return kc, vc
+
+        self._install_rows = jax.jit(_install_rows)
+
+        def _sample_local(logits, length, key):
+            last = jnp.take_along_axis(
+                logits, (length - 1)[None, None, None], axis=1
+            )[:, 0]
+            return sample_logits(last, key, t, k, p)[0]
+
+        self._sample_local = jax.jit(_sample_local)
         # prefix tuple -> (krows, vrows) device arrays; insertion order
         # doubles as LRU order.
         self._prefix_cache: dict = {}
@@ -335,6 +381,16 @@ class GenerationServer:
         for slot in range(self.slots):
             if self._active[slot] is not None:
                 continue
+            if self.prefill_chunk is not None:
+                if self._pf is not None:
+                    break  # one incremental prefill in flight at a time
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                self._start_chunked_prefill(req, slot)
+                admitted += 1
+                continue
             try:
                 req = self._pending.get_nowait()
             except queue.Empty:
@@ -395,6 +451,79 @@ class GenerationServer:
             admitted += 1
         return admitted
 
+    def _start_chunked_prefill(self, req: _Request, slot: int) -> None:
+        """Reserve ``slot`` and set up the incremental prefill state;
+        ``_advance_prefill`` runs one chunk per tick until done. The
+        slot's ``done`` flag stays True so decode dispatches freeze its
+        row until the prefill installs real state."""
+        cfg = self.model.cfg
+        hit = self._longest_cached_prefix(req.prompt_ids)
+        if hit is not None:
+            rows = self._prefix_cache.pop(hit)
+            self._prefix_cache[hit] = rows  # refresh LRU position
+            kr, vr = rows  # apply() is functional: originals stay valid
+            done = len(hit)
+            self.prefix_hits += 1
+        else:
+            row_shape = (1, self.smax, cfg.num_kv_heads, cfg.head_dim)
+            kr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            vr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            done = 0
+        req.slot = slot
+        self._active[slot] = req
+        self._pf = dict(req=req, slot=slot, kr=kr, vr=vr, done=done,
+                        n=len(req.prompt_ids))
+
+    def _advance_prefill(self) -> None:
+        """Run ONE prefill chunk of the in-flight incremental prefill;
+        on the final chunk, sample the first token and install the
+        rows — from then on the slot decodes like any other."""
+        if self._pf is None:
+            return
+        pf = self._pf
+        c = self.prefill_chunk
+        off = pf["done"]
+        real = min(c, pf["n"] - off)
+        ids = np.full((1, c), PAD, np.int32)
+        ids[0, :real] = pf["req"].prompt_ids[off:off + real]
+        logits, pf["kr"], pf["vr"] = self._prefill_step(
+            self.params, pf["kr"], pf["vr"], jnp.asarray(ids),
+            jnp.int32(off),
+        )
+        pf["done"] = off + real
+        if pf["done"] < pf["n"]:
+            return
+        slot, req = pf["slot"], pf["req"]
+        self._key, sub = jax.random.split(self._key)
+        tok0 = self._sample_local(logits, jnp.int32(real), sub)
+        self._kc, self._vc = self._install_rows(
+            self._kc, self._vc, pf["kr"], pf["vr"], jnp.int32(slot)
+        )
+        if self.draft is not None:
+            # The draft prefills its (cheap) full-prompt forward in one
+            # dispatch at completion.
+            bucket_d = self._bucket(pf["n"])
+            ids_d = np.full((1, bucket_d), PAD, np.int32)
+            ids_d[0, :pf["n"]] = req.prompt_ids
+            self._dkc, self._dvc = self._prefill_draft(
+                self.draft_params, self._dkc, self._dvc,
+                jnp.asarray(ids_d), jnp.int32(slot),
+            )
+        self._pf = None
+        self._tok = self._tok.at[slot].set(tok0)
+        self._pos = self._pos.at[slot].set(pf["n"])
+        self._done = self._done.at[slot].set(tok0 == self.eos_id)
+        first = int(tok0)
+        if first != self.eos_id:
+            req.out.put(first)
+            req.emitted = 1
+            if req.emitted >= req.max_new_tokens:
+                self._retire(slot)
+        else:
+            self._retire(slot)
+
     def _retire(self, slot: int) -> None:
         req = self._active[slot]
         if req is not None:
@@ -407,7 +536,13 @@ class GenerationServer:
         to request queues. Safe to call with no active work (no-op)."""
         with self._lock:
             self._admit()
-            if self.n_active == 0:
+            self._advance_prefill()
+            pf_slot = self._pf["slot"] if self._pf is not None else -1
+            decoding = sum(
+                r is not None and s != pf_slot
+                for s, r in enumerate(self._active)
+            )
+            if decoding == 0:
                 return 0
             if self.draft is not None:
                 (out, m, self._tok, self._kc, self._vc, self._dkc,
@@ -430,8 +565,8 @@ class GenerationServer:
             emitted = 0
             for slot in range(self.slots):
                 req = self._active[slot]
-                if req is None:
-                    continue
+                if req is None or slot == pf_slot:
+                    continue  # frozen mid-prefill: its row emits junk
                 for t in rows[slot]:
                     t = int(t)
                     if t == self.eos_id:

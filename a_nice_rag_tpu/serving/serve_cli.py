@@ -399,6 +399,10 @@ def main(argv=None) -> None:
                         "stay bit-identical to target-only)")
     p.add_argument("--gamma", type=int, default=4,
                    help="draft proposals per speculation round")
+    p.add_argument("--prefill-chunk", type=int, default=None,
+                   help="incremental prefill: admit long prompts "
+                        "N tokens per decode tick so active streams "
+                        "never stall longer than one chunk's forward")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -459,6 +463,7 @@ def main(argv=None) -> None:
             llm_ckpt=args.llm_ckpt, gen_slots=args.gen_slots,
             gen_chunk=args.gen_chunk, gen_max_len=args.gen_max_len,
             draft_ckpt=args.draft_ckpt, gamma=args.gamma,
+            prefill_chunk=args.prefill_chunk,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
@@ -466,7 +471,8 @@ def main(argv=None) -> None:
 def build_local_llm_api(index, state, embedder, model_names,
                         llm_ckpt=None, gen_slots: int = 4,
                         gen_chunk: int = 8, gen_max_len: int = 1024,
-                        draft_ckpt=None, gamma: int = 4):
+                        draft_ckpt=None, gamma: int = 4,
+                        prefill_chunk=None):
     """Attach the on-device decoder LM to this deployment: a
     continuous-batching GenerationServer shared by /v1/generate and the
     RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
@@ -514,7 +520,7 @@ def build_local_llm_api(index, state, embedder, model_names,
     gen = GenerationServer(lm, lm_params, slots=gen_slots,
                            max_len=gen_max_len, chunk=gen_chunk,
                            draft_model=draft, draft_params=draft_params,
-                           gamma=gamma)
+                           gamma=gamma, prefill_chunk=prefill_chunk)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
                                max_prompt_tokens=max(
                                    64, gen_max_len - 256))

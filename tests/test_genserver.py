@@ -242,3 +242,67 @@ def test_speculative_server_capacity_guard_and_sampled_smoke():
         got, ended = _collect(req)
         assert ended and 0 <= len(got) <= 9
         assert all(0 <= t < 260 for t in got)
+
+
+def test_chunked_prefill_matches_unchunked():
+    """prefill_chunk=C prefills C tokens per tick into partial rows;
+    the resulting streams must be identical to whole-prompt prefill."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=256,
+                           chunk=4, prefill_chunk=16)
+    prompts = [
+        list(range(10, 60)),   # 50 tokens: 4 chunks
+        [256, 3, 4],           # shorter than one chunk
+        list(range(5, 40)),    # waits for a slot, 3 chunks
+    ]
+    budgets = [9, 12, 7]
+    reqs = [srv.submit(p, b) for p, b in zip(prompts, budgets)]
+    srv.drain()
+    for p, b, req in zip(prompts, budgets, reqs):
+        ref = list(generate_stream(model, params, p, max_new_tokens=b))
+        got, ended = _collect(req)
+        assert ended and got == ref, (len(p), ref, got)
+
+
+def test_chunked_prefill_does_not_stall_active_streams():
+    """While a long prompt prefills chunk-by-chunk, already-active
+    streams keep emitting every tick (the whole point)."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=256,
+                           chunk=4, prefill_chunk=8)
+    p1 = [256, 5, 6, 7]
+    r1 = srv.submit(p1, 60)
+    srv.tick()  # admits + completes p1's (single-chunk) prefill, decodes
+    assert r1.emitted >= 1
+    p2 = list(range(10, 74))  # 64 tokens = 8 chunks
+    r2 = srv.submit(p2, 6)
+    for _ in range(7):  # prefill in progress the whole time
+        before = r1.emitted
+        srv.tick()
+        assert r1.emitted > before, "active stream stalled during prefill"
+        assert r2.emitted == 0
+    srv.drain()
+    ref1 = list(generate_stream(model, params, p1, max_new_tokens=60))
+    ref2 = list(generate_stream(model, params, p2, max_new_tokens=6))
+    got1, _ = _collect(r1)
+    got2, _ = _collect(r2)
+    assert got1 == ref1 and got2 == ref2
+
+
+def test_chunked_prefill_with_prefix_cache_and_draft():
+    """Chunked prefill composes with prefix caching (only the suffix is
+    chunked) and with speculative decode (draft prefills on completion)."""
+    model, params = _setup()
+    draft, dparams = _draft_setup()
+    srv = GenerationServer(model, params, slots=2, max_len=256,
+                           prefill_chunk=8, draft_model=draft,
+                           draft_params=dparams, gamma=3)
+    prefix = list(range(30, 62))  # 32 tokens
+    srv.cache_prefix(prefix)
+    prompt = prefix + [256, 9, 8, 7]
+    req = srv.submit(prompt, 10)
+    srv.drain()
+    assert srv.prefix_hits == 1
+    got, ended = _collect(req)
+    ref = list(generate_stream(model, params, prompt, max_new_tokens=10))
+    assert ended and got == ref

@@ -107,13 +107,28 @@ class GenerationServer:
         self.eos_id = eos_id
         self.min_bucket = min_prefill_bucket
         # Chunked (incremental) prefill: a long prompt is prefilled
-        # ``prefill_chunk`` tokens per tick into PARTIAL full-length
-        # rows carried between ticks, interleaved with decode
-        # dispatches, so admission never stalls active streams for
-        # longer than one chunk's forward. One prefill in flight at a
-        # time (bounds the extra row memory to one slot's worth).
+        # ``prefill_chunk`` tokens per tick into PARTIAL rows carried
+        # between ticks, interleaved with decode dispatches, so
+        # admission never stalls active streams for longer than one
+        # chunk's forward. One prefill in flight at a time (bounds the
+        # extra row memory to one slot's worth); prompts that fit in a
+        # single chunk still use the one-dispatch whole-prompt prefill
+        # (same latency bound, no head-of-line blocking behind a long
+        # in-flight prefill). Partial rows carry ``prefill_chunk``
+        # positions of slack past max_len so the final chunk's cache
+        # write never clamps (dynamic_update_slice clamps out-of-range
+        # starts, which would silently shift the write backwards and
+        # corrupt the row); the slack is trimmed at install time.
+        if prefill_chunk is not None and not (
+            1 <= prefill_chunk <= max_len
+        ):
+            raise ValueError(
+                f"prefill_chunk must be in [1, max_len={max_len}], "
+                f"got {prefill_chunk}"
+            )
         self.prefill_chunk = prefill_chunk
         self._pf: Optional[dict] = None
+        self._next: Optional[_Request] = None  # FIFO head, re-queued
         self._pending: "queue.Queue[_Request]" = queue.Queue()
         self._active: List[Optional[_Request]] = [None] * slots
         self._lock = threading.Lock()
@@ -129,6 +144,29 @@ class GenerationServer:
         cfg = model.cfg
         t, k, p = temperature, top_k, top_p
 
+        def _install(kc, vc, kr, vr, slot):
+            """Copy row buffers [1, <=Smax, ...] into batch row
+            ``slot`` of the shared caches (traced inline by callers —
+            keeping each admission a single dispatch)."""
+            kr = [r[:, :max_len] for r in kr]
+            vr = [r[:, :max_len] for r in vr]
+            kc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(kc, kr)
+            ]
+            vc = [
+                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
+                for c, r in zip(vc, vr)
+            ]
+            return kc, vc
+
+        def _last_tok(logits, length, key):
+            """Sample from the logits of real token ``length-1``."""
+            last = jnp.take_along_axis(
+                logits, (length - 1)[None, None, None], axis=1
+            )[:, 0]
+            return sample_logits(last, key, t, k, p)[0]
+
         def _prefill(prm, kc, vc, ids, length, slot, key):
             """Prefill ``ids`` [1, P] into cache row ``slot``; returns
             the first sampled token for that row."""
@@ -138,18 +176,8 @@ class GenerationServer:
             vr = [jnp.zeros(row_shape, cfg.dtype)
                   for _ in range(cfg.num_layers)]
             logits, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
-            last = jnp.take_along_axis(
-                logits, (length - 1)[None, None, None], axis=1
-            )[:, 0]
-            tok = sample_logits(last, key, t, k, p)[0]
-            kc = [
-                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                for c, r in zip(kc, kr)
-            ]
-            vc = [
-                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                for c, r in zip(vc, vr)
-            ]
+            tok = _last_tok(logits, length, key)
+            kc, vc = _install(kc, vc, kr, vr, slot)
             return tok, kc, vc
 
         self._prefill = jax.jit(_prefill)
@@ -175,18 +203,8 @@ class GenerationServer:
             over the stored prefix rows, then install the combined row
             into slot ``slot``."""
             logits, kr, vr = model.apply(prm, ids, kr, vr, offset)
-            last = jnp.take_along_axis(
-                logits, (length - 1)[None, None, None], axis=1
-            )[:, 0]
-            tok = sample_logits(last, key, t, k, p)[0]
-            kc = [
-                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                for c, r in zip(kc, kr)
-            ]
-            vc = [
-                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                for c, r in zip(vc, vr)
-            ]
+            tok = _last_tok(logits, length, key)
+            kc, vc = _install(kc, vc, kr, vr, slot)
             return tok, kc, vc
 
         self._prefill_suffix = jax.jit(_prefill_suffix)
@@ -199,26 +217,8 @@ class GenerationServer:
 
         self._prefill_step = jax.jit(_prefill_step)
 
-        def _install_rows(kc, vc, kr, vr, slot):
-            kc = [
-                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                for c, r in zip(kc, kr)
-            ]
-            vc = [
-                jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                for c, r in zip(vc, vr)
-            ]
-            return kc, vc
-
-        self._install_rows = jax.jit(_install_rows)
-
-        def _sample_local(logits, length, key):
-            last = jnp.take_along_axis(
-                logits, (length - 1)[None, None, None], axis=1
-            )[:, 0]
-            return sample_logits(last, key, t, k, p)[0]
-
-        self._sample_local = jax.jit(_sample_local)
+        self._install_rows = jax.jit(_install)
+        self._sample_local = jax.jit(_last_tok)
         # prefix tuple -> (krows, vrows) device arrays; insertion order
         # doubles as LRU order.
         self._prefix_cache: dict = {}
@@ -265,15 +265,7 @@ class GenerationServer:
                       for _ in range(dcfg.num_layers)]
                 _, kr, vr = draft_model.apply(dprm, ids, kr, vr,
                                               jnp.int32(0))
-                dkc = [
-                    jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                    for c, r in zip(dkc, kr)
-                ]
-                dvc = [
-                    jax.lax.dynamic_update_slice(c, r, (slot, 0, 0, 0))
-                    for c, r in zip(dvc, vr)
-                ]
-                return dkc, dvc
+                return _install(dkc, dvc, kr, vr, slot)
 
             self._prefill_draft = jax.jit(_prefill_draft)
 
@@ -375,26 +367,45 @@ class GenerationServer:
 
     # ----------------------------------------------------------- loop
 
+    def _next_request(self) -> Optional[_Request]:
+        """Next pending request in FIFO order (the re-queued head, if
+        any, comes first)."""
+        if self._next is not None:
+            req, self._next = self._next, None
+            return req
+        try:
+            return self._pending.get_nowait()
+        except queue.Empty:
+            return None
+
+    def _has_pending(self) -> bool:
+        return self._next is not None or not self._pending.empty()
+
     def _admit(self) -> int:
         """Prefill pending requests into free slots; returns #admitted."""
         admitted = 0
         for slot in range(self.slots):
             if self._active[slot] is not None:
                 continue
-            if self.prefill_chunk is not None:
+            req = self._next_request()
+            if req is None:
+                break
+            if (
+                self.prefill_chunk is not None
+                and len(req.prompt_ids) > self.prefill_chunk
+            ):
+                # Multi-chunk prompt -> incremental prefill, one in
+                # flight at a time. Single-chunk prompts fall through
+                # to the one-dispatch whole-prompt path below (its
+                # stall is within the chunk-latency bound), so a short
+                # request is never head-of-line blocked behind a long
+                # prefill when free slots exist.
                 if self._pf is not None:
-                    break  # one incremental prefill in flight at a time
-                try:
-                    req = self._pending.get_nowait()
-                except queue.Empty:
+                    self._next = req  # keep FIFO; retry next tick
                     break
                 self._start_chunked_prefill(req, slot)
                 admitted += 1
                 continue
-            try:
-                req = self._pending.get_nowait()
-            except queue.Empty:
-                break
             n = len(req.prompt_ids)
             self._key, sub = jax.random.split(self._key)
             hit = self._longest_cached_prefix(req.prompt_ids)
@@ -457,15 +468,21 @@ class GenerationServer:
         slot's ``done`` flag stays True so decode dispatches freeze its
         row until the prefill installs real state."""
         cfg = self.model.cfg
+        c = self.prefill_chunk
         hit = self._longest_cached_prefix(req.prompt_ids)
         if hit is not None:
             rows = self._prefix_cache.pop(hit)
             self._prefix_cache[hit] = rows  # refresh LRU position
             kr, vr = rows  # apply() is functional: originals stay valid
+            # Slack past max_len so a final chunk starting near the end
+            # of the row never clamps its write (see __init__ note).
+            pad = ((0, 0), (0, c), (0, 0), (0, 0))
+            kr = [jnp.pad(r, pad) for r in kr]
+            vr = [jnp.pad(r, pad) for r in vr]
             done = len(hit)
             self.prefix_hits += 1
         else:
-            row_shape = (1, self.smax, cfg.num_kv_heads, cfg.head_dim)
+            row_shape = (1, self.smax + c, cfg.num_kv_heads, cfg.head_dim)
             kr = [jnp.zeros(row_shape, cfg.dtype)
                   for _ in range(cfg.num_layers)]
             vr = [jnp.zeros(row_shape, cfg.dtype)
@@ -542,6 +559,14 @@ class GenerationServer:
                 r is not None and s != pf_slot
                 for s, r in enumerate(self._active)
             )
+            if decoding == 0 and self._pf is not None:
+                # No active streams to protect from jitter: run the
+                # in-flight prefill to completion now instead of paying
+                # one dispatch round-trip of TTFT per chunk for nothing.
+                while self._pf is not None:
+                    self._advance_prefill()
+                pf_slot = -1
+                decoding = sum(r is not None for r in self._active)
             if decoding == 0:
                 return 0
             if self.draft is not None:
@@ -583,7 +608,7 @@ class GenerationServer:
     def drain(self, max_ticks: int = 10_000) -> None:
         """Tick until no pending and no active requests (tests/CLI)."""
         for _ in range(max_ticks):
-            if self.n_active == 0 and self._pending.empty():
+            if self.n_active == 0 and not self._has_pending():
                 return
             self.tick()
         raise RuntimeError("drain did not converge")
@@ -599,7 +624,7 @@ class GenerationServer:
             import time
 
             while not self._stop.is_set():
-                if self.n_active == 0 and self._pending.empty():
+                if self.n_active == 0 and not self._has_pending():
                     time.sleep(idle_sleep_s)
                     continue
                 self.tick()

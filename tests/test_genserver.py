@@ -289,6 +289,95 @@ def test_chunked_prefill_does_not_stall_active_streams():
     assert got1 == ref1 and got2 == ref2
 
 
+def test_chunked_prefill_near_full_row_no_clamp():
+    """A near-full prompt whose final chunk extends past max_len must
+    still decode exactly: chunk writes land in the partial rows' slack
+    region instead of being clamped backwards (which silently shifted
+    the last tokens and corrupted the row). 250 tokens at chunk=24 puts
+    the final write at offset 240 with extent 264 > max_len=256."""
+    model, params = _setup()
+    prompt = [10 + (i % 200) for i in range(250)]
+    ref = list(generate_stream(model, params, prompt, max_new_tokens=3))
+    srv = GenerationServer(model, params, slots=1, max_len=256,
+                           chunk=4, prefill_chunk=24)
+    req = srv.submit(prompt, 3)
+    srv.drain()
+    got, ended = _collect(req)
+    assert ended and got == ref, (ref, got)
+
+
+def test_chunked_prefill_near_full_row_with_prefix_cache():
+    """Same overflow scenario through the cached-prefix path: the
+    stored prefix rows are padded with slack before chunking resumes
+    at a non-chunk-aligned offset (100 + k*16 reaches 244+16 > 256)."""
+    model, params = _setup()
+    prefix = [30 + (i % 150) for i in range(100)]
+    tail = [256] + [5 + (i % 90) for i in range(149)]
+    prompt = prefix + tail  # 250 tokens
+    ref = list(generate_stream(model, params, prompt, max_new_tokens=3))
+    srv = GenerationServer(model, params, slots=1, max_len=256,
+                           chunk=4, prefill_chunk=16)
+    srv.cache_prefix(prefix)
+    req = srv.submit(prompt, 3)
+    srv.drain()
+    assert srv.prefix_hits == 1
+    got, ended = _collect(req)
+    assert ended and got == ref, (ref, got)
+
+
+def test_prefill_chunk_validation():
+    model, params = _setup()
+    for bad in (0, -4, 129):
+        try:
+            GenerationServer(model, params, max_len=128,
+                             prefill_chunk=bad)
+            raise AssertionError(f"prefill_chunk={bad} accepted")
+        except ValueError:
+            pass
+
+
+def test_short_prompt_not_blocked_behind_long_prefill():
+    """A single-chunk prompt arriving while a long incremental prefill
+    is in flight is admitted via whole-prompt prefill into a free slot
+    instead of waiting for the long prefill to finish."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=3, max_len=256,
+                           chunk=4, prefill_chunk=8)
+    busy_p = [256, 1, 2]
+    r_busy = srv.submit(busy_p, 60)
+    srv.tick()  # slot 0 actively decoding -> prefills stay paced
+    long_p = list(range(10, 74))  # 64 tokens = 8 chunks
+    r_long = srv.submit(long_p, 6)
+    srv.tick()  # starts the chunked prefill (not yet done)
+    assert srv._pf is not None
+    short_p = [256, 5, 6]
+    r_short = srv.submit(short_p, 8)
+    srv.tick()
+    assert srv._pf is not None, "long prefill should still be in flight"
+    assert r_short.emitted >= 1, "short prompt head-of-line blocked"
+    assert r_long.emitted == 0
+    srv.drain()
+    for p, b, req in [(busy_p, 60, r_busy), (long_p, 6, r_long),
+                      (short_p, 8, r_short)]:
+        ref = list(generate_stream(model, params, p, max_new_tokens=b))
+        got, ended = _collect(req)
+        assert ended and got == ref
+
+
+def test_idle_server_runs_prefill_to_completion_in_one_tick():
+    """With no active streams to protect, chunked prefill must not pace
+    itself at one chunk per tick (each tick is a dispatch round-trip):
+    a single tick on an idle server completes the whole prefill and
+    starts decoding."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=256,
+                           chunk=4, prefill_chunk=8)
+    req = srv.submit(list(range(10, 74)), 6)  # 8 chunks
+    srv.tick()
+    assert srv._pf is None
+    assert req.emitted >= 1
+
+
 def test_chunked_prefill_with_prefix_cache_and_draft():
     """Chunked prefill composes with prefix caching (only the suffix is
     chunked) and with speculative decode (draft prefills on completion)."""

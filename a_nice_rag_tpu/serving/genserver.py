@@ -100,8 +100,27 @@ class GenerationServer:
         draft_params=None,
         gamma: int = 4,
         prefill_chunk: Optional[int] = None,
+        mesh=None,
+        tp_axis: str = "tp",
     ):
         self.model, self.params = model, params
+        # Tensor-parallel serving: with ``mesh=`` the params and KV
+        # caches are placed with the Megatron column/row layout
+        # (parallel/lm.py) and every jitted program below compiles to a
+        # GSPMD-partitioned executable — admission, decode ticks, and
+        # speculative rounds all run over the mesh with XLA-inserted
+        # ICI collectives. No other code path changes: greedy streams
+        # are pinned bit-identical to the single-device server
+        # (tests/test_genserver_tp.py).
+        self.mesh, self.tp_axis = mesh, tp_axis
+        if mesh is not None:
+            from a_nice_rag_tpu.parallel.lm import (
+                shard_lm_params,
+                validate_tp_config,
+            )
+
+            validate_tp_config(model.cfg, mesh, tp_axis)
+            self.params = shard_lm_params(params, mesh, tp_axis)
         self.slots, self.smax, self.chunk = slots, max_len, chunk
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.eos_id = eos_id
@@ -136,6 +155,12 @@ class GenerationServer:
         self._stop = threading.Event()
 
         self._kc, self._vc = init_caches(model.cfg, slots, max_len)
+        if mesh is not None:
+            from a_nice_rag_tpu.parallel.lm import shard_lm_caches
+
+            self._kc, self._vc = shard_lm_caches(
+                self._kc, self._vc, mesh, tp_axis
+            )
         self._tok = jnp.zeros((slots,), jnp.int32)
         self._pos = jnp.zeros((slots,), jnp.int32)
         self._done = jnp.ones((slots,), bool)
@@ -249,6 +274,20 @@ class GenerationServer:
             self._dkc, self._dvc = init_caches(
                 draft_model.cfg, slots, max_len
             )
+            if mesh is not None:
+                from a_nice_rag_tpu.parallel.lm import (
+                    shard_lm_caches,
+                    shard_lm_params,
+                    validate_tp_config,
+                )
+
+                validate_tp_config(draft_model.cfg, mesh, tp_axis)
+                self.draft_params = draft_params = shard_lm_params(
+                    draft_params, mesh, tp_axis
+                )
+                self._dkc, self._dvc = shard_lm_caches(
+                    self._dkc, self._dvc, mesh, tp_axis
+                )
             self._spec_tick = _batched_spec_programs(
                 model, draft_model, gamma, t, k, p
             )

@@ -403,6 +403,12 @@ def main(argv=None) -> None:
                    help="incremental prefill: admit long prompts "
                         "N tokens per decode tick so active streams "
                         "never stall longer than one chunk's forward")
+    p.add_argument("--lm-tp", type=int, default=None,
+                   help="tensor-parallel degree for the local LM: "
+                        "shard attention heads / MLP columns and KV "
+                        "caches over the first N devices "
+                        "(parallel/lm.py Megatron layout; streams stay "
+                        "bit-identical to single-device)")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -463,7 +469,7 @@ def main(argv=None) -> None:
             llm_ckpt=args.llm_ckpt, gen_slots=args.gen_slots,
             gen_chunk=args.gen_chunk, gen_max_len=args.gen_max_len,
             draft_ckpt=args.draft_ckpt, gamma=args.gamma,
-            prefill_chunk=args.prefill_chunk,
+            prefill_chunk=args.prefill_chunk, lm_tp=args.lm_tp,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
@@ -472,7 +478,7 @@ def build_local_llm_api(index, state, embedder, model_names,
                         llm_ckpt=None, gen_slots: int = 4,
                         gen_chunk: int = 8, gen_max_len: int = 1024,
                         draft_ckpt=None, gamma: int = 4,
-                        prefill_chunk=None):
+                        prefill_chunk=None, lm_tp=None):
     """Attach the on-device decoder LM to this deployment: a
     continuous-batching GenerationServer shared by /v1/generate and the
     RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
@@ -517,10 +523,25 @@ def build_local_llm_api(index, state, embedder, model_names,
         logger.info("serve: speculative draft loaded from %s "
                     "(%d layers, gamma=%d)", draft_ckpt,
                     d_cfg.num_layers, gamma)
+    mesh = None
+    if lm_tp is not None and lm_tp > 1:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if lm_tp > len(devs):
+            raise SystemExit(
+                f"--lm-tp {lm_tp} > available devices ({len(devs)})"
+            )
+        mesh = Mesh(_np.array(devs[:lm_tp]), ("tp",))
+        logger.info("serve: local LM tensor-parallel over %d devices",
+                    lm_tp)
     gen = GenerationServer(lm, lm_params, slots=gen_slots,
                            max_len=gen_max_len, chunk=gen_chunk,
                            draft_model=draft, draft_params=draft_params,
-                           gamma=gamma, prefill_chunk=prefill_chunk)
+                           gamma=gamma, prefill_chunk=prefill_chunk,
+                           mesh=mesh)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
                                max_prompt_tokens=max(
                                    64, gen_max_len - 256))

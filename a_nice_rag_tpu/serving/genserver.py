@@ -78,6 +78,8 @@ class _Request:
     out: "queue.Queue" = field(default_factory=queue.Queue)
     emitted: int = 0
     slot: int = -1
+    cancelled: bool = False
+    finished: bool = False
 
 
 class GenerationServer:
@@ -249,6 +251,11 @@ class GenerationServer:
         self._prefix_cache: dict = {}
         self.prefix_cache_max = 8
         self.prefix_hits = 0
+        # Serving counters (stats()): decode dispatches, tokens pushed
+        # to request queues, requests cancelled before completion.
+        self.ticks = 0
+        self.tokens_emitted = 0
+        self.cancelled_count = 0
         # Shared with generate_stream/generate_batch: one compiled
         # decode program per (model, sampling, chunk) per process.
         from a_nice_rag_tpu.models.decoder import _decode_programs
@@ -332,19 +339,46 @@ class GenerationServer:
         self._pending.put(req)
         return req
 
+    def cancel(self, req: _Request) -> None:
+        """Abort a request. A pending request is never admitted; an
+        active request's slot is retired immediately (its queue gets
+        the end sentinel) and the next tick decodes without it; an
+        in-flight incremental prefill is dropped. Called automatically
+        when a ``stream()`` consumer closes the generator — e.g. the
+        HTTP SSE handler on client disconnect — so abandoned requests
+        stop consuming decode slots and prefill dispatches."""
+        with self._lock:
+            if req.finished or req.cancelled:
+                return
+            req.cancelled = True
+            self.cancelled_count += 1
+            if req.slot >= 0 and self._active[req.slot] is req:
+                if self._pf is not None and self._pf["req"] is req:
+                    self._pf = None  # drop the in-flight prefill
+                self._retire(req.slot)
+            else:
+                # Still pending (skipped at admission); unblock any
+                # consumer waiting on the queue.
+                req.out.put(_END)
+
     def stream(self, prompt_ids: List[int],
                max_new_tokens: int = 64) -> Iterator[int]:
         """Submit and iterate tokens. Starts the background loop if it
         is not already running (otherwise the get() would deadlock
-        unless another thread is calling tick())."""
+        unless another thread is calling tick()). Closing the generator
+        early (``.close()``, ``break``, client disconnect upstream)
+        cancels the request and frees its slot."""
         if self._thread is None:
             self.start()
         req = self.submit(prompt_ids, max_new_tokens)
-        while True:
-            item = req.out.get()
-            if item is _END:
-                return
-            yield item
+        try:
+            while True:
+                item = req.out.get()
+                if item is _END:
+                    return
+                yield item
+        finally:
+            self.cancel(req)  # no-op if the request finished normally
 
     def stream_text(self, prompt: str, max_new_tokens: int = 64,
                     tokenizer: Optional[ByteTokenizer] = None
@@ -408,14 +442,18 @@ class GenerationServer:
 
     def _next_request(self) -> Optional[_Request]:
         """Next pending request in FIFO order (the re-queued head, if
-        any, comes first)."""
-        if self._next is not None:
-            req, self._next = self._next, None
-            return req
-        try:
-            return self._pending.get_nowait()
-        except queue.Empty:
-            return None
+        any, comes first); requests cancelled while pending are
+        discarded here."""
+        while True:
+            if self._next is not None:
+                req, self._next = self._next, None
+            else:
+                try:
+                    req = self._pending.get_nowait()
+                except queue.Empty:
+                    return None
+            if not req.cancelled:
+                return req
 
     def _has_pending(self) -> bool:
         return self._next is not None or not self._pending.empty()
@@ -494,6 +532,7 @@ class GenerationServer:
             if first != self.eos_id:
                 req.out.put(first)
                 req.emitted = 1
+                self.tokens_emitted += 1
                 if req.emitted >= req.max_new_tokens:
                     self._retire(slot)
             else:
@@ -575,6 +614,7 @@ class GenerationServer:
         if first != self.eos_id:
             req.out.put(first)
             req.emitted = 1
+            self.tokens_emitted += 1
             if req.emitted >= req.max_new_tokens:
                 self._retire(slot)
         else:
@@ -583,6 +623,7 @@ class GenerationServer:
     def _retire(self, slot: int) -> None:
         req = self._active[slot]
         if req is not None:
+            req.finished = True
             req.out.put(_END)
         self._active[slot] = None
         self._done = self._done.at[slot].set(True)
@@ -642,7 +683,32 @@ class GenerationServer:
                     if req.emitted >= req.max_new_tokens:
                         self._retire(slot)
                         break
+            self.ticks += 1
+            self.tokens_emitted += emitted
             return emitted
+
+    def stats(self) -> dict:
+        """Serving counters for the /v1/stats surface: slot occupancy,
+        queue depth, dispatch/token totals, prefix-cache hits, and
+        cancellations."""
+        with self._lock:
+            return {
+                "slots": self.slots,
+                "active": self.n_active,
+                "pending": self._pending.qsize()
+                + (self._next is not None),
+                "max_len": self.smax,
+                "chunk": self.chunk,
+                "ticks": self.ticks,
+                "tokens_emitted": self.tokens_emitted,
+                "prefix_cache_hits": self.prefix_hits,
+                "cancelled": self.cancelled_count,
+                "speculative": self.draft is not None,
+                "tensor_parallel": (
+                    int(self.mesh.shape[self.tp_axis])
+                    if self.mesh is not None else 1
+                ),
+            }
 
     def drain(self, max_ticks: int = 10_000) -> None:
         """Tick until no pending and no active requests (tests/CLI)."""

@@ -60,6 +60,8 @@ def _make_handler(api: "ServingAPI"):
         def do_GET(self):
             if self.path == "/v1/health":
                 self._reply(200, api.health())
+            elif self.path == "/v1/stats":
+                self._reply(200, api.stats())
             elif self.path in ("/", "/ui", "/index.html"):
                 body = api.ui_page().encode("utf-8")
                 self.send_response(200)
@@ -268,6 +270,15 @@ class ServingAPI:
                 "bm25": idx.bm25 is not None,
             }
         return {"status": "ok", "sources": sources}
+
+    def stats(self) -> dict:
+        """Serving counters: the generation server's slot/queue/token
+        totals (genserver.stats()) when one is mounted, else just the
+        health summary."""
+        out = {"status": "ok"}
+        if self.gen_server is not None:
+            out["generation"] = self.gen_server.stats()
+        return out
 
     def search(self, payload: dict) -> dict:
         from a_nice_rag_tpu.config import InfoSource

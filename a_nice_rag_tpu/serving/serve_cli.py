@@ -236,12 +236,17 @@ def _make_handler(state: ServeState, default_weights: Dict[str, float],
                     "models": list(state.retriever.model_names),
                 })
             elif self.path == "/v1/stats":
-                self._reply(200, {
+                out = {
                     "schedulers": state.pool.stats,
                     "health_events": (
                         state.monitor.events[-20:] if state.monitor else []
                     ),
-                })
+                }
+                if api is not None and getattr(
+                    api, "gen_server", None
+                ) is not None:
+                    out["generation"] = api.gen_server.stats()
+                self._reply(200, out)
             elif api is not None:
                 super().do_GET()  # browser UI etc.
             else:

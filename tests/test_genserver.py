@@ -395,3 +395,123 @@ def test_chunked_prefill_with_prefix_cache_and_draft():
     got, ended = _collect(req)
     ref = list(generate_stream(model, params, prompt, max_new_tokens=10))
     assert ended and got == ref
+
+
+def test_cancel_pending_request_never_admitted():
+    """A request cancelled while still queued is discarded at admission
+    (no prefill dispatch) and its consumer is unblocked with the end
+    sentinel; later requests still decode exactly."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=96, chunk=4)
+    r1 = srv.submit([256, 3, 4, 5], 6)
+    r2 = srv.submit(list(range(10, 20)), 6)   # waits behind r1
+    r3 = srv.submit(list(range(40, 50)), 6)   # waits behind r2
+    srv.cancel(r2)
+    srv.drain()
+    got2, ended2 = _collect(r2)
+    assert ended2 and got2 == [] and r2.cancelled
+    for p, req in [([256, 3, 4, 5], r1), (list(range(40, 50)), r3)]:
+        ref = list(generate_stream(model, params, p, max_new_tokens=6))
+        got, ended = _collect(req)
+        assert ended and got == ref
+
+
+def test_cancel_active_request_frees_slot_mid_decode():
+    """Cancelling an active request retires its slot immediately; the
+    other slot's stream is unperturbed and a queued request gets the
+    freed slot."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    p1, p2, p3 = list(range(10, 30)), [256, 7, 8, 9], list(range(50, 60))
+    r1 = srv.submit(p1, 16)
+    r2 = srv.submit(p2, 16)
+    r3 = srv.submit(p3, 8)  # queued: both slots busy
+    srv.tick()
+    assert r1.emitted >= 1 and r2.emitted >= 1 and r3.emitted == 0
+    srv.cancel(r1)
+    assert srv._active[r1.slot] is None  # slot freed immediately
+    srv.drain()
+    got1, ended1 = _collect(r1)
+    ref1 = list(generate_stream(model, params, p1, max_new_tokens=16))
+    assert ended1 and 1 <= len(got1) < 16
+    assert got1 == ref1[: len(got1)]  # a clean prefix, then the sentinel
+    for p, b, req in [(p2, 16, r2), (p3, 8, r3)]:
+        ref = list(generate_stream(model, params, p, max_new_tokens=b))
+        got, ended = _collect(req)
+        assert ended and got == ref
+
+
+def test_stream_generator_close_cancels():
+    """Closing a stream() generator early (what the SSE handler does on
+    client disconnect) cancels the request and frees its slot."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=128, chunk=4)
+    srv.start()
+    try:
+        gen = srv.stream(list(range(10, 20)), 40)
+        got = [next(gen), next(gen)]
+        gen.close()  # consumer walks away after two tokens
+        assert len(got) == 2
+        # The slot must free up for the next request promptly.
+        out = list(srv.stream([256, 4, 5], 5))
+        ref = list(generate_stream(model, params, [256, 4, 5],
+                                   max_new_tokens=5))
+        assert out == ref
+        assert srv.cancelled_count == 1
+    finally:
+        srv.stop()
+
+
+def test_cancel_during_chunked_prefill_drops_inflight():
+    """Cancelling the request whose incremental prefill is in flight
+    drops the partial rows and frees the slot; queued work proceeds."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=256,
+                           chunk=4, prefill_chunk=8)
+    long_p = list(range(10, 74))  # 8 chunks
+    r1 = srv.submit(long_p, 6)
+    r2 = srv.submit([256, 3, 4], 6)
+    # Occupy the loop so prefill paces one chunk per tick: add an
+    # active decode first? slots=1, so instead advance two partial
+    # chunks by hand via tick with pending decode absent -> idle server
+    # completes in one tick. Start the prefill state directly.
+    srv._admit()
+    assert srv._pf is not None and srv._pf["req"] is r1
+    srv._advance_prefill()  # one chunk done, prefill still in flight
+    assert srv._pf is not None
+    srv.cancel(r1)
+    assert srv._pf is None and srv._active[0] is None
+    srv.drain()
+    got1, ended1 = _collect(r1)
+    assert ended1 and got1 == []
+    got2, ended2 = _collect(r2)
+    ref2 = list(generate_stream(model, params, [256, 3, 4],
+                                max_new_tokens=6))
+    assert ended2 and got2 == ref2
+
+
+def test_stats_counters():
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    s0 = srv.stats()
+    assert s0["active"] == 0 and s0["pending"] == 0 and s0["ticks"] == 0
+    r1 = srv.submit([256, 3, 4], 9)
+    r2 = srv.submit(list(range(10, 20)), 9)
+    r3 = srv.submit(list(range(30, 40)), 9)
+    s1 = srv.stats()
+    assert s1["pending"] == 3
+    srv.tick()
+    s2 = srv.stats()
+    assert s2["active"] == 2 and s2["pending"] == 1
+    assert s2["ticks"] == 1 and s2["tokens_emitted"] >= 2
+    srv.cancel(r3)
+    srv.drain()
+    s3 = srv.stats()
+    assert s3["active"] == 0 and s3["pending"] == 0
+    assert s3["cancelled"] == 1
+    assert s3["tokens_emitted"] == r1.emitted + r2.emitted
+    assert s3["slots"] == 2 and s3["speculative"] is False
+    assert s3["tensor_parallel"] == 1
+    for req in (r1, r2):
+        got, ended = _collect(req)
+        assert ended and len(got) == 9

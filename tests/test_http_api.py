@@ -242,3 +242,15 @@ def test_feedback_endpoint(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(port, "/v1/feedback", {"query": "q", "rating": "sideways"})
     assert e.value.code == 400
+
+
+def test_stats_endpoint(server):
+    """/v1/stats without a generation server reports just the status;
+    the generation block appears only when a GenerationServer is
+    mounted (covered in test_serve_cli)."""
+    c, srv, port, fb = server
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/v1/stats", timeout=30
+    ) as resp:
+        out = json.loads(resp.read())
+    assert out["status"] == "ok" and "generation" not in out

@@ -280,6 +280,16 @@ def test_serve_cli_local_llm_surface(corpus_index):
             f"http://127.0.0.1:{port}/ui", timeout=30
         ) as resp:
             assert b"<html" in resp.read()[:200].lower()
+        # /v1/stats merges scheduler counters with generation-server
+        # counters (slots/tokens/cancellations) on the shared port.
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/stats", timeout=30
+        ) as resp:
+            stats = json.loads(resp.read())
+        assert "schedulers" in stats
+        g = stats["generation"]
+        assert g["slots"] == 2 and g["tokens_emitted"] >= 8
+        assert g["active"] == 0 and g["cancelled"] == 0
     finally:
         api.gen_server.stop()
         srv.shutdown()

@@ -304,6 +304,67 @@ def sample_logits(last: jax.Array, key, temperature: float = 0.0,
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
+def truncated_logits_dynamic(last: jax.Array, temperature: jax.Array,
+                             top_k: jax.Array, top_p: jax.Array
+                             ) -> jax.Array:
+    """Per-row runtime sampling knobs: ``temperature``/``top_k``/
+    ``top_p`` are [B] arrays, so one compiled program serves every
+    mix of per-request settings (the static ``truncated_logits`` bakes
+    the knobs into the program — one compile per setting, fine for a
+    single stream, wrong for a continuous-batching server whose slots
+    carry different requests). Row semantics match the static version
+    exactly: ``top_k[b] == 0`` disables top-k, ``top_p[b]`` outside
+    (0, 1) disables nucleus; rows with ``temperature[b] <= 0`` are the
+    caller's problem (``sample_logits_dynamic`` routes them to argmax).
+    """
+    V = last.shape[-1]
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    logits = last / t
+    k = top_k.astype(jnp.int32)
+    use_k = (k > 0) & (k < V)
+    srt = jnp.sort(logits, axis=-1)[:, ::-1]
+    kth = jnp.take_along_axis(
+        srt, jnp.clip(k - 1, 0, V - 1)[:, None], axis=-1
+    )
+    kth = jnp.where(use_k[:, None], kth, -jnp.inf)
+    logits = jnp.where(logits < kth, -jnp.inf, logits)
+    # Nucleus over the post-top-k distribution, mirroring the static
+    # order (top-k first, then the re-sorted cumulative-mass cutoff).
+    srt = jnp.where(srt < kth, -jnp.inf, srt)  # same rows, masked
+    probs = jax.nn.softmax(srt, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = jnp.concatenate(
+        [jnp.zeros_like(cum[:, :1]), cum[:, :-1]], axis=-1
+    ) < top_p[:, None]
+    cutoff = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
+    use_p = (top_p > 0.0) & (top_p < 1.0)
+    cutoff = jnp.where(use_p[:, None], cutoff, -jnp.inf)
+    return jnp.where(logits < cutoff, -jnp.inf, logits)
+
+
+def sample_logits_dynamic(last: jax.Array, key, temperature: jax.Array,
+                          top_k: jax.Array, top_p: jax.Array
+                          ) -> jax.Array:
+    """Per-row sampling with runtime knobs ([B] arrays): greedy rows
+    (``temperature[b] <= 0``) take the argmax; the truncation/sampling
+    work is skipped entirely (lax.cond) when every row is greedy, so a
+    greedy-only server pays nothing for the capability. For rows whose
+    knobs equal a static config, the decision is bit-identical to
+    ``sample_logits`` under the same key (pinned in tests)."""
+    greedy = jnp.argmax(last, axis=-1).astype(jnp.int32)
+
+    def _sampled(_):
+        logits = truncated_logits_dynamic(last, temperature, top_k, top_p)
+        return jax.random.categorical(key, logits, axis=-1).astype(
+            jnp.int32
+        )
+
+    sampled = jax.lax.cond(
+        jnp.any(temperature > 0.0), _sampled, lambda _: greedy, None
+    )
+    return jnp.where(temperature <= 0.0, greedy, sampled)
+
+
 _PROGRAMS: dict = {}
 
 
@@ -375,6 +436,48 @@ def _decode_programs(model: DecoderLM, temperature: float, top_k: int,
     progs = (prefill, step, chunk_steps, prefill_batch)
     _PROGRAMS[key] = progs
     return progs
+
+
+_DYN_PROGRAMS: dict = {}
+
+
+def _decode_programs_dynamic(model: DecoderLM, eos_id: int, chunk: int):
+    """``chunk_steps`` with per-row RUNTIME sampling knobs (temperature
+    / top_k / top_p as [B] array arguments): one compiled program
+    serves every mix of per-request sampling settings in a
+    continuous-batching server, instead of one compile per (t, k, p)
+    tuple. Splits the RNG key exactly like the static program, so
+    all-greedy rows produce bit-identical streams to
+    ``_decode_programs``' chunk_steps."""
+    try:
+        mkey = hash(model)
+    except TypeError:
+        mkey = id(model)
+    key = (mkey, int(eos_id), int(chunk))
+    if key in _DYN_PROGRAMS:
+        return _DYN_PROGRAMS[key]
+
+    @jax.jit
+    def chunk_steps(p, tok, kc, vc, pos, rkey, done, temp, tk, tp):
+        def body(carry, _):
+            tok, kc, vc, pos, rkey, done = carry
+            logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
+            rkey, sub = jax.random.split(rkey)
+            nxt = sample_logits_dynamic(logits[:, -1], sub, temp, tk, tp)
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            frozen = done if pos.ndim else done[0]
+            pos = jnp.where(frozen, pos, pos + 1)
+            done = done | (nxt == eos_id)
+            return (nxt, kc, vc, pos, rkey, done), nxt
+
+        carry, toks = jax.lax.scan(
+            body, (tok, kc, vc, pos, rkey, done), None, length=chunk
+        )
+        tok, kc, vc, pos, rkey, done = carry
+        return toks, tok, kc, vc, pos, rkey, done
+
+    _DYN_PROGRAMS[key] = chunk_steps
+    return chunk_steps
 
 
 def generate_stream(

@@ -65,7 +65,7 @@ from a_nice_rag_tpu.models.decoder import (
     ByteDecoder,
     ByteTokenizer,
     init_caches,
-    sample_logits,
+    sample_logits_dynamic,
 )
 
 _END = object()  # sentinel on a request's token queue
@@ -80,6 +80,12 @@ class _Request:
     slot: int = -1
     cancelled: bool = False
     finished: bool = False
+    # Per-request sampling knobs (resolved to the server defaults at
+    # submit time; carried into the slot's row of the decode program's
+    # runtime sampling vectors).
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 0.0
 
 
 class GenerationServer:
@@ -167,9 +173,16 @@ class GenerationServer:
         self._pos = jnp.zeros((slots,), jnp.int32)
         self._done = jnp.ones((slots,), bool)
         self._key = jax.random.PRNGKey(seed)
+        # Per-slot RUNTIME sampling vectors (host-side; shipped as [S]
+        # arguments into the dynamic decode program each tick, so one
+        # compiled program serves every mix of per-request settings).
+        # Rows default to the server-level knobs; submit() overrides
+        # them per request.
+        self._s_temp = np.full((slots,), temperature, np.float32)
+        self._s_topk = np.full((slots,), top_k, np.int32)
+        self._s_topp = np.full((slots,), top_p, np.float32)
 
         cfg = model.cfg
-        t, k, p = temperature, top_k, top_p
 
         def _install(kc, vc, kr, vr, slot):
             """Copy row buffers [1, <=Smax, ...] into batch row
@@ -187,14 +200,15 @@ class GenerationServer:
             ]
             return kc, vc
 
-        def _last_tok(logits, length, key):
-            """Sample from the logits of real token ``length-1``."""
+        def _last_tok(logits, length, key, t, k, p):
+            """Sample from the logits of real token ``length-1`` with
+            runtime knobs ``t``/``k``/``p`` ([1] arrays)."""
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
             )[:, 0]
-            return sample_logits(last, key, t, k, p)[0]
+            return sample_logits_dynamic(last, key, t, k, p)[0]
 
-        def _prefill(prm, kc, vc, ids, length, slot, key):
+        def _prefill(prm, kc, vc, ids, length, slot, key, t, k, p):
             """Prefill ``ids`` [1, P] into cache row ``slot``; returns
             the first sampled token for that row."""
             row_shape = (1, max_len, cfg.num_kv_heads, cfg.head_dim)
@@ -203,7 +217,7 @@ class GenerationServer:
             vr = [jnp.zeros(row_shape, cfg.dtype)
                   for _ in range(cfg.num_layers)]
             logits, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
-            tok = _last_tok(logits, length, key)
+            tok = _last_tok(logits, length, key, t, k, p)
             kc, vc = _install(kc, vc, kr, vr, slot)
             return tok, kc, vc
 
@@ -224,13 +238,13 @@ class GenerationServer:
         self._prefill_rows = jax.jit(_prefill_rows)
 
         def _prefill_suffix(prm, kc, vc, kr, vr, ids, length, offset,
-                            slot, key):
+                            slot, key, t, k, p):
             """Continue a cached prefix: run ``ids`` [1, P] (the suffix
             bucket, ``length`` real tokens) at cache offset ``offset``
             over the stored prefix rows, then install the combined row
             into slot ``slot``."""
             logits, kr, vr = model.apply(prm, ids, kr, vr, offset)
-            tok = _last_tok(logits, length, key)
+            tok = _last_tok(logits, length, key, t, k, p)
             kc, vc = _install(kc, vc, kr, vr, slot)
             return tok, kc, vc
 
@@ -256,13 +270,11 @@ class GenerationServer:
         self.ticks = 0
         self.tokens_emitted = 0
         self.cancelled_count = 0
-        # Shared with generate_stream/generate_batch: one compiled
-        # decode program per (model, sampling, chunk) per process.
-        from a_nice_rag_tpu.models.decoder import _decode_programs
+        # One compiled decode program per (model, chunk) per process;
+        # sampling knobs are [S] runtime arguments (per-request).
+        from a_nice_rag_tpu.models.decoder import _decode_programs_dynamic
 
-        _, _, self._chunk_steps, _ = _decode_programs(
-            model, t, k, p, eos_id, chunk
-        )
+        self._chunk_steps = _decode_programs_dynamic(model, eos_id, chunk)
 
         # Speculative mode: a draft model proposes gamma tokens per
         # slot, the target verifies every slot's window in ONE batched
@@ -296,7 +308,7 @@ class GenerationServer:
                     self._dkc, self._dvc, mesh, tp_axis
                 )
             self._spec_tick = _batched_spec_programs(
-                model, draft_model, gamma, t, k, p
+                model, draft_model, gamma, temperature, top_k, top_p
             )
             dcfg = draft_model.cfg
 
@@ -318,8 +330,30 @@ class GenerationServer:
     # ------------------------------------------------------------ API
 
     def submit(self, prompt_ids: List[int],
-               max_new_tokens: int = 64) -> _Request:
-        """Enqueue a request; its tokens arrive on ``request.out``."""
+               max_new_tokens: int = 64,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> _Request:
+        """Enqueue a request; its tokens arrive on ``request.out``.
+
+        ``temperature``/``top_k``/``top_p`` override the server-level
+        sampling knobs FOR THIS REQUEST (None = server default): the
+        decode program takes per-slot sampling vectors as runtime
+        arguments, so mixed greedy/sampled batches share one compiled
+        program. Speculative mode verifies against one static target
+        distribution, so per-request overrides are rejected there."""
+        t = self.temperature if temperature is None else float(temperature)
+        k = self.top_k if top_k is None else int(top_k)
+        p = self.top_p if top_p is None else float(top_p)
+        if self.draft is not None and (
+            t != self.temperature or k != self.top_k or p != self.top_p
+        ):
+            raise ValueError(
+                "per-request sampling overrides are not supported in "
+                "speculative mode (the verify step bakes the target "
+                "distribution); construct the server with the desired "
+                "knobs instead"
+            )
         if self.draft is not None:
             # An active row sits at pos = len(prompt) + emitted with
             # emitted <= budget - 1, and a spec round writes
@@ -335,7 +369,8 @@ class GenerationServer:
                 f"prompt({len(prompt_ids)}) + budget({max_new_tokens}) "
                 f"needs {need} cache slots > max_len={self.smax}"
             )
-        req = _Request(list(prompt_ids), max_new_tokens)
+        req = _Request(list(prompt_ids), max_new_tokens,
+                       temperature=t, top_k=k, top_p=p)
         self._pending.put(req)
         return req
 
@@ -362,7 +397,10 @@ class GenerationServer:
                 req.out.put(_END)
 
     def stream(self, prompt_ids: List[int],
-               max_new_tokens: int = 64) -> Iterator[int]:
+               max_new_tokens: int = 64,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               top_p: Optional[float] = None) -> Iterator[int]:
         """Submit and iterate tokens. Starts the background loop if it
         is not already running (otherwise the get() would deadlock
         unless another thread is calling tick()). Closing the generator
@@ -370,7 +408,9 @@ class GenerationServer:
         cancels the request and frees its slot."""
         if self._thread is None:
             self.start()
-        req = self.submit(prompt_ids, max_new_tokens)
+        req = self.submit(prompt_ids, max_new_tokens,
+                          temperature=temperature, top_k=top_k,
+                          top_p=top_p)
         try:
             while True:
                 item = req.out.get()
@@ -381,11 +421,15 @@ class GenerationServer:
             self.cancel(req)  # no-op if the request finished normally
 
     def stream_text(self, prompt: str, max_new_tokens: int = 64,
-                    tokenizer: Optional[ByteTokenizer] = None
-                    ) -> Iterator[str]:
+                    tokenizer: Optional[ByteTokenizer] = None,
+                    temperature: Optional[float] = None,
+                    top_k: Optional[int] = None,
+                    top_p: Optional[float] = None) -> Iterator[str]:
         tok = tokenizer or ByteTokenizer()
         dec = ByteDecoder()
-        for t in self.stream(tok.encode(prompt), max_new_tokens):
+        for t in self.stream(tok.encode(prompt), max_new_tokens,
+                             temperature=temperature, top_k=top_k,
+                             top_p=top_p):
             piece = dec.feed(t)
             if piece:
                 yield piece
@@ -402,6 +446,18 @@ class GenerationServer:
         while b < n:
             b *= 2
         return min(b, self.smax)
+
+    def _set_slot_sampling(self, slot: int, req: _Request) -> None:
+        self._s_temp[slot] = req.temperature
+        self._s_topk[slot] = req.top_k
+        self._s_topp[slot] = req.top_p
+
+    @staticmethod
+    def _row_knobs(req: _Request):
+        """One-row runtime sampling vectors for a prefill program."""
+        return (jnp.full((1,), req.temperature, jnp.float32),
+                jnp.full((1,), req.top_k, jnp.int32),
+                jnp.full((1,), req.top_p, jnp.float32))
 
     def cache_prefix(self, prefix_ids: List[int]) -> None:
         """Precompute and store the KV rows for a shared prompt prefix
@@ -485,6 +541,8 @@ class GenerationServer:
                 continue
             n = len(req.prompt_ids)
             self._key, sub = jax.random.split(self._key)
+            self._set_slot_sampling(slot, req)
+            rt, rk, rp = self._row_knobs(req)
             hit = self._longest_cached_prefix(req.prompt_ids)
             if hit is not None and len(hit) + self._bucket(
                 n - len(hit)
@@ -501,7 +559,7 @@ class GenerationServer:
                 tok0, self._kc, self._vc = self._prefill_suffix(
                     self.params, self._kc, self._vc, kr, vr,
                     jnp.asarray(ids), jnp.int32(len(suffix)),
-                    jnp.int32(L), jnp.int32(slot), sub,
+                    jnp.int32(L), jnp.int32(slot), sub, rt, rk, rp,
                 )
                 self.prefix_hits += 1
             else:
@@ -510,7 +568,7 @@ class GenerationServer:
                 ids[0, :n] = req.prompt_ids
                 tok0, self._kc, self._vc = self._prefill(
                     self.params, self._kc, self._vc, jnp.asarray(ids),
-                    jnp.int32(n), jnp.int32(slot), sub,
+                    jnp.int32(n), jnp.int32(slot), sub, rt, rk, rp,
                 )
             if self.draft is not None:
                 # The draft always prefills the full prompt (its
@@ -568,6 +626,7 @@ class GenerationServer:
             done = 0
         req.slot = slot
         self._active[slot] = req
+        self._set_slot_sampling(slot, req)
         self._pf = dict(req=req, slot=slot, kr=kr, vr=vr, done=done,
                         n=len(req.prompt_ids))
 
@@ -592,7 +651,9 @@ class GenerationServer:
             return
         slot, req = pf["slot"], pf["req"]
         self._key, sub = jax.random.split(self._key)
-        tok0 = self._sample_local(logits, jnp.int32(real), sub)
+        rt, rk, rp = self._row_knobs(req)
+        tok0 = self._sample_local(logits, jnp.int32(real), sub,
+                                  rt, rk, rp)
         self._kc, self._vc = self._install_rows(
             self._kc, self._vc, pf["kr"], pf["vr"], jnp.int32(slot)
         )
@@ -664,6 +725,8 @@ class GenerationServer:
                  self._pos, self._key, self._done) = self._chunk_steps(
                     self.params, self._tok, self._kc, self._vc,
                     self._pos, self._key, self._done,
+                    jnp.asarray(self._s_temp), jnp.asarray(self._s_topk),
+                    jnp.asarray(self._s_topp),
                 )
                 block = np.asarray(toks)  # [chunk, S]
                 rows = [block[:, s] for s in range(self.slots)]

@@ -352,9 +352,17 @@ class ServingAPI:
         prompt = payload.get("prompt")
         if not prompt:
             raise ValueError("'prompt' is required")
+        kw = {}
+        if payload.get("temperature") is not None:
+            kw["temperature"] = float(payload["temperature"])
+        if payload.get("top_k") is not None:
+            kw["top_k"] = int(payload["top_k"])
+        if payload.get("top_p") is not None:
+            kw["top_p"] = float(payload["top_p"])
         return self.gen_server.stream_text(
             str(prompt),
             max_new_tokens=int(payload.get("max_tokens", 64)),
+            **kw,
         )
 
     def generate(self, payload: dict) -> dict:

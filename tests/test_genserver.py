@@ -515,3 +515,78 @@ def test_stats_counters():
     for req in (r1, r2):
         got, ended = _collect(req)
         assert ended and len(got) == 9
+
+
+def test_per_request_sampling_mixed_batch():
+    """A greedy request and sampled requests share one decode program;
+    the greedy stream stays bit-identical to the single-stream
+    reference, and sampled requests with degenerate truncation
+    (top_k=1, or a tiny nucleus) must ALSO equal the greedy stream —
+    an exact end-to-end check of the per-row truncation path."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=3, max_len=128, chunk=4)
+    p1, p2, p3 = list(range(10, 22)), [256, 40, 41], list(range(60, 70))
+    r1 = srv.submit(p1, 9)                                   # greedy
+    r2 = srv.submit(p2, 9, temperature=1.0, top_k=1)         # == greedy
+    r3 = srv.submit(p3, 9, temperature=2.0, top_p=1e-6)      # == greedy
+    srv.drain()
+    for p, req in [(p1, r1), (p2, r2), (p3, r3)]:
+        ref = list(generate_stream(model, params, p, max_new_tokens=9))
+        got, ended = _collect(req)
+        assert ended and got == ref, (p[:2], ref, got)
+
+
+def test_per_request_sampling_is_reproducible_and_per_slot():
+    """Same seed + same submission order -> same sampled streams; a
+    genuinely sampled request (temperature only) produces valid tokens
+    and does not perturb a concurrent greedy stream."""
+    model, params = _setup()
+
+    def run():
+        srv = GenerationServer(model, params, slots=2, max_len=128,
+                               chunk=4, seed=11)
+        g = srv.submit(list(range(10, 20)), 8)
+        s = srv.submit([256, 5, 6], 8, temperature=0.9, top_k=12)
+        srv.drain()
+        return _collect(g)[0], _collect(s)[0]
+
+    g1, s1 = run()
+    g2, s2 = run()
+    assert g1 == g2 and s1 == s2
+    ref = list(generate_stream(model, params, list(range(10, 20)),
+                               max_new_tokens=8))
+    assert g1 == ref                       # greedy row unperturbed
+    assert all(0 <= t < 260 for t in s1)   # sampled row valid
+
+
+def test_per_request_sampling_rejected_in_speculative_mode():
+    model, params = _setup()
+    draft, dparams = _draft_setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128,
+                           draft_model=draft, draft_params=dparams,
+                           gamma=2)
+    try:
+        srv.submit([256, 3], 4, temperature=0.5)
+        raise AssertionError("override accepted in speculative mode")
+    except ValueError:
+        pass
+    # Overrides equal to the server defaults are fine.
+    srv.submit([256, 3], 4, temperature=0.0, top_k=0, top_p=0.0)
+
+
+def test_generate_payload_sampling_knobs():
+    """/v1/generate payload temperature/top_k/top_p reach the server:
+    top_k=1 at temperature 1.0 equals the greedy completion."""
+    from a_nice_rag_tpu.serving.http_api import ServingAPI
+
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    srv.start()
+    try:
+        api = ServingAPI(None, gen_server=srv)
+        greedy = api.generate({"prompt": "hi", "max_tokens": 6})["text"]
+        pinned = api.generate({"prompt": "hi", "max_tokens": 6,
+                               "temperature": 1.0, "top_k": 1})["text"]
+        assert pinned == greedy
+    finally:
+        srv.stop()

@@ -71,6 +71,11 @@ from a_nice_rag_tpu.models.decoder import (
 _END = object()  # sentinel on a request's token queue
 
 
+class ServerBusy(RuntimeError):
+    """Raised by submit() when the pending queue is at max_pending —
+    backpressure for the HTTP surface (mapped to 429)."""
+
+
 @dataclass
 class _Request:
     prompt_ids: List[int]
@@ -86,6 +91,9 @@ class _Request:
     temperature: float = 0.0
     top_k: int = 0
     top_p: float = 0.0
+    # Tokens that terminate the stream like EOS (retired WITHOUT
+    # emitting the stop token itself).
+    stop_token_ids: Optional[frozenset] = None
 
 
 class GenerationServer:
@@ -108,6 +116,7 @@ class GenerationServer:
         draft_params=None,
         gamma: int = 4,
         prefill_chunk: Optional[int] = None,
+        max_pending: Optional[int] = None,
         mesh=None,
         tp_axis: str = "tp",
     ):
@@ -154,6 +163,11 @@ class GenerationServer:
                 f"got {prefill_chunk}"
             )
         self.prefill_chunk = prefill_chunk
+        # Backpressure: submit() raises ServerBusy beyond this many
+        # queued (not-yet-admitted) requests. None = unbounded.
+        if max_pending is not None and max_pending < 1:
+            raise ValueError(f"max_pending must be >= 1, got {max_pending}")
+        self.max_pending = max_pending
         self._pf: Optional[dict] = None
         self._next: Optional[_Request] = None  # FIFO head, re-queued
         self._pending: "queue.Queue[_Request]" = queue.Queue()
@@ -333,7 +347,8 @@ class GenerationServer:
                max_new_tokens: int = 64,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> _Request:
+               top_p: Optional[float] = None,
+               stop_token_ids=None) -> _Request:
         """Enqueue a request; its tokens arrive on ``request.out``.
 
         ``temperature``/``top_k``/``top_p`` override the server-level
@@ -369,8 +384,19 @@ class GenerationServer:
                 f"prompt({len(prompt_ids)}) + budget({max_new_tokens}) "
                 f"needs {need} cache slots > max_len={self.smax}"
             )
+        if self.max_pending is not None and (
+            self._pending.qsize() + (self._next is not None)
+            >= self.max_pending
+        ):
+            raise ServerBusy(
+                f"pending queue full ({self.max_pending}); retry later"
+            )
         req = _Request(list(prompt_ids), max_new_tokens,
-                       temperature=t, top_k=k, top_p=p)
+                       temperature=t, top_k=k, top_p=p,
+                       stop_token_ids=(
+                           frozenset(int(i) for i in stop_token_ids)
+                           if stop_token_ids else None
+                       ))
         self._pending.put(req)
         return req
 
@@ -400,7 +426,8 @@ class GenerationServer:
                max_new_tokens: int = 64,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               top_p: Optional[float] = None) -> Iterator[int]:
+               top_p: Optional[float] = None,
+               stop_token_ids=None) -> Iterator[int]:
         """Submit and iterate tokens. Starts the background loop if it
         is not already running (otherwise the get() would deadlock
         unless another thread is calling tick()). Closing the generator
@@ -410,7 +437,7 @@ class GenerationServer:
             self.start()
         req = self.submit(prompt_ids, max_new_tokens,
                           temperature=temperature, top_k=top_k,
-                          top_p=top_p)
+                          top_p=top_p, stop_token_ids=stop_token_ids)
         try:
             while True:
                 item = req.out.get()
@@ -424,18 +451,60 @@ class GenerationServer:
                     tokenizer: Optional[ByteTokenizer] = None,
                     temperature: Optional[float] = None,
                     top_k: Optional[int] = None,
-                    top_p: Optional[float] = None) -> Iterator[str]:
+                    top_p: Optional[float] = None,
+                    stop: Optional[List[str]] = None,
+                    stop_token_ids=None) -> Iterator[str]:
+        """Text streaming with optional STRING stop sequences: the
+        stream ends just before the earliest match of any ``stop``
+        string (the match itself is never emitted) and the underlying
+        request is cancelled so it stops occupying a decode slot. A
+        holdback of ``max(len(s)) - 1`` characters handles stop strings
+        that straddle token/chunk boundaries."""
         tok = tokenizer or ByteTokenizer()
         dec = ByteDecoder()
-        for t in self.stream(tok.encode(prompt), max_new_tokens,
-                             temperature=temperature, top_k=top_k,
-                             top_p=top_p):
-            piece = dec.feed(t)
-            if piece:
-                yield piece
-        tail = dec.flush()
-        if tail:
-            yield tail
+        gen = self.stream(tok.encode(prompt), max_new_tokens,
+                          temperature=temperature, top_k=top_k,
+                          top_p=top_p, stop_token_ids=stop_token_ids)
+        if not stop:
+            for t in gen:
+                piece = dec.feed(t)
+                if piece:
+                    yield piece
+            tail = dec.flush()
+            if tail:
+                yield tail
+            return
+
+        hold = max(len(s) for s in stop) - 1
+        buf = ""
+
+        def _earliest(text: str) -> int:
+            hits = [text.find(s) for s in stop]
+            hits = [h for h in hits if h >= 0]
+            return min(hits) if hits else -1
+
+        try:
+            for t in gen:
+                piece = dec.feed(t)
+                if not piece:
+                    continue
+                buf += piece
+                cut = _earliest(buf)
+                if cut >= 0:
+                    if buf[:cut]:
+                        yield buf[:cut]
+                    return  # finally closes gen -> cancels the request
+                if len(buf) > hold:
+                    out, buf = buf[: len(buf) - hold], buf[len(buf) - hold:]
+                    yield out
+            buf += dec.flush()
+            cut = _earliest(buf)
+            if cut >= 0:
+                buf = buf[:cut]
+            if buf:
+                yield buf
+        finally:
+            gen.close()
 
     @property
     def n_active(self) -> int:
@@ -446,6 +515,13 @@ class GenerationServer:
         while b < n:
             b *= 2
         return min(b, self.smax)
+
+    def _is_stop(self, req: _Request, token: int) -> bool:
+        """EOS or a per-request stop token: retire without emitting."""
+        return token == self.eos_id or (
+            req.stop_token_ids is not None
+            and token in req.stop_token_ids
+        )
 
     def _set_slot_sampling(self, slot: int, req: _Request) -> None:
         self._s_temp[slot] = req.temperature
@@ -587,7 +663,7 @@ class GenerationServer:
             req.slot = slot
             self._active[slot] = req
             first = int(tok0)
-            if first != self.eos_id:
+            if not self._is_stop(req, first):
                 req.out.put(first)
                 req.emitted = 1
                 self.tokens_emitted += 1
@@ -672,7 +748,7 @@ class GenerationServer:
         self._pos = self._pos.at[slot].set(pf["n"])
         self._done = self._done.at[slot].set(tok0 == self.eos_id)
         first = int(tok0)
-        if first != self.eos_id:
+        if not self._is_stop(req, first):
             req.out.put(first)
             req.emitted = 1
             self.tokens_emitted += 1
@@ -737,7 +813,7 @@ class GenerationServer:
                     continue  # frozen mid-prefill: its row emits junk
                 for t in rows[slot]:
                     t = int(t)
-                    if t == self.eos_id:
+                    if self._is_stop(req, t):
                         self._retire(slot)
                         break
                     req.out.put(t)

@@ -186,6 +186,11 @@ def _make_handler(api: "ServingAPI"):
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — serving boundary
+                from a_nice_rag_tpu.serving.genserver import ServerBusy
+
+                if isinstance(e, ServerBusy):
+                    self._reply(429, {"error": str(e)})
+                    return
                 logger.exception("request failed")
                 self._reply(500, {"error": str(e)})
 
@@ -359,6 +364,15 @@ class ServingAPI:
             kw["top_k"] = int(payload["top_k"])
         if payload.get("top_p") is not None:
             kw["top_p"] = float(payload["top_p"])
+        stop = payload.get("stop")
+        if stop:
+            kw["stop"] = [stop] if isinstance(stop, str) else [
+                str(s) for s in stop
+            ]
+        if payload.get("stop_token_ids"):
+            kw["stop_token_ids"] = [
+                int(i) for i in payload["stop_token_ids"]
+            ]
         return self.gen_server.stream_text(
             str(prompt),
             max_new_tokens=int(payload.get("max_tokens", 64)),

@@ -408,6 +408,9 @@ def main(argv=None) -> None:
                    help="incremental prefill: admit long prompts "
                         "N tokens per decode tick so active streams "
                         "never stall longer than one chunk's forward")
+    p.add_argument("--max-pending", type=int, default=None,
+                   help="backpressure: reject /v1/generate submissions "
+                        "(HTTP 429) beyond this many queued requests")
     p.add_argument("--lm-tp", type=int, default=None,
                    help="tensor-parallel degree for the local LM: "
                         "shard attention heads / MLP columns and KV "
@@ -475,6 +478,7 @@ def main(argv=None) -> None:
             gen_chunk=args.gen_chunk, gen_max_len=args.gen_max_len,
             draft_ckpt=args.draft_ckpt, gamma=args.gamma,
             prefill_chunk=args.prefill_chunk, lm_tp=args.lm_tp,
+            max_pending=args.max_pending,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
@@ -482,6 +486,7 @@ def main(argv=None) -> None:
 def build_local_llm_api(index, state, embedder, model_names,
                         llm_ckpt=None, gen_slots: int = 4,
                         gen_chunk: int = 8, gen_max_len: int = 1024,
+                        max_pending=None,
                         draft_ckpt=None, gamma: int = 4,
                         prefill_chunk=None, lm_tp=None):
     """Attach the on-device decoder LM to this deployment: a
@@ -546,7 +551,7 @@ def build_local_llm_api(index, state, embedder, model_names,
                            max_len=gen_max_len, chunk=gen_chunk,
                            draft_model=draft, draft_params=draft_params,
                            gamma=gamma, prefill_chunk=prefill_chunk,
-                           mesh=mesh)
+                           max_pending=max_pending, mesh=mesh)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
                                max_prompt_tokens=max(
                                    64, gen_max_len - 256))

@@ -590,3 +590,77 @@ def test_generate_payload_sampling_knobs():
         assert pinned == greedy
     finally:
         srv.stop()
+
+
+def test_stop_token_ids_truncate_stream():
+    """A per-request stop token retires the request without emitting
+    the stop token; other requests with no stop set are unaffected."""
+    model, params = _setup()
+    p = list(range(10, 22))
+    ref = list(generate_stream(model, params, p, max_new_tokens=12))
+    # First token that has not occurred earlier in the stream (the
+    # untrained LM repeats tokens; the stop must match at its index).
+    i = next(j for j in range(1, len(ref)) if ref[j] not in ref[:j])
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    r_stop = srv.submit(p, 12, stop_token_ids=[ref[i]])
+    r_full = srv.submit(p, 12)
+    srv.drain()
+    got_s, ended_s = _collect(r_stop)
+    got_f, ended_f = _collect(r_full)
+    assert ended_s and got_s == ref[:i]
+    assert ended_f and got_f == ref
+
+
+def test_stop_strings_in_stream_text():
+    """String stop sequences end the text stream just before the
+    earliest match (the match is never emitted), including matches that
+    straddle chunk boundaries, and cancel the underlying request."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=128, chunk=4)
+    srv.start()
+    try:
+        full = "".join(srv.stream_text("hello", max_new_tokens=24))
+        assert len(full) >= 6
+        # Use a mid-text substring as the stop sequence.
+        cut = len(full) // 2
+        stop = full[cut:cut + 3]
+        first = full.find(stop)  # may appear earlier than `cut`
+        out = "".join(srv.stream_text("hello", max_new_tokens=24,
+                                      stop=[stop]))
+        assert out == full[:first], (full, stop, out)
+        # Multiple stops: the earliest match wins.
+        out2 = "".join(srv.stream_text("hello", max_new_tokens=24,
+                                       stop=[full[cut:cut + 3],
+                                             full[2:4]]))
+        assert out2 == full[:min(first, full.find(full[2:4]))]
+        # A stop that never occurs changes nothing.
+        out3 = "".join(srv.stream_text("hello", max_new_tokens=24,
+                                       stop=["\x00ZZZ\x00"]))
+        assert out3 == full
+    finally:
+        srv.stop()
+
+
+def test_max_pending_backpressure():
+    from a_nice_rag_tpu.serving.genserver import ServerBusy
+
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=1, max_len=96, chunk=4,
+                           max_pending=2)
+    r1 = srv.submit([256, 3, 4], 5)
+    r2 = srv.submit([256, 5, 6], 5)
+    try:
+        srv.submit([256, 7, 8], 5)
+        raise AssertionError("ServerBusy not raised at max_pending")
+    except ServerBusy:
+        pass
+    srv.drain()  # queued work still completes
+    for prompt, req in [([256, 3, 4], r1), ([256, 5, 6], r2)]:
+        ref = list(generate_stream(model, params, prompt,
+                                   max_new_tokens=5))
+        got, ended = _collect(req)
+        assert ended and got == ref
+    # Queue drained: submissions are accepted again.
+    r3 = srv.submit([256, 9], 5)
+    srv.drain()
+    assert _collect(r3)[1]

@@ -254,3 +254,62 @@ def test_stats_endpoint(server):
     ) as resp:
         out = json.loads(resp.read())
     assert out["status"] == "ok" and "generation" not in out
+
+
+def test_generate_backpressure_maps_to_429():
+    """ServerBusy from the generation server surfaces as HTTP 429."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from a_nice_rag_tpu.serving.genserver import ServerBusy
+    from a_nice_rag_tpu.serving.http_api import ServingAPI, _make_handler
+
+    class _BusyServer:
+        def stream_text(self, *a, **kw):
+            raise ServerBusy("pending queue full (1); retry later")
+
+    api = ServingAPI(None, gen_server=_BusyServer())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(api))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        try:
+            _post(port, "/v1/generate", {"prompt": "x"})
+            raise AssertionError("expected HTTP error")
+        except urllib.error.HTTPError as e:
+            assert e.code == 429
+            assert "retry later" in json.loads(e.read())["error"]
+    finally:
+        httpd.shutdown()
+
+
+def test_generate_payload_stop_plumbed():
+    """'stop' (string or list) and 'stop_token_ids' payload keys reach
+    GenerationServer.stream_text."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from a_nice_rag_tpu.serving.http_api import ServingAPI, _make_handler
+
+    seen = {}
+
+    class _Recorder:
+        def stream_text(self, prompt, max_new_tokens, **kw):
+            seen.update(kw, prompt=prompt, max_new_tokens=max_new_tokens)
+            yield "ok"
+
+    api = ServingAPI(None, gen_server=_Recorder())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(api))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        out = _post(port, "/v1/generate", {
+            "prompt": "x", "max_tokens": 7, "stop": "\n\n",
+            "stop_token_ids": [5, 9], "temperature": 0.5,
+        })
+        assert out["text"] == "ok"
+        assert seen["stop"] == ["\n\n"]
+        assert seen["stop_token_ids"] == [5, 9]
+        assert seen["temperature"] == 0.5 and seen["max_new_tokens"] == 7
+    finally:
+        httpd.shutdown()

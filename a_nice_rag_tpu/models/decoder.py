@@ -463,18 +463,25 @@ def _decode_programs_dynamic(model: DecoderLM, eos_id: int, chunk: int):
             tok, kc, vc, pos, rkey, done = carry
             logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
             rkey, sub = jax.random.split(rkey)
-            nxt = sample_logits_dynamic(logits[:, -1], sub, temp, tk, tp)
+            last = logits[:, -1]
+            nxt = sample_logits_dynamic(last, sub, temp, tk, tp)
+            # Chosen-token logprob under the model's RAW distribution
+            # (pre-temperature/truncation — the model-confidence
+            # convention), [S] per step.
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(last, axis=-1), nxt[:, None], axis=-1
+            )[:, 0]
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
             frozen = done if pos.ndim else done[0]
             pos = jnp.where(frozen, pos, pos + 1)
             done = done | (nxt == eos_id)
-            return (nxt, kc, vc, pos, rkey, done), nxt
+            return (nxt, kc, vc, pos, rkey, done), (nxt, lp)
 
-        carry, toks = jax.lax.scan(
+        carry, (toks, lps) = jax.lax.scan(
             body, (tok, kc, vc, pos, rkey, done), None, length=chunk
         )
         tok, kc, vc, pos, rkey, done = carry
-        return toks, tok, kc, vc, pos, rkey, done
+        return toks, lps, tok, kc, vc, pos, rkey, done
 
     _DYN_PROGRAMS[key] = chunk_steps
     return chunk_steps

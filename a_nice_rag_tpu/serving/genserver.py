@@ -94,6 +94,12 @@ class _Request:
     # Tokens that terminate the stream like EOS (retired WITHOUT
     # emitting the stop token itself).
     stop_token_ids: Optional[frozenset] = None
+    # Chosen-token logprobs under the model's raw distribution, one per
+    # emitted token (empty in speculative mode — the verify step does
+    # not surface per-token scores).
+    logprobs: List[float] = field(default_factory=list)
+    # "stop" (EOS / stop token), "length" (budget), or "cancelled".
+    finish_reason: Optional[str] = None
 
 
 class GenerationServer:
@@ -216,11 +222,16 @@ class GenerationServer:
 
         def _last_tok(logits, length, key, t, k, p):
             """Sample from the logits of real token ``length-1`` with
-            runtime knobs ``t``/``k``/``p`` ([1] arrays)."""
+            runtime knobs ``t``/``k``/``p`` ([1] arrays); returns
+            (token, raw-distribution logprob of it)."""
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
             )[:, 0]
-            return sample_logits_dynamic(last, key, t, k, p)[0]
+            tok = sample_logits_dynamic(last, key, t, k, p)
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(last, axis=-1), tok[:, None], axis=-1
+            )[0, 0]
+            return tok[0], lp
 
         def _prefill(prm, kc, vc, ids, length, slot, key, t, k, p):
             """Prefill ``ids`` [1, P] into cache row ``slot``; returns
@@ -231,9 +242,9 @@ class GenerationServer:
             vr = [jnp.zeros(row_shape, cfg.dtype)
                   for _ in range(cfg.num_layers)]
             logits, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
-            tok = _last_tok(logits, length, key, t, k, p)
+            tok, lp = _last_tok(logits, length, key, t, k, p)
             kc, vc = _install(kc, vc, kr, vr, slot)
-            return tok, kc, vc
+            return tok, lp, kc, vc
 
         self._prefill = jax.jit(_prefill)
 
@@ -258,9 +269,9 @@ class GenerationServer:
             over the stored prefix rows, then install the combined row
             into slot ``slot``."""
             logits, kr, vr = model.apply(prm, ids, kr, vr, offset)
-            tok = _last_tok(logits, length, key, t, k, p)
+            tok, lp = _last_tok(logits, length, key, t, k, p)
             kc, vc = _install(kc, vc, kr, vr, slot)
-            return tok, kc, vc
+            return tok, lp, kc, vc
 
         self._prefill_suffix = jax.jit(_prefill_suffix)
 
@@ -412,6 +423,7 @@ class GenerationServer:
             if req.finished or req.cancelled:
                 return
             req.cancelled = True
+            req.finish_reason = "cancelled"
             self.cancelled_count += 1
             if req.slot >= 0 and self._active[req.slot] is req:
                 if self._pf is not None and self._pf["req"] is req:
@@ -505,6 +517,24 @@ class GenerationServer:
                 yield buf
         finally:
             gen.close()
+
+    def complete(self, prompt_ids: List[int],
+                 max_new_tokens: int = 64, **submit_kw) -> dict:
+        """Blocking non-streaming completion. Returns ``tokens``, the
+        per-token raw-distribution ``logprobs`` (empty in speculative
+        mode), and ``finish_reason`` ("stop" | "length" |
+        "cancelled")."""
+        if self._thread is None:
+            self.start()
+        req = self.submit(prompt_ids, max_new_tokens, **submit_kw)
+        toks = []
+        while True:
+            item = req.out.get()
+            if item is _END:
+                break
+            toks.append(item)
+        return {"tokens": toks, "logprobs": list(req.logprobs),
+                "finish_reason": req.finish_reason}
 
     @property
     def n_active(self) -> int:
@@ -632,7 +662,7 @@ class GenerationServer:
                 rows = self._prefix_cache.pop(hit)
                 self._prefix_cache[hit] = rows
                 kr, vr = rows
-                tok0, self._kc, self._vc = self._prefill_suffix(
+                tok0, lp0, self._kc, self._vc = self._prefill_suffix(
                     self.params, self._kc, self._vc, kr, vr,
                     jnp.asarray(ids), jnp.int32(len(suffix)),
                     jnp.int32(L), jnp.int32(slot), sub, rt, rk, rp,
@@ -642,7 +672,7 @@ class GenerationServer:
                 bucket = self._bucket(n)  # n <= smax by submit()
                 ids = np.full((1, bucket), PAD, np.int32)
                 ids[0, :n] = req.prompt_ids
-                tok0, self._kc, self._vc = self._prefill(
+                tok0, lp0, self._kc, self._vc = self._prefill(
                     self.params, self._kc, self._vc, jnp.asarray(ids),
                     jnp.int32(n), jnp.int32(slot), sub, rt, rk, rp,
                 )
@@ -665,12 +695,14 @@ class GenerationServer:
             first = int(tok0)
             if not self._is_stop(req, first):
                 req.out.put(first)
+                if self.draft is None:
+                    req.logprobs.append(float(lp0))
                 req.emitted = 1
                 self.tokens_emitted += 1
                 if req.emitted >= req.max_new_tokens:
-                    self._retire(slot)
+                    self._retire(slot, "length")
             else:
-                self._retire(slot)
+                self._retire(slot, "stop")
             admitted += 1
         return admitted
 
@@ -728,8 +760,8 @@ class GenerationServer:
         slot, req = pf["slot"], pf["req"]
         self._key, sub = jax.random.split(self._key)
         rt, rk, rp = self._row_knobs(req)
-        tok0 = self._sample_local(logits, jnp.int32(real), sub,
-                                  rt, rk, rp)
+        tok0, lp0 = self._sample_local(logits, jnp.int32(real), sub,
+                                       rt, rk, rp)
         self._kc, self._vc = self._install_rows(
             self._kc, self._vc, pf["kr"], pf["vr"], jnp.int32(slot)
         )
@@ -750,17 +782,21 @@ class GenerationServer:
         first = int(tok0)
         if not self._is_stop(req, first):
             req.out.put(first)
+            if self.draft is None:
+                req.logprobs.append(float(lp0))
             req.emitted = 1
             self.tokens_emitted += 1
             if req.emitted >= req.max_new_tokens:
-                self._retire(slot)
+                self._retire(slot, "length")
         else:
-            self._retire(slot)
+            self._retire(slot, "stop")
 
-    def _retire(self, slot: int) -> None:
+    def _retire(self, slot: int, reason: str = "stop") -> None:
         req = self._active[slot]
         if req is not None:
             req.finished = True
+            if req.finish_reason is None:
+                req.finish_reason = reason
             req.out.put(_END)
         self._active[slot] = None
         self._done = self._done.at[slot].set(True)
@@ -796,8 +832,9 @@ class GenerationServer:
                 block = np.asarray(out)  # [S, gamma+1]
                 counts = np.asarray(m)   # [S]
                 rows = [block[s, :counts[s]] for s in range(self.slots)]
+                lp_rows = None  # speculative verify surfaces no scores
             else:
-                (toks, self._tok, self._kc, self._vc,
+                (toks, lps, self._tok, self._kc, self._vc,
                  self._pos, self._key, self._done) = self._chunk_steps(
                     self.params, self._tok, self._kc, self._vc,
                     self._pos, self._key, self._done,
@@ -805,22 +842,26 @@ class GenerationServer:
                     jnp.asarray(self._s_topp),
                 )
                 block = np.asarray(toks)  # [chunk, S]
+                lpb = np.asarray(lps)     # [chunk, S]
                 rows = [block[:, s] for s in range(self.slots)]
+                lp_rows = [lpb[:, s] for s in range(self.slots)]
             emitted = 0
             for slot in range(self.slots):
                 req = self._active[slot]
                 if req is None or slot == pf_slot:
                     continue  # frozen mid-prefill: its row emits junk
-                for t in rows[slot]:
+                for j, t in enumerate(rows[slot]):
                     t = int(t)
                     if self._is_stop(req, t):
-                        self._retire(slot)
+                        self._retire(slot, "stop")
                         break
                     req.out.put(t)
+                    if lp_rows is not None:
+                        req.logprobs.append(float(lp_rows[slot][j]))
                     req.emitted += 1
                     emitted += 1
                     if req.emitted >= req.max_new_tokens:
-                        self._retire(slot)
+                        self._retire(slot, "length")
                         break
             self.ticks += 1
             self.tokens_emitted += emitted

@@ -380,7 +380,42 @@ class ServingAPI:
         )
 
     def generate(self, payload: dict) -> dict:
-        return {"text": "".join(self.generate_stream(payload))}
+        if not payload.get("logprobs"):
+            return {"text": "".join(self.generate_stream(payload))}
+        # Token-level response: text + tokens + per-token logprobs +
+        # finish_reason (string 'stop' sequences are text-level and do
+        # not compose with token-level accounting).
+        if self.gen_server is None:
+            raise ValueError("no generation server attached")
+        if payload.get("stop"):
+            raise ValueError(
+                "'logprobs' does not compose with string 'stop' "
+                "sequences; use 'stop_token_ids'"
+            )
+        from a_nice_rag_tpu.models.decoder import ByteDecoder, ByteTokenizer
+
+        prompt = payload.get("prompt")
+        if not prompt:
+            raise ValueError("'prompt' is required")
+        kw = {}
+        for key, cast in (("temperature", float), ("top_k", int),
+                          ("top_p", float)):
+            if payload.get(key) is not None:
+                kw[key] = cast(payload[key])
+        if payload.get("stop_token_ids"):
+            kw["stop_token_ids"] = [
+                int(i) for i in payload["stop_token_ids"]
+            ]
+        out = self.gen_server.complete(
+            ByteTokenizer().encode(str(prompt)),
+            max_new_tokens=int(payload.get("max_tokens", 64)), **kw,
+        )
+        dec = ByteDecoder()
+        text = "".join(filter(None, map(dec.feed, out["tokens"])))
+        text += dec.flush()
+        return {"text": text, "tokens": out["tokens"],
+                "token_logprobs": out["logprobs"],
+                "finish_reason": out["finish_reason"]}
 
 
 def serve(

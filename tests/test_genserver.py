@@ -664,3 +664,88 @@ def test_max_pending_backpressure():
     r3 = srv.submit([256, 9], 5)
     srv.drain()
     assert _collect(r3)[1]
+
+
+def test_logprobs_and_finish_reason():
+    """Every emitted token carries its raw-distribution logprob; greedy
+    logprobs are the max log-softmax entry; finish_reason reflects how
+    the stream ended."""
+    import jax
+    import jax.numpy as jnp
+
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    p = list(range(10, 22))
+    out = srv.complete(p, 9)
+    srv.stop()
+    assert len(out["logprobs"]) == len(out["tokens"])
+    assert out["finish_reason"] in ("stop", "length")
+    assert all(lp <= 0.0 for lp in out["logprobs"])
+    ref = list(generate_stream(model, params, p, max_new_tokens=9))
+    assert out["tokens"] == ref
+    # Recompute the first decode-step logprob independently: run the
+    # prompt + first token through the raw forward and compare.
+    if len(out["tokens"]) >= 2:
+        ids = jnp.asarray([p + out["tokens"][:1]], jnp.int32)
+        logits = model.apply(params, ids, *__import__(
+            "a_nice_rag_tpu.models.decoder", fromlist=["init_caches"]
+        ).init_caches(model.cfg, 1, 128), jnp.int32(0))[0]
+        lsm = jax.nn.log_softmax(logits[0, -1])
+        expect = float(lsm[out["tokens"][1]])
+        assert abs(out["logprobs"][1] - expect) < 1e-4
+    # finish_reason: budget exhaustion is "length"; cancellation is
+    # "cancelled".
+    srv2 = GenerationServer(model, params, slots=1, max_len=96, chunk=4)
+    r = srv2.submit([256, 3, 4], 2)
+    srv2.drain()
+    got, _ = _collect(r)
+    if len(got) == 2:
+        assert r.finish_reason == "length"
+    else:
+        assert r.finish_reason == "stop"
+    r2 = srv2.submit(list(range(10, 20)), 50)
+    srv2.tick()
+    assert not r2.finished  # still mid-decode (long budget)
+    srv2.cancel(r2)
+    assert r2.finish_reason == "cancelled"
+
+
+def test_complete_with_stop_token_matches_stream():
+    model, params = _setup()
+    p = [256, 40, 41]
+    ref = list(generate_stream(model, params, p, max_new_tokens=10))
+    i = next((j for j in range(1, len(ref)) if ref[j] not in ref[:j]),
+             None)
+    srv = GenerationServer(model, params, slots=1, max_len=96, chunk=4)
+    if i is not None:
+        out = srv.complete(p, 10, stop_token_ids=[ref[i]])
+        assert out["tokens"] == ref[:i]
+        assert out["finish_reason"] == "stop"
+        assert len(out["logprobs"]) == i
+    srv.stop()
+
+
+def test_generate_payload_logprobs():
+    """'logprobs': true returns tokens + per-token logprobs +
+    finish_reason alongside the text."""
+    from a_nice_rag_tpu.serving.http_api import ServingAPI
+
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    srv.start()
+    try:
+        api = ServingAPI(None, gen_server=srv)
+        out = api.generate({"prompt": "hi", "max_tokens": 6,
+                            "logprobs": True})
+        assert len(out["token_logprobs"]) == len(out["tokens"])
+        assert out["finish_reason"] in ("stop", "length")
+        plain = api.generate({"prompt": "hi", "max_tokens": 6})
+        assert out["text"] == plain["text"]
+        try:
+            api.generate({"prompt": "hi", "logprobs": True,
+                          "stop": ["x"]})
+            raise AssertionError("stop+logprobs not rejected")
+        except ValueError:
+            pass
+    finally:
+        srv.stop()

@@ -487,6 +487,71 @@ def _decode_programs_dynamic(model: DecoderLM, eos_id: int, chunk: int):
     return chunk_steps
 
 
+_CON_PROGRAMS: dict = {}
+
+
+def _decode_programs_constrained(model: DecoderLM, eos_id: int,
+                                 chunk: int):
+    """The dynamic ``chunk_steps`` with GUIDED decoding: per-slot DFA
+    constraints (models/constrain.py) applied as logit masks inside the
+    scan, with the automaton state carried on device.
+
+    ``tables`` is the stacked dense next-state tensor
+    ``int32 [n_constraints, max_states, vocab]`` (slot 0 = the identity
+    constraint), ``cid``/``cstate`` the per-row constraint id and DFA
+    state. Each step gathers one table row per slot, masks disallowed
+    tokens to -inf BEFORE sampling (so greedy/top-k/top-p all operate
+    on the allowed set), samples, and advances the state through the
+    same row — no host round-trip mid-chunk. The EOS column encodes
+    acceptance (table[s, eos] == s iff accepting), so a constrained row
+    can only terminate at a complete sentence; reported logprobs stay
+    raw-distribution (pre-mask), the model-confidence convention."""
+    try:
+        mkey = hash(model)
+    except TypeError:
+        mkey = id(model)
+    key = (mkey, int(eos_id), int(chunk))
+    if key in _CON_PROGRAMS:
+        return _CON_PROGRAMS[key]
+
+    @jax.jit
+    def chunk_steps(p, tok, kc, vc, pos, rkey, done, temp, tk, tp,
+                    cid, cstate, tables):
+        nc, sm, v = tables.shape
+        flat = tables.reshape(nc * sm, v)
+
+        def body(carry, _):
+            tok, kc, vc, pos, rkey, done, cstate = carry
+            logits, kc, vc = model.apply(p, tok[:, None], kc, vc, pos)
+            rkey, sub = jax.random.split(rkey)
+            last = logits[:, -1]
+            row = flat[cid * sm + cstate]  # [S, V]
+            masked = jnp.where(row >= 0, last, -jnp.inf)
+            nxt = sample_logits_dynamic(masked, sub, temp, tk, tp)
+            lp = jnp.take_along_axis(
+                jax.nn.log_softmax(last, axis=-1), nxt[:, None], axis=-1
+            )[:, 0]
+            nxt = jnp.where(done, jnp.int32(eos_id), nxt)
+            nstate = jnp.take_along_axis(row, nxt[:, None], axis=-1)[:, 0]
+            # A row finishing THIS step sampled EOS at an accepting
+            # state (row[eos] = state >= 0); frozen rows keep theirs.
+            cstate = jnp.where(done, cstate, jnp.maximum(nstate, 0))
+            frozen = done if pos.ndim else done[0]
+            pos = jnp.where(frozen, pos, pos + 1)
+            done = done | (nxt == eos_id)
+            return (nxt, kc, vc, pos, rkey, done, cstate), (nxt, lp)
+
+        carry, (toks, lps) = jax.lax.scan(
+            body, (tok, kc, vc, pos, rkey, done, cstate), None,
+            length=chunk,
+        )
+        tok, kc, vc, pos, rkey, done, cstate = carry
+        return toks, lps, tok, kc, vc, pos, rkey, done, cstate
+
+    _CON_PROGRAMS[key] = chunk_steps
+    return chunk_steps
+
+
 def generate_stream(
     model: DecoderLM,
     params,

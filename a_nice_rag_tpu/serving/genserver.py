@@ -39,6 +39,15 @@ forward (admission otherwise blocks the tick for the whole prompt's
 prefill). The chunked forward is the same computation in pieces —
 streams are identical to whole-prompt prefill (pinned).
 
+Passing ``constraints={name: spec}`` registers **guided decoding**
+grammars (models/constrain.py: JSON mode, regexes, choice lists): the
+decode tick gathers each slot's DFA row from one stacked on-device
+table, masks the logits before sampling, and carries the automaton
+state in the scan — per-request ``submit(constraint="name")`` makes
+invalid output unsamplable (the structured-output guarantee the
+reference approximates with post-hoc LLM repair,
+reference ragas_modified/prompt.py FixOutputFormat).
+
 Passing ``draft_model=/draft_params=`` switches the decode tick to
 **batched speculative decoding**: the draft proposes ``gamma`` tokens
 per slot (a [S]-row scan at per-row offsets), the target verifies all
@@ -100,6 +109,9 @@ class _Request:
     logprobs: List[float] = field(default_factory=list)
     # "stop" (EOS / stop token), "length" (budget), or "cancelled".
     finish_reason: Optional[str] = None
+    # Name of a server-registered decoding constraint (guided/JSON
+    # mode); None = unconstrained.
+    constraint: Optional[str] = None
 
 
 class GenerationServer:
@@ -125,6 +137,7 @@ class GenerationServer:
         max_pending: Optional[int] = None,
         mesh=None,
         tp_axis: str = "tp",
+        constraints: Optional[dict] = None,
     ):
         self.model, self.params = model, params
         # Tensor-parallel serving: with ``mesh=`` the params and KV
@@ -204,6 +217,56 @@ class GenerationServer:
 
         cfg = model.cfg
 
+        # Guided decoding: ``constraints={name: spec}`` registers
+        # decoding constraints (models/constrain.py specs: a Constraint,
+        # a ByteDFA, a regex string, "json"/"json_object"/"json_array",
+        # or a list of choices). The registry is FIXED at construction —
+        # all tables are padded to a common state count and stacked into
+        # one [NC, Sm, V] tensor (id 0 = unconstrained identity), so the
+        # constrained decode program compiles once and per-request
+        # constraint choice is a runtime [S] id vector. Servers built
+        # without constraints keep the plain dynamic program (no gather
+        # cost).
+        self.constraints = constraints is not None
+        self._cname_to_id: dict = {}
+        if constraints is not None:
+            from a_nice_rag_tpu.models.constrain import (
+                Constraint,
+                compile_constraint,
+                unconstrained,
+            )
+
+            regs = [unconstrained(cfg.vocab_size)]
+            self._cname_to_id = {None: 0, "none": 0}
+            self._cons = [None]
+            for name, spec in constraints.items():
+                con = (
+                    spec
+                    if isinstance(spec, Constraint)
+                    else compile_constraint(
+                        spec, cfg.vocab_size, eos_id, name=name
+                    )
+                )
+                if con.table.shape[1] != cfg.vocab_size:
+                    raise ValueError(
+                        f"constraint {name!r} vocab "
+                        f"{con.table.shape[1]} != model vocab "
+                        f"{cfg.vocab_size}"
+                    )
+                self._cname_to_id[name] = len(regs)
+                regs.append(con)
+                self._cons.append(con)
+            sm = max(c.table.shape[0] for c in regs)
+            stacked = np.full(
+                (len(regs), sm, cfg.vocab_size), -1, np.int32
+            )
+            for i, c in enumerate(regs):
+                stacked[i, : c.table.shape[0]] = c.table
+            self._ctables = jnp.asarray(stacked)
+            self._cstate = jnp.zeros((slots,), jnp.int32)
+            self._s_cid = np.zeros((slots,), np.int32)
+        self._allow_all = jnp.ones((cfg.vocab_size,), bool)
+
         def _install(kc, vc, kr, vr, slot):
             """Copy row buffers [1, <=Smax, ...] into batch row
             ``slot`` of the shared caches (traced inline by callers —
@@ -220,20 +283,24 @@ class GenerationServer:
             ]
             return kc, vc
 
-        def _last_tok(logits, length, key, t, k, p):
+        def _last_tok(logits, length, key, t, k, p, allowed):
             """Sample from the logits of real token ``length-1`` with
-            runtime knobs ``t``/``k``/``p`` ([1] arrays); returns
-            (token, raw-distribution logprob of it)."""
+            runtime knobs ``t``/``k``/``p`` ([1] arrays); ``allowed``
+            ([V] bool — all-true when unconstrained, the constraint's
+            start-state mask otherwise) is applied BEFORE sampling.
+            Returns (token, raw-distribution logprob of it)."""
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
             )[:, 0]
-            tok = sample_logits_dynamic(last, key, t, k, p)
+            masked = jnp.where(allowed[None, :], last, -jnp.inf)
+            tok = sample_logits_dynamic(masked, key, t, k, p)
             lp = jnp.take_along_axis(
                 jax.nn.log_softmax(last, axis=-1), tok[:, None], axis=-1
             )[0, 0]
             return tok[0], lp
 
-        def _prefill(prm, kc, vc, ids, length, slot, key, t, k, p):
+        def _prefill(prm, kc, vc, ids, length, slot, key, t, k, p,
+                     allowed):
             """Prefill ``ids`` [1, P] into cache row ``slot``; returns
             the first sampled token for that row."""
             row_shape = (1, max_len, cfg.num_kv_heads, cfg.head_dim)
@@ -242,7 +309,7 @@ class GenerationServer:
             vr = [jnp.zeros(row_shape, cfg.dtype)
                   for _ in range(cfg.num_layers)]
             logits, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
-            tok, lp = _last_tok(logits, length, key, t, k, p)
+            tok, lp = _last_tok(logits, length, key, t, k, p, allowed)
             kc, vc = _install(kc, vc, kr, vr, slot)
             return tok, lp, kc, vc
 
@@ -263,13 +330,13 @@ class GenerationServer:
         self._prefill_rows = jax.jit(_prefill_rows)
 
         def _prefill_suffix(prm, kc, vc, kr, vr, ids, length, offset,
-                            slot, key, t, k, p):
+                            slot, key, t, k, p, allowed):
             """Continue a cached prefix: run ``ids`` [1, P] (the suffix
             bucket, ``length`` real tokens) at cache offset ``offset``
             over the stored prefix rows, then install the combined row
             into slot ``slot``."""
             logits, kr, vr = model.apply(prm, ids, kr, vr, offset)
-            tok, lp = _last_tok(logits, length, key, t, k, p)
+            tok, lp = _last_tok(logits, length, key, t, k, p, allowed)
             kc, vc = _install(kc, vc, kr, vr, slot)
             return tok, lp, kc, vc
 
@@ -296,10 +363,26 @@ class GenerationServer:
         self.tokens_emitted = 0
         self.cancelled_count = 0
         # One compiled decode program per (model, chunk) per process;
-        # sampling knobs are [S] runtime arguments (per-request).
-        from a_nice_rag_tpu.models.decoder import _decode_programs_dynamic
+        # sampling knobs are [S] runtime arguments (per-request). With
+        # a constraint registry, the guided variant (per-slot DFA ids/
+        # states + the stacked table tensor as runtime arguments) is
+        # used instead; unconstrained rows ride its identity row.
+        if self.constraints:
+            from a_nice_rag_tpu.models.decoder import (
+                _decode_programs_constrained,
+            )
 
-        self._chunk_steps = _decode_programs_dynamic(model, eos_id, chunk)
+            self._chunk_steps = _decode_programs_constrained(
+                model, eos_id, chunk
+            )
+        else:
+            from a_nice_rag_tpu.models.decoder import (
+                _decode_programs_dynamic,
+            )
+
+            self._chunk_steps = _decode_programs_dynamic(
+                model, eos_id, chunk
+            )
 
         # Speculative mode: a draft model proposes gamma tokens per
         # slot, the target verifies every slot's window in ONE batched
@@ -359,7 +442,8 @@ class GenerationServer:
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
-               stop_token_ids=None) -> _Request:
+               stop_token_ids=None,
+               constraint: Optional[str] = None) -> _Request:
         """Enqueue a request; its tokens arrive on ``request.out``.
 
         ``temperature``/``top_k``/``top_p`` override the server-level
@@ -367,7 +451,29 @@ class GenerationServer:
         decode program takes per-slot sampling vectors as runtime
         arguments, so mixed greedy/sampled batches share one compiled
         program. Speculative mode verifies against one static target
-        distribution, so per-request overrides are rejected there."""
+        distribution, so per-request overrides are rejected there.
+
+        ``constraint`` names a server-registered decoding constraint
+        (guided/JSON mode — ``GenerationServer(constraints={...})``):
+        every sampled token is masked to what the constraint's DFA
+        allows, so the output always matches the grammar (or ends with
+        finish_reason "length" on budget exhaustion mid-sentence)."""
+        if constraint is not None:
+            if not self.constraints:
+                raise ValueError(
+                    "no constraints registered; construct the server "
+                    "with GenerationServer(constraints={name: spec})"
+                )
+            if constraint not in self._cname_to_id:
+                raise ValueError(
+                    f"unknown constraint {constraint!r}; registered: "
+                    f"{sorted(k for k in self._cname_to_id if k)}"
+                )
+            if self.draft is not None:
+                raise ValueError(
+                    "constrained decoding does not compose with "
+                    "speculative mode (the verify step is unmasked)"
+                )
         t = self.temperature if temperature is None else float(temperature)
         k = self.top_k if top_k is None else int(top_k)
         p = self.top_p if top_p is None else float(top_p)
@@ -407,7 +513,8 @@ class GenerationServer:
                        stop_token_ids=(
                            frozenset(int(i) for i in stop_token_ids)
                            if stop_token_ids else None
-                       ))
+                       ),
+                       constraint=constraint)
         self._pending.put(req)
         return req
 
@@ -439,7 +546,8 @@ class GenerationServer:
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
-               stop_token_ids=None) -> Iterator[int]:
+               stop_token_ids=None,
+               constraint: Optional[str] = None) -> Iterator[int]:
         """Submit and iterate tokens. Starts the background loop if it
         is not already running (otherwise the get() would deadlock
         unless another thread is calling tick()). Closing the generator
@@ -449,7 +557,8 @@ class GenerationServer:
             self.start()
         req = self.submit(prompt_ids, max_new_tokens,
                           temperature=temperature, top_k=top_k,
-                          top_p=top_p, stop_token_ids=stop_token_ids)
+                          top_p=top_p, stop_token_ids=stop_token_ids,
+                          constraint=constraint)
         try:
             while True:
                 item = req.out.get()
@@ -465,7 +574,8 @@ class GenerationServer:
                     top_k: Optional[int] = None,
                     top_p: Optional[float] = None,
                     stop: Optional[List[str]] = None,
-                    stop_token_ids=None) -> Iterator[str]:
+                    stop_token_ids=None,
+                    constraint: Optional[str] = None) -> Iterator[str]:
         """Text streaming with optional STRING stop sequences: the
         stream ends just before the earliest match of any ``stop``
         string (the match itself is never emitted) and the underlying
@@ -476,7 +586,8 @@ class GenerationServer:
         dec = ByteDecoder()
         gen = self.stream(tok.encode(prompt), max_new_tokens,
                           temperature=temperature, top_k=top_k,
-                          top_p=top_p, stop_token_ids=stop_token_ids)
+                          top_p=top_p, stop_token_ids=stop_token_ids,
+                          constraint=constraint)
         if not stop:
             for t in gen:
                 piece = dec.feed(t)
@@ -557,6 +668,29 @@ class GenerationServer:
         self._s_temp[slot] = req.temperature
         self._s_topk[slot] = req.top_k
         self._s_topp[slot] = req.top_p
+        if self.constraints:
+            self._s_cid[slot] = self._cname_to_id.get(req.constraint, 0)
+
+    def _req_allowed(self, req: _Request):
+        """[V] bool first-token mask: the constraint's start-state row
+        (all-true when unconstrained) — prefill programs apply it so
+        the very first sampled token is already guided."""
+        if not self.constraints or req.constraint is None:
+            return self._allow_all
+        con = self._cons[self._cname_to_id[req.constraint]]
+        return jnp.asarray(con.allowed0())
+
+    def _set_slot_cstate(self, slot: int, req: _Request,
+                         first: int) -> None:
+        """Advance the DFA past the prefill's first token (host-side —
+        the numpy table is at hand; decode ticks carry it on device)."""
+        if not self.constraints:
+            return
+        cid = self._cname_to_id.get(req.constraint, 0)
+        ns = 0
+        if cid:
+            ns = max(int(self._cons[cid].table[0, first]), 0)
+        self._cstate = self._cstate.at[slot].set(ns)
 
     @staticmethod
     def _row_knobs(req: _Request):
@@ -666,6 +800,7 @@ class GenerationServer:
                     self.params, self._kc, self._vc, kr, vr,
                     jnp.asarray(ids), jnp.int32(len(suffix)),
                     jnp.int32(L), jnp.int32(slot), sub, rt, rk, rp,
+                    self._req_allowed(req),
                 )
                 self.prefix_hits += 1
             else:
@@ -675,6 +810,7 @@ class GenerationServer:
                 tok0, lp0, self._kc, self._vc = self._prefill(
                     self.params, self._kc, self._vc, jnp.asarray(ids),
                     jnp.int32(n), jnp.int32(slot), sub, rt, rk, rp,
+                    self._req_allowed(req),
                 )
             if self.draft is not None:
                 # The draft always prefills the full prompt (its
@@ -693,6 +829,7 @@ class GenerationServer:
             req.slot = slot
             self._active[slot] = req
             first = int(tok0)
+            self._set_slot_cstate(slot, req, first)
             if not self._is_stop(req, first):
                 req.out.put(first)
                 if self.draft is None:
@@ -761,7 +898,8 @@ class GenerationServer:
         self._key, sub = jax.random.split(self._key)
         rt, rk, rp = self._row_knobs(req)
         tok0, lp0 = self._sample_local(logits, jnp.int32(real), sub,
-                                       rt, rk, rp)
+                                       rt, rk, rp,
+                                       self._req_allowed(req))
         self._kc, self._vc = self._install_rows(
             self._kc, self._vc, pf["kr"], pf["vr"], jnp.int32(slot)
         )
@@ -780,6 +918,7 @@ class GenerationServer:
         self._pos = self._pos.at[slot].set(pf["n"])
         self._done = self._done.at[slot].set(tok0 == self.eos_id)
         first = int(tok0)
+        self._set_slot_cstate(slot, req, first)
         if not self._is_stop(req, first):
             req.out.put(first)
             if self.draft is None:
@@ -833,6 +972,20 @@ class GenerationServer:
                 counts = np.asarray(m)   # [S]
                 rows = [block[s, :counts[s]] for s in range(self.slots)]
                 lp_rows = None  # speculative verify surfaces no scores
+            elif self.constraints:
+                (toks, lps, self._tok, self._kc, self._vc, self._pos,
+                 self._key, self._done, self._cstate) = self._chunk_steps(
+                    self.params, self._tok, self._kc, self._vc,
+                    self._pos, self._key, self._done,
+                    jnp.asarray(self._s_temp), jnp.asarray(self._s_topk),
+                    jnp.asarray(self._s_topp),
+                    jnp.asarray(self._s_cid), self._cstate,
+                    self._ctables,
+                )
+                block = np.asarray(toks)  # [chunk, S]
+                lpb = np.asarray(lps)     # [chunk, S]
+                rows = [block[:, s] for s in range(self.slots)]
+                lp_rows = [lpb[:, s] for s in range(self.slots)]
             else:
                 (toks, lps, self._tok, self._kc, self._vc,
                  self._pos, self._key, self._done) = self._chunk_steps(
@@ -884,6 +1037,9 @@ class GenerationServer:
                 "prefix_cache_hits": self.prefix_hits,
                 "cancelled": self.cancelled_count,
                 "speculative": self.draft is not None,
+                "constraints": sorted(
+                    k for k in self._cname_to_id if k
+                ),
                 "tensor_parallel": (
                     int(self.mesh.shape[self.tp_axis])
                     if self.mesh is not None else 1

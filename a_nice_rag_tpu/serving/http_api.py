@@ -373,11 +373,28 @@ class ServingAPI:
             kw["stop_token_ids"] = [
                 int(i) for i in payload["stop_token_ids"]
             ]
+        con = self._constraint_name(payload)
+        if con is not None:
+            kw["constraint"] = con
         return self.gen_server.stream_text(
             str(prompt),
             max_new_tokens=int(payload.get("max_tokens", 64)),
             **kw,
         )
+
+    @staticmethod
+    def _constraint_name(payload: dict):
+        """Guided decoding: ``"constraint": "<registered name>"``, or
+        the OpenAI-style ``"response_format": {"type": "json_object"}``
+        alias (requires a constraint of that name to be registered on
+        the server — serve_cli --json-mode does so)."""
+        con = payload.get("constraint")
+        rf = payload.get("response_format")
+        if con is None and isinstance(rf, dict):
+            t = rf.get("type")
+            if t in ("json_object", "json_array", "json"):
+                con = t
+        return str(con) if con is not None else None
 
     def generate(self, payload: dict) -> dict:
         if not payload.get("logprobs"):
@@ -406,6 +423,9 @@ class ServingAPI:
             kw["stop_token_ids"] = [
                 int(i) for i in payload["stop_token_ids"]
             ]
+        con = self._constraint_name(payload)
+        if con is not None:
+            kw["constraint"] = con
         out = self.gen_server.complete(
             ByteTokenizer().encode(str(prompt)),
             max_new_tokens=int(payload.get("max_tokens", 64)), **kw,

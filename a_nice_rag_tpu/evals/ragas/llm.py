@@ -288,3 +288,55 @@ class MultimodalJudgeLLM(OpenAICompatJudgeLLM):
                 )
             texts.append(choice["message"]["content"])
         return texts
+
+
+class LocalGuidedJudgeLLM(BaseJudgeLLM):
+    """On-device judge over the continuous-batching GenerationServer
+    with GUIDED decoding: every completion is DFA-masked to the
+    registered constraint (default the bounded-depth JSON grammar,
+    models/constrain.py), so structured outputs ALWAYS parse — the
+    FixOutputFormat repair loop (prompt.py, mirroring the reference's
+    post-hoc LLM repair) becomes a no-op instead of an extra LLM
+    round-trip. Fully local: no API keys, no SaaS.
+
+    The server must have the named constraint registered
+    (``GenerationServer(constraints={"json": "json", ...})``).
+    Truncation (finish_reason == "length": the JSON sentence did not
+    complete within ``max_tokens``) raises LLMDidNotFinishException,
+    matching the REST judges' semantics.
+    """
+
+    def __init__(self, server, constraint: str = "json",
+                 max_tokens: int = 256, tokenizer=None):
+        from a_nice_rag_tpu.models.decoder import ByteTokenizer
+
+        self.server = server
+        self.constraint = constraint
+        self.max_tokens = max_tokens
+        self.tokenizer = tokenizer or ByteTokenizer()
+
+    def _one(self, prompt: str, temperature: float) -> str:
+        from a_nice_rag_tpu.models.decoder import ByteDecoder
+
+        out = self.server.complete(
+            self.tokenizer.encode(prompt),
+            max_new_tokens=self.max_tokens,
+            temperature=float(temperature),
+            constraint=self.constraint,
+        )
+        if out["finish_reason"] != "stop":
+            raise LLMDidNotFinishException(
+                f"finish_reason={out['finish_reason']} "
+                f"(raise max_tokens: the constrained sentence did not "
+                f"complete within {self.max_tokens})"
+            )
+        dec = ByteDecoder()
+        text = "".join(filter(None, map(dec.feed, out["tokens"])))
+        return text + dec.flush()
+
+    async def agenerate(self, prompt, n=1, temperature=1e-8):
+        loop = asyncio.get_running_loop()
+        return list(await asyncio.gather(*[
+            loop.run_in_executor(None, self._one, prompt, temperature)
+            for _ in range(n)
+        ]))

@@ -47,9 +47,12 @@ __all__ = [
     "json_dfa",
     "choice_dfa",
     "literal_dfa",
+    "schema_regex",
+    "schema_dfa",
     "vocab_table",
     "Constraint",
     "compile_constraint",
+    "unconstrained",
 ]
 
 DEAD = -1
@@ -680,3 +683,154 @@ def compile_constraint(
     return Constraint(
         vocab_table(dfa, vocab_size, eos_id, token_bytes), label
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON-Schema front-end (outlines-style): schema -> regex -> DFA
+# ---------------------------------------------------------------------------
+
+_RE_SPECIALS = set("\\.[](){}*+?|^$-")
+_WS_RE = r"[ \t\n\r]*"
+_STR_RE = r'"([^"\\\x00-\x1f]|\\(["\\/bfnrt]|u[0-9a-fA-F]{4}))*"'
+_STR_CHAR_RE = r'([^"\\\x00-\x1f]|\\(["\\/bfnrt]|u[0-9a-fA-F]{4}))'
+_INT_RE = r"-?(0|[1-9][0-9]*)"
+_NUM_RE = r"-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?"
+
+
+def _re_escape(text: str) -> str:
+    out = []
+    for ch in text:
+        b = ord(ch)
+        if ch in _RE_SPECIALS:
+            out.append("\\" + ch)
+        elif b < 0x20:
+            out.append(f"\\x{b:02x}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _any_value_regex(depth: int) -> str:
+    """Generic JSON value at bounded nesting (fallback for untyped /
+    additionalProperties fields)."""
+    scalar = f"({_STR_RE}|{_NUM_RE}|true|false|null)"
+    v = scalar
+    for _ in range(depth):
+        pair = f"{_STR_RE}{_WS_RE}:{_WS_RE}{v}"
+        obj = (f"\\{{{_WS_RE}({pair}({_WS_RE},{_WS_RE}{pair})*)?"
+               f"{_WS_RE}\\}}")
+        arr = (f"\\[{_WS_RE}({v}({_WS_RE},{_WS_RE}{v})*)?"
+               f"{_WS_RE}\\]")
+        v = f"({scalar}|{obj}|{arr})"
+    return v
+
+
+def schema_regex(schema: dict, any_depth: int = 2,
+                 compact: bool = False) -> str:
+    """Regex for JSON documents conforming to a (subset of a) JSON
+    Schema — enough for pydantic ``model_json_schema()`` output:
+    typed scalars, enums/consts, Literal, arrays with min/maxItems,
+    nested objects via $defs/$ref, anyOf/oneOf unions, Optional
+    (null union). Objects emit ALL listed properties in schema order
+    (pydantic accepts any order, so the canonical order always
+    validates); additionalProperties / untyped fields fall back to a
+    generic bounded-depth value.
+    """
+    defs = schema.get("$defs", schema.get("definitions", {}))
+    ws = "" if compact else _WS_RE
+
+    def val(s: dict, depth: int) -> str:
+        if depth > 16:
+            raise ValueError("schema recursion too deep (cyclic $ref?)")
+        if "$ref" in s:
+            name = s["$ref"].split("/")[-1]
+            if name not in defs:
+                raise ValueError(f"unresolved $ref {s['$ref']!r}")
+            return val(defs[name], depth + 1)
+        for key in ("anyOf", "oneOf"):
+            if key in s:
+                return ("(" + "|".join(
+                    val(branch, depth + 1) for branch in s[key]
+                ) + ")")
+        if "allOf" in s and len(s["allOf"]) == 1:
+            return val(s["allOf"][0], depth + 1)
+        if "const" in s:
+            import json as _json
+
+            return _re_escape(_json.dumps(s["const"]))
+        if "enum" in s:
+            import json as _json
+
+            return ("(" + "|".join(
+                _re_escape(_json.dumps(v)) for v in s["enum"]
+            ) + ")")
+        t = s.get("type")
+        if isinstance(t, list):
+            return ("(" + "|".join(
+                val({**s, "type": one}, depth + 1) for one in t
+            ) + ")")
+        if t == "string":
+            lo = s.get("minLength")
+            hi = s.get("maxLength")
+            if lo is None and hi is None:
+                return f"({_STR_RE})"
+            return (f'("{_STR_CHAR_RE}'
+                    + "{" + f"{lo or 0},{hi if hi is not None else ''}"
+                    + '}")')
+        if t == "integer":
+            return f"({_INT_RE})"
+        if t == "number":
+            return f"({_NUM_RE})"
+        if t == "boolean":
+            return "(true|false)"
+        if t == "null":
+            return "(null)"
+        if t == "array":
+            item = val(s.get("items", {}), depth + 1)
+            lo = int(s.get("minItems", 0))
+            hi = s.get("maxItems")
+            if hi is not None:
+                hi = int(hi)
+                if hi == 0:
+                    return f"(\\[{ws}\\])"
+                body = (f"{item}({ws},{ws}{item})"
+                        + "{" + f"{max(lo - 1, 0)},{hi - 1}" + "}")
+                core = f"\\[{ws}{body}{ws}\\]"
+                if lo == 0:
+                    return f"(\\[{ws}\\]|{core})"
+                return f"({core})"
+            body = f"{item}({ws},{ws}{item})*"
+            if lo <= 0:
+                return f"(\\[{ws}({body})?{ws}\\])"
+            req = (f"{item}({ws},{ws}{item})"
+                   + "{" + f"{lo - 1}," + "}")
+            return f"(\\[{ws}{req}{ws}\\])"
+        if t == "object" or "properties" in s:
+            props = s.get("properties")
+            if not props:
+                return _any_value_regex(any_depth)
+            pairs = []
+            for key, sub in props.items():
+                pairs.append(
+                    f'"{_re_escape(key)}"{ws}:{ws}'
+                    + val(sub, depth + 1)
+                )
+            body = f"{ws},{ws}".join(pairs)
+            return f"(\\{{{ws}{body}{ws}\\}})"
+        return _any_value_regex(any_depth)
+
+    return ws + val(schema, 0) + ws
+
+
+def schema_dfa(schema: dict, any_depth: int = 2,
+               compact: bool = False) -> ByteDFA:
+    """Compile a pydantic-style JSON Schema to a ByteDFA: every
+    accepted sentence both parses as JSON AND validates against the
+    schema's types/keys — guided decoding then guarantees
+    ``model_validate_json`` succeeds with zero repair round-trips.
+
+    ``compact=True`` bans inter-token whitespace (canonical compact
+    JSON, which every JSON parser accepts): strictly better for guided
+    GENERATION — whitespace self-loop states otherwise let a weak model
+    burn budget on runs of spaces — and it shrinks the table."""
+    return regex_dfa(schema_regex(schema, any_depth, compact=compact))

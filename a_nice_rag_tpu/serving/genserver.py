@@ -1038,7 +1038,8 @@ class GenerationServer:
                 "cancelled": self.cancelled_count,
                 "speculative": self.draft is not None,
                 "constraints": sorted(
-                    k for k in self._cname_to_id if k
+                    k for k in self._cname_to_id
+                    if k and k != "none"
                 ),
                 "tensor_parallel": (
                     int(self.mesh.shape[self.tp_axis])

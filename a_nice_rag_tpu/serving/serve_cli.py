@@ -411,6 +411,16 @@ def main(argv=None) -> None:
     p.add_argument("--max-pending", type=int, default=None,
                    help="backpressure: reject /v1/generate submissions "
                         "(HTTP 429) beyond this many queued requests")
+    p.add_argument("--json-mode", action="store_true",
+                   help="register guided-decoding JSON constraints on "
+                        "the local LM: /v1/generate then accepts "
+                        "'constraint': 'json'|'json_object'|'json_array' "
+                        "or response_format={'type': 'json_object'} and "
+                        "the output is guaranteed to parse (DFA-masked "
+                        "sampling, models/constrain.py)")
+    p.add_argument("--json-depth", type=int, default=4,
+                   help="max JSON nesting depth for --json-mode (table "
+                        "size grows with depth)")
     p.add_argument("--lm-tp", type=int, default=None,
                    help="tensor-parallel degree for the local LM: "
                         "shard attention heads / MLP columns and KV "
@@ -479,6 +489,7 @@ def main(argv=None) -> None:
             draft_ckpt=args.draft_ckpt, gamma=args.gamma,
             prefill_chunk=args.prefill_chunk, lm_tp=args.lm_tp,
             max_pending=args.max_pending,
+            json_mode=args.json_mode, json_depth=args.json_depth,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
@@ -488,7 +499,8 @@ def build_local_llm_api(index, state, embedder, model_names,
                         gen_chunk: int = 8, gen_max_len: int = 1024,
                         max_pending=None,
                         draft_ckpt=None, gamma: int = 4,
-                        prefill_chunk=None, lm_tp=None):
+                        prefill_chunk=None, lm_tp=None,
+                        json_mode: bool = False, json_depth: int = 4):
     """Attach the on-device decoder LM to this deployment: a
     continuous-batching GenerationServer shared by /v1/generate and the
     RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
@@ -547,11 +559,30 @@ def build_local_llm_api(index, state, embedder, model_names,
         mesh = Mesh(_np.array(devs[:lm_tp]), ("tp",))
         logger.info("serve: local LM tensor-parallel over %d devices",
                     lm_tp)
+    constraints = None
+    if json_mode:
+        if draft is not None:
+            raise SystemExit(
+                "--json-mode does not compose with --draft-ckpt "
+                "(constrained decoding is rejected in speculative mode)"
+            )
+        from a_nice_rag_tpu.models.constrain import json_dfa
+
+        constraints = {
+            "json": json_dfa(max_depth=json_depth),
+            "json_object": json_dfa(max_depth=json_depth,
+                                    top_level="object"),
+            "json_array": json_dfa(max_depth=json_depth,
+                                   top_level="array"),
+        }
+        logger.info("serve: JSON guided decoding registered (depth=%d)",
+                    json_depth)
     gen = GenerationServer(lm, lm_params, slots=gen_slots,
                            max_len=gen_max_len, chunk=gen_chunk,
                            draft_model=draft, draft_params=draft_params,
                            gamma=gamma, prefill_chunk=prefill_chunk,
-                           max_pending=max_pending, mesh=mesh)
+                           max_pending=max_pending, mesh=mesh,
+                           constraints=constraints)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
                                max_prompt_tokens=max(
                                    64, gen_max_len - 256))

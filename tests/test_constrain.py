@@ -177,3 +177,75 @@ def test_compile_constraint_specs():
     r = compile_constraint(r"[0-9]+", 512, 257)
     assert r.table[0, ord("5")] >= 0 and r.table[0, ord("x")] == -1
     assert r.table[0, 257] == -1  # empty string not in [0-9]+
+
+
+def test_schema_dfa_pydantic_roundtrip():
+    """schema_dfa accepts exactly documents that validate against the
+    pydantic model: every accepted fuzz sample validates; type/key
+    violations are rejected at the automaton level."""
+    from typing import List as TList, Optional as TOpt
+
+    from pydantic import BaseModel
+
+    from a_nice_rag_tpu.models.constrain import schema_dfa
+
+    class Verdict(BaseModel):
+        statement: str
+        verdict: int
+
+    class Out(BaseModel):
+        statements: TList[Verdict]
+        score: float
+        ok: bool
+        note: TOpt[str] = None
+
+    dfa = schema_dfa(Out.model_json_schema())
+    good = [
+        '{"statements": [], "score": 1, "ok": true, "note": null}',
+        '{"statements": [{"statement": "a", "verdict": 0}], '
+        '"score": -2.5e3, "ok": false, "note": "x"}',
+    ]
+    bad = [
+        '{"score": 1, "ok": true, "note": null}',  # missing key
+        '{"statements": [], "score": "s", "ok": true, "note": null}',
+        '{"statements": [{"statement": 1, "verdict": 0}], '
+        '"score": 1, "ok": true, "note": null}',  # wrong inner type
+        '{"statements": [], "score": 1, "ok": true, "note": null,}',
+    ]
+    for g in good:
+        assert dfa.matches(g.encode()), g
+        Out.model_validate_json(g)
+    for b in bad:
+        assert not dfa.matches(b.encode()), b
+
+
+def test_schema_dfa_enum_literal_arrays():
+    from a_nice_rag_tpu.models.constrain import schema_dfa
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "label": {"enum": ["yes", "no", 3]},
+            "tags": {"type": "array", "items": {"type": "string"},
+                     "minItems": 1, "maxItems": 2},
+        },
+    }
+    dfa = schema_dfa(schema)
+    assert dfa.matches(b'{"label": "yes", "tags": ["a"]}')
+    assert dfa.matches(b'{"label": 3, "tags": ["a", "b"]}')
+    assert not dfa.matches(b'{"label": "maybe", "tags": ["a"]}')
+    assert not dfa.matches(b'{"label": "yes", "tags": []}')
+    assert not dfa.matches(b'{"label": "yes", "tags": ["a","b","c"]}')
+
+
+def test_schema_dfa_compact_mode():
+    from a_nice_rag_tpu.models.constrain import schema_dfa
+
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer"}}}
+    loose = schema_dfa(schema)
+    tight = schema_dfa(schema, compact=True)
+    assert loose.matches(b'{ "a" : 1 }')
+    assert tight.matches(b'{"a":1}')
+    assert not tight.matches(b'{"a": 1}')  # whitespace banned
+    assert tight.n_states < loose.n_states

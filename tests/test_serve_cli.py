@@ -353,3 +353,45 @@ def test_serve_cli_draft_ckpt_wiring(corpus_index, monkeypatch, tmp_path):
         build_local_llm_api(idx, state, embedder, ("voyage-3-large",),
                             gen_slots=2, gen_chunk=4, gen_max_len=640,
                             draft_ckpt="fake-draft-dir")
+
+
+def test_serve_cli_json_mode(corpus_index):
+    """--json-mode registers JSON guided decoding: /v1/generate with
+    response_format json_object returns text that starts a JSON object
+    and (on natural stop) parses."""
+    from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
+    from a_nice_rag_tpu.serving.serve_cli import build_local_llm_api
+
+    c, idx = corpus_index
+    emb_dim = int(idx.dense_matrix("voyage-3-large").shape[1])
+    embedder = OnDeviceEmbedder(EncoderConfig(
+        n_layers=1, dim=32, out_dim=emb_dim, vocab_size=1024, n_heads=2,
+    ))
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True,
+                        embedder=embedder)
+    api = build_local_llm_api(idx, state, embedder, ("voyage-3-large",),
+                              gen_slots=2, gen_chunk=4, gen_max_len=640,
+                              json_mode=True, json_depth=3)
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True, api=api)
+    try:
+        port = srv.server_address[1]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/generate",
+            data=json.dumps({
+                "prompt": "emit", "max_tokens": 16, "temperature": 1.0,
+                "response_format": {"type": "json_object"},
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            gen = json.loads(resp.read())
+        assert gen["text"].lstrip(" \t\n\r")[:1] == "{"
+        stats = api.gen_server.stats()
+        assert set(stats["constraints"]) == {
+            "json", "json_object", "json_array"
+        }
+    finally:
+        api.gen_server.stop()
+        srv.shutdown()

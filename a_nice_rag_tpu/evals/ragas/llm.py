@@ -299,30 +299,72 @@ class LocalGuidedJudgeLLM(BaseJudgeLLM):
     post-hoc LLM repair) becomes a no-op instead of an extra LLM
     round-trip. Fully local: no API keys, no SaaS.
 
-    The server must have the named constraint registered
-    (``GenerationServer(constraints={"json": "json", ...})``).
-    Truncation (finish_reason == "length": the JSON sentence did not
-    complete within ``max_tokens``) raises LLMDidNotFinishException,
-    matching the REST judges' semantics.
+    When the caller provides the prompt's OUTPUT SCHEMA
+    (StructuredPrompt passes its pydantic ``model_json_schema()``
+    automatically), the judge compiles it to a schema DFA on first use
+    and registers it on the server under a content-hash name
+    (``server.register_constraint``), so the completion is guaranteed
+    to VALIDATE, not merely parse. Otherwise the named ``constraint``
+    (default the generic JSON grammar — register it at server build or
+    it is auto-registered here) is used. Truncation
+    (finish_reason == "length": the sentence did not complete within
+    ``max_tokens``) raises LLMDidNotFinishException, matching the REST
+    judges' semantics.
     """
 
     def __init__(self, server, constraint: str = "json",
-                 max_tokens: int = 256, tokenizer=None):
+                 max_tokens: int = 256, tokenizer=None,
+                 auto_schema: bool = True):
         from a_nice_rag_tpu.models.decoder import ByteTokenizer
 
         self.server = server
         self.constraint = constraint
         self.max_tokens = max_tokens
         self.tokenizer = tokenizer or ByteTokenizer()
+        self.auto_schema = auto_schema
+        self._schema_names: dict = {}
 
-    def _one(self, prompt: str, temperature: float) -> str:
+    def _constraint_for(self, schema) -> str:
+        if schema is None or not self.auto_schema:
+            if (
+                self.constraint in ("json", "json_object", "json_array")
+                and self.constraint
+                not in self.server.stats()["constraints"]
+            ):
+                # The generic JSON grammars self-register on demand;
+                # any other name must already be on the server (submit
+                # raises otherwise).
+                self.server.register_constraint(
+                    self.constraint, self.constraint
+                )
+            return self.constraint
+        key = json.dumps(schema, sort_keys=True)
+        name = self._schema_names.get(key)
+        if name is None:
+            import hashlib
+
+            from a_nice_rag_tpu.models.constrain import schema_dfa
+
+            name = "schema:" + hashlib.sha1(
+                key.encode()
+            ).hexdigest()[:12]
+            # compact=True: no inter-token whitespace, so the budget is
+            # spent on content, never on runs of spaces.
+            self.server.register_constraint(
+                name, schema_dfa(schema, compact=True)
+            )
+            self._schema_names[key] = name
+        return name
+
+    def _one(self, prompt: str, temperature: float,
+             constraint: str) -> str:
         from a_nice_rag_tpu.models.decoder import ByteDecoder
 
         out = self.server.complete(
             self.tokenizer.encode(prompt),
             max_new_tokens=self.max_tokens,
             temperature=float(temperature),
-            constraint=self.constraint,
+            constraint=constraint,
         )
         if out["finish_reason"] != "stop":
             raise LLMDidNotFinishException(
@@ -334,9 +376,12 @@ class LocalGuidedJudgeLLM(BaseJudgeLLM):
         text = "".join(filter(None, map(dec.feed, out["tokens"])))
         return text + dec.flush()
 
-    async def agenerate(self, prompt, n=1, temperature=1e-8):
+    async def agenerate(self, prompt, n=1, temperature=1e-8,
+                        schema=None):
         loop = asyncio.get_running_loop()
+        con = self._constraint_for(schema)
         return list(await asyncio.gather(*[
-            loop.run_in_executor(None, self._one, prompt, temperature)
+            loop.run_in_executor(None, self._one, prompt, temperature,
+                                 con)
             for _ in range(n)
         ]))

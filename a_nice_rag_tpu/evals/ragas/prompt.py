@@ -160,7 +160,19 @@ class StructuredPrompt(Generic[InT, OutT]):
         temperature: float = 1e-8,
         retries: int = 3,
     ) -> List[OutT]:
-        raw = await llm.agenerate(self.render(data), n=n, temperature=temperature)
+        # Judges that accept ``schema=`` (LocalGuidedJudgeLLM) get the
+        # output model's JSON Schema: guided decoding then guarantees
+        # the completion VALIDATES and the repair loop below is a no-op.
+        kw = {}
+        try:
+            import inspect
+
+            if "schema" in inspect.signature(llm.agenerate).parameters:
+                kw["schema"] = self.output_model.model_json_schema()
+        except (TypeError, ValueError):
+            pass
+        raw = await llm.agenerate(self.render(data), n=n,
+                                  temperature=temperature, **kw)
         out: List[OutT] = []
         for text in raw:
             out.append(await self._parse_with_repair(llm, text, retries))

@@ -230,41 +230,10 @@ class GenerationServer:
         self.constraints = constraints is not None
         self._cname_to_id: dict = {}
         if constraints is not None:
-            from a_nice_rag_tpu.models.constrain import (
-                Constraint,
-                compile_constraint,
-                unconstrained,
-            )
-
-            regs = [unconstrained(cfg.vocab_size)]
-            self._cname_to_id = {None: 0, "none": 0}
-            self._cons = [None]
+            self._init_constraint_registry()
             for name, spec in constraints.items():
-                con = (
-                    spec
-                    if isinstance(spec, Constraint)
-                    else compile_constraint(
-                        spec, cfg.vocab_size, eos_id, name=name
-                    )
-                )
-                if con.table.shape[1] != cfg.vocab_size:
-                    raise ValueError(
-                        f"constraint {name!r} vocab "
-                        f"{con.table.shape[1]} != model vocab "
-                        f"{cfg.vocab_size}"
-                    )
-                self._cname_to_id[name] = len(regs)
-                regs.append(con)
-                self._cons.append(con)
-            sm = max(c.table.shape[0] for c in regs)
-            stacked = np.full(
-                (len(regs), sm, cfg.vocab_size), -1, np.int32
-            )
-            for i, c in enumerate(regs):
-                stacked[i, : c.table.shape[0]] = c.table
-            self._ctables = jnp.asarray(stacked)
-            self._cstate = jnp.zeros((slots,), jnp.int32)
-            self._s_cid = np.zeros((slots,), np.int32)
+                self._add_constraint(name, spec)
+            self._rebuild_ctables()
         self._allow_all = jnp.ones((cfg.vocab_size,), bool)
 
         def _install(kc, vc, kr, vr, slot):
@@ -691,6 +660,75 @@ class GenerationServer:
         if cid:
             ns = max(int(self._cons[cid].table[0, first]), 0)
         self._cstate = self._cstate.at[slot].set(ns)
+
+    # ------------------------------------------------ constraint registry
+
+    def _init_constraint_registry(self) -> None:
+        from a_nice_rag_tpu.models.constrain import unconstrained
+
+        self._cname_to_id = {None: 0, "none": 0}
+        self._cons = [unconstrained(self.model.cfg.vocab_size)]
+
+    def _add_constraint(self, name: str, spec) -> None:
+        from a_nice_rag_tpu.models.constrain import (
+            Constraint,
+            compile_constraint,
+        )
+
+        vocab = self.model.cfg.vocab_size
+        con = (
+            spec
+            if isinstance(spec, Constraint)
+            else compile_constraint(spec, vocab, self.eos_id, name=name)
+        )
+        if con.table.shape[1] != vocab:
+            raise ValueError(
+                f"constraint {name!r} vocab {con.table.shape[1]} != "
+                f"model vocab {vocab}"
+            )
+        if name in self._cname_to_id:  # replace in place, id stable
+            self._cons[self._cname_to_id[name]] = con
+        else:
+            self._cname_to_id[name] = len(self._cons)
+            self._cons.append(con)
+
+    def _rebuild_ctables(self) -> None:
+        vocab = self.model.cfg.vocab_size
+        sm = max(c.table.shape[0] for c in self._cons)
+        stacked = np.full((len(self._cons), sm, vocab), -1, np.int32)
+        for i, c in enumerate(self._cons):
+            stacked[i, : c.table.shape[0]] = c.table
+        self._ctables = jnp.asarray(stacked)
+        if not hasattr(self, "_cstate"):
+            self._cstate = jnp.zeros((self.slots,), jnp.int32)
+            self._s_cid = np.zeros((self.slots,), np.int32)
+
+    def register_constraint(self, name: str, spec) -> None:
+        """Register (or replace) a decoding constraint AFTER
+        construction — e.g. a per-prompt JSON-Schema DFA compiled on
+        first use (LocalGuidedJudgeLLM does this). The stacked table
+        tensor is rebuilt; a grown [NC, Sm, V] shape means the next
+        decode tick traces a fresh program for that shape (jit caches
+        per shape, so repeated registrations of same-size tables are
+        free). Existing constraint ids are stable, so in-flight
+        constrained slots are unaffected. Works on servers built
+        without ``constraints=`` too (the first registration switches
+        the decode tick to the guided program)."""
+        if not name or name == "none":
+            raise ValueError("constraint name must be non-empty")
+        with self._lock:
+            if not self.constraints:
+                from a_nice_rag_tpu.models.decoder import (
+                    _decode_programs_constrained,
+                )
+
+                self._init_constraint_registry()
+                self._chunk_steps = _decode_programs_constrained(
+                    self.model, self.eos_id, self.chunk
+                )
+                self.constraints = True
+            self._add_constraint(name, spec)
+            self._rebuild_ctables()
 
     @staticmethod
     def _row_knobs(req: _Request):

@@ -181,6 +181,8 @@ def _make_handler(api: "ServingAPI"):
                     self._reply(200, api.generate(payload))
                 elif self.path == "/v1/feedback":
                     self._reply(200, api.feedback(payload))
+                elif self.path == "/v1/embeddings":
+                    self._reply(200, api.embeddings(payload))
                 else:
                     self._reply(404, {"error": "unknown endpoint"})
             except ValueError as e:
@@ -348,6 +350,42 @@ class ServingAPI:
         for chunk, _, _, sources_data in self.rag_stream(payload):
             chunks.append(chunk)
         return {"answer": "".join(chunks), "sources": sources_data}
+
+    def embeddings(self, payload: dict) -> dict:
+        """OpenAI-compatible embeddings endpoint over the on-device
+        embedder — the serving form of the hop the reference outsources
+        to the Voyage/OpenAI embedding APIs (reference
+        src/search_engine.py:148). ``input`` is one string or a list;
+        vectors are unit-norm float32 rows from
+        ``embedder.embed_queries`` (the same path /v1/search uses, so
+        retrieval with client-side embeddings is consistent)."""
+        if self.rag_system is None or self.rag_system.embedder is None:
+            raise ValueError(
+                "no embedder configured (serve with --embedder)"
+            )
+        raw = payload.get("input")
+        if raw is None or raw == [] or raw == "":
+            raise ValueError("'input' is required")
+        texts = [raw] if isinstance(raw, str) else [str(t) for t in raw]
+        embs = np.asarray(
+            self.rag_system.embedder.embed_queries(texts), np.float32
+        )
+        return {
+            "object": "list",
+            "model": payload.get("model", "on-device"),
+            "data": [
+                {
+                    "object": "embedding",
+                    "index": i,
+                    "embedding": embs[i].tolist(),
+                }
+                for i in range(len(texts))
+            ],
+            "usage": {
+                "prompt_tokens": sum(len(t.split()) for t in texts),
+                "total_tokens": sum(len(t.split()) for t in texts),
+            },
+        }
 
     def generate_stream(self, payload: dict):
         """Raw LM completion through the continuous-batching server:

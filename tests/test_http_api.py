@@ -313,3 +313,51 @@ def test_generate_payload_stop_plumbed():
         assert seen["temperature"] == 0.5 and seen["max_new_tokens"] == 7
     finally:
         httpd.shutdown()
+
+
+def test_embeddings_endpoint():
+    """OpenAI-compatible /v1/embeddings over the on-device embedder:
+    unit-norm rows, list/string inputs, and a clear error without an
+    embedder."""
+    from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
+
+    c = synth_corpus(n_docs=64, dim=16, n_queries=2, seed=77)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents, urls=c.urls,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    emb = OnDeviceEmbedder(EncoderConfig(
+        n_layers=1, dim=32, out_dim=16, vocab_size=512, n_heads=2,
+    ))
+    rag = RAGSystem(indexes={InfoSource.NICE: idx}, embedder=emb,
+                    llm_clients={"fake": FakeLLMClient()})
+    srv = serve(rag, port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        out = _post(port, "/v1/embeddings",
+                    {"input": ["first query", "second query"]})
+        assert out["object"] == "list" and len(out["data"]) == 2
+        v0 = np.asarray(out["data"][0]["embedding"], np.float32)
+        v1 = np.asarray(out["data"][1]["embedding"], np.float32)
+        assert v0.shape == (16,)
+        assert abs(float(np.linalg.norm(v0, axis=-1)) - 1.0) < 1e-3
+        assert not np.allclose(v0, v1)
+        # Single-string input; deterministic with the list form.
+        one = _post(port, "/v1/embeddings", {"input": "first query"})
+        assert np.allclose(
+            np.asarray(one["data"][0]["embedding"], np.float32), v0
+        )
+    finally:
+        srv.shutdown()
+    # Without an embedder: 400 with a clear message.
+    rag2 = RAGSystem(indexes={InfoSource.NICE: idx},
+                     llm_clients={"fake": FakeLLMClient()})
+    srv2 = serve(rag2, port=0, background=True)
+    try:
+        port2 = srv2.server_address[1]
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post(port2, "/v1/embeddings", {"input": "x"})
+        assert err.value.code == 400
+    finally:
+        srv2.shutdown()

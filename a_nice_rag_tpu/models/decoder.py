@@ -441,19 +441,25 @@ def _decode_programs(model: DecoderLM, temperature: float, top_k: int,
 _DYN_PROGRAMS: dict = {}
 
 
-def _decode_programs_dynamic(model: DecoderLM, eos_id: int, chunk: int):
+def _decode_programs_dynamic(model: DecoderLM, eos_id: int, chunk: int,
+                             lp_k: int = 0):
     """``chunk_steps`` with per-row RUNTIME sampling knobs (temperature
     / top_k / top_p as [B] array arguments): one compiled program
     serves every mix of per-request sampling settings in a
     continuous-batching server, instead of one compile per (t, k, p)
     tuple. Splits the RNG key exactly like the static program, so
     all-greedy rows produce bit-identical streams to
-    ``_decode_programs``' chunk_steps."""
+    ``_decode_programs``' chunk_steps.
+
+    ``lp_k > 0`` additionally emits the top-``lp_k`` raw-distribution
+    alternatives per step ([chunk, S, lp_k] logprobs + token ids — the
+    OpenAI ``top_logprobs`` surface); the token stream itself is
+    unchanged."""
     try:
         mkey = hash(model)
     except TypeError:
         mkey = id(model)
-    key = (mkey, int(eos_id), int(chunk))
+    key = (mkey, int(eos_id), int(chunk), int(lp_k))
     if key in _DYN_PROGRAMS:
         return _DYN_PROGRAMS[key]
 
@@ -468,20 +474,23 @@ def _decode_programs_dynamic(model: DecoderLM, eos_id: int, chunk: int):
             # Chosen-token logprob under the model's RAW distribution
             # (pre-temperature/truncation — the model-confidence
             # convention), [S] per step.
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(last, axis=-1), nxt[:, None], axis=-1
-            )[:, 0]
+            lsm = jax.nn.log_softmax(last, axis=-1)
+            lp = jnp.take_along_axis(lsm, nxt[:, None], axis=-1)[:, 0]
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
             frozen = done if pos.ndim else done[0]
             pos = jnp.where(frozen, pos, pos + 1)
             done = done | (nxt == eos_id)
-            return (nxt, kc, vc, pos, rkey, done), (nxt, lp)
+            ys = (nxt, lp)
+            if lp_k:
+                tlv, tli = jax.lax.top_k(lsm, lp_k)
+                ys = ys + (tlv, tli.astype(jnp.int32))
+            return (nxt, kc, vc, pos, rkey, done), ys
 
-        carry, (toks, lps) = jax.lax.scan(
+        carry, ys = jax.lax.scan(
             body, (tok, kc, vc, pos, rkey, done), None, length=chunk
         )
         tok, kc, vc, pos, rkey, done = carry
-        return toks, lps, tok, kc, vc, pos, rkey, done
+        return ys + (tok, kc, vc, pos, rkey, done)
 
     _DYN_PROGRAMS[key] = chunk_steps
     return chunk_steps
@@ -491,7 +500,7 @@ _CON_PROGRAMS: dict = {}
 
 
 def _decode_programs_constrained(model: DecoderLM, eos_id: int,
-                                 chunk: int):
+                                 chunk: int, lp_k: int = 0):
     """The dynamic ``chunk_steps`` with GUIDED decoding: per-slot DFA
     constraints (models/constrain.py) applied as logit masks inside the
     scan, with the automaton state carried on device.
@@ -510,7 +519,7 @@ def _decode_programs_constrained(model: DecoderLM, eos_id: int,
         mkey = hash(model)
     except TypeError:
         mkey = id(model)
-    key = (mkey, int(eos_id), int(chunk))
+    key = (mkey, int(eos_id), int(chunk), int(lp_k))
     if key in _CON_PROGRAMS:
         return _CON_PROGRAMS[key]
 
@@ -528,9 +537,8 @@ def _decode_programs_constrained(model: DecoderLM, eos_id: int,
             row = flat[cid * sm + cstate]  # [S, V]
             masked = jnp.where(row >= 0, last, -jnp.inf)
             nxt = sample_logits_dynamic(masked, sub, temp, tk, tp)
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(last, axis=-1), nxt[:, None], axis=-1
-            )[:, 0]
+            lsm = jax.nn.log_softmax(last, axis=-1)
+            lp = jnp.take_along_axis(lsm, nxt[:, None], axis=-1)[:, 0]
             nxt = jnp.where(done, jnp.int32(eos_id), nxt)
             nstate = jnp.take_along_axis(row, nxt[:, None], axis=-1)[:, 0]
             # A row finishing THIS step sampled EOS at an accepting
@@ -539,14 +547,18 @@ def _decode_programs_constrained(model: DecoderLM, eos_id: int,
             frozen = done if pos.ndim else done[0]
             pos = jnp.where(frozen, pos, pos + 1)
             done = done | (nxt == eos_id)
-            return (nxt, kc, vc, pos, rkey, done, cstate), (nxt, lp)
+            ys = (nxt, lp)
+            if lp_k:
+                tlv, tli = jax.lax.top_k(lsm, lp_k)
+                ys = ys + (tlv, tli.astype(jnp.int32))
+            return (nxt, kc, vc, pos, rkey, done, cstate), ys
 
-        carry, (toks, lps) = jax.lax.scan(
+        carry, ys = jax.lax.scan(
             body, (tok, kc, vc, pos, rkey, done, cstate), None,
             length=chunk,
         )
         tok, kc, vc, pos, rkey, done, cstate = carry
-        return toks, lps, tok, kc, vc, pos, rkey, done, cstate
+        return ys + (tok, kc, vc, pos, rkey, done, cstate)
 
     _CON_PROGRAMS[key] = chunk_steps
     return chunk_steps

@@ -112,6 +112,10 @@ class _Request:
     # Name of a server-registered decoding constraint (guided/JSON
     # mode); None = unconstrained.
     constraint: Optional[str] = None
+    # Per emitted token: the top-K raw-distribution alternatives as a
+    # list of (token_id, logprob) pairs (only when the server was built
+    # with logprob_topk=K; empty otherwise / in speculative mode).
+    top_logprobs: List[list] = field(default_factory=list)
 
 
 class GenerationServer:
@@ -138,6 +142,7 @@ class GenerationServer:
         mesh=None,
         tp_axis: str = "tp",
         constraints: Optional[dict] = None,
+        logprob_topk: int = 0,
     ):
         self.model, self.params = model, params
         # Tensor-parallel serving: with ``mesh=`` the params and KV
@@ -158,6 +163,11 @@ class GenerationServer:
             validate_tp_config(model.cfg, mesh, tp_axis)
             self.params = shard_lm_params(params, mesh, tp_axis)
         self.slots, self.smax, self.chunk = slots, max_len, chunk
+        # top-K alternative logprobs per emitted token (the OpenAI
+        # top_logprobs surface): baked into the decode/prefill programs
+        # as a static K (one lax.top_k over the raw log-softmax per
+        # step). 0 = off (no sort cost).
+        self.lp_k = int(logprob_topk)
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.eos_id = eos_id
         self.min_bucket = min_prefill_bucket
@@ -252,21 +262,27 @@ class GenerationServer:
             ]
             return kc, vc
 
+        lp_k = self.lp_k
+
         def _last_tok(logits, length, key, t, k, p, allowed):
             """Sample from the logits of real token ``length-1`` with
             runtime knobs ``t``/``k``/``p`` ([1] arrays); ``allowed``
             ([V] bool — all-true when unconstrained, the constraint's
             start-state mask otherwise) is applied BEFORE sampling.
-            Returns (token, raw-distribution logprob of it)."""
+            Returns (token, raw logprob[, top-K logprobs, top-K ids])
+            — the logprob fields use the model's RAW distribution."""
             last = jnp.take_along_axis(
                 logits, (length - 1)[None, None, None], axis=1
             )[:, 0]
             masked = jnp.where(allowed[None, :], last, -jnp.inf)
             tok = sample_logits_dynamic(masked, key, t, k, p)
-            lp = jnp.take_along_axis(
-                jax.nn.log_softmax(last, axis=-1), tok[:, None], axis=-1
-            )[0, 0]
-            return tok[0], lp
+            lsm = jax.nn.log_softmax(last, axis=-1)
+            lp = jnp.take_along_axis(lsm, tok[:, None], axis=-1)[0, 0]
+            info = (tok[0], lp)
+            if lp_k:
+                tlv, tli = jax.lax.top_k(lsm[0], lp_k)
+                info = info + (tlv, tli.astype(jnp.int32))
+            return info
 
         def _prefill(prm, kc, vc, ids, length, slot, key, t, k, p,
                      allowed):
@@ -278,9 +294,9 @@ class GenerationServer:
             vr = [jnp.zeros(row_shape, cfg.dtype)
                   for _ in range(cfg.num_layers)]
             logits, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
-            tok, lp = _last_tok(logits, length, key, t, k, p, allowed)
+            info = _last_tok(logits, length, key, t, k, p, allowed)
             kc, vc = _install(kc, vc, kr, vr, slot)
-            return tok, lp, kc, vc
+            return info, kc, vc
 
         self._prefill = jax.jit(_prefill)
 
@@ -305,9 +321,9 @@ class GenerationServer:
             over the stored prefix rows, then install the combined row
             into slot ``slot``."""
             logits, kr, vr = model.apply(prm, ids, kr, vr, offset)
-            tok, lp = _last_tok(logits, length, key, t, k, p, allowed)
+            info = _last_tok(logits, length, key, t, k, p, allowed)
             kc, vc = _install(kc, vc, kr, vr, slot)
-            return tok, lp, kc, vc
+            return info, kc, vc
 
         self._prefill_suffix = jax.jit(_prefill_suffix)
 
@@ -342,7 +358,7 @@ class GenerationServer:
             )
 
             self._chunk_steps = _decode_programs_constrained(
-                model, eos_id, chunk
+                model, eos_id, chunk, self.lp_k
             )
         else:
             from a_nice_rag_tpu.models.decoder import (
@@ -350,7 +366,7 @@ class GenerationServer:
             )
 
             self._chunk_steps = _decode_programs_dynamic(
-                model, eos_id, chunk
+                model, eos_id, chunk, self.lp_k
             )
 
         # Speculative mode: a draft model proposes gamma tokens per
@@ -613,8 +629,11 @@ class GenerationServer:
             if item is _END:
                 break
             toks.append(item)
-        return {"tokens": toks, "logprobs": list(req.logprobs),
-                "finish_reason": req.finish_reason}
+        out = {"tokens": toks, "logprobs": list(req.logprobs),
+               "finish_reason": req.finish_reason}
+        if self.lp_k:
+            out["top_logprobs"] = list(req.top_logprobs)
+        return out
 
     @property
     def n_active(self) -> int:
@@ -660,6 +679,26 @@ class GenerationServer:
         if cid:
             ns = max(int(self._cons[cid].table[0, first]), 0)
         self._cstate = self._cstate.at[slot].set(ns)
+
+    def _split_lp(self, outs):
+        """Split a decode-tick output tuple into (toks, lps,
+        top-K-or-None, carry...) per the server's lp_k setting."""
+        if self.lp_k:
+            tlv, tli = outs[2], outs[3]
+            tl = (np.asarray(tlv, np.float64), np.asarray(tli))
+            return outs[0], outs[1], tl, outs[4:]
+        return outs[0], outs[1], None, outs[2:]
+
+    def _record_first(self, req: _Request, info) -> None:
+        """Record the prefill token's logprob (+ top-K alternatives)."""
+        if self.draft is not None:
+            return  # speculative verify surfaces no scores
+        req.logprobs.append(float(info[1]))
+        if self.lp_k:
+            req.top_logprobs.append(list(zip(
+                np.asarray(info[3]).tolist(),
+                np.asarray(info[2], np.float64).tolist(),
+            )))
 
     # ------------------------------------------------ constraint registry
 
@@ -724,7 +763,7 @@ class GenerationServer:
 
                 self._init_constraint_registry()
                 self._chunk_steps = _decode_programs_constrained(
-                    self.model, self.eos_id, self.chunk
+                    self.model, self.eos_id, self.chunk, self.lp_k
                 )
                 self.constraints = True
             self._add_constraint(name, spec)
@@ -834,7 +873,7 @@ class GenerationServer:
                 rows = self._prefix_cache.pop(hit)
                 self._prefix_cache[hit] = rows
                 kr, vr = rows
-                tok0, lp0, self._kc, self._vc = self._prefill_suffix(
+                info, self._kc, self._vc = self._prefill_suffix(
                     self.params, self._kc, self._vc, kr, vr,
                     jnp.asarray(ids), jnp.int32(len(suffix)),
                     jnp.int32(L), jnp.int32(slot), sub, rt, rk, rp,
@@ -845,7 +884,7 @@ class GenerationServer:
                 bucket = self._bucket(n)  # n <= smax by submit()
                 ids = np.full((1, bucket), PAD, np.int32)
                 ids[0, :n] = req.prompt_ids
-                tok0, lp0, self._kc, self._vc = self._prefill(
+                info, self._kc, self._vc = self._prefill(
                     self.params, self._kc, self._vc, jnp.asarray(ids),
                     jnp.int32(n), jnp.int32(slot), sub, rt, rk, rp,
                     self._req_allowed(req),
@@ -861,6 +900,7 @@ class GenerationServer:
                     self.draft_params, self._dkc, self._dvc,
                     jnp.asarray(ids_d), jnp.int32(slot),
                 )
+            tok0 = info[0]
             self._tok = self._tok.at[slot].set(tok0)
             self._pos = self._pos.at[slot].set(n)
             self._done = self._done.at[slot].set(tok0 == self.eos_id)
@@ -870,8 +910,7 @@ class GenerationServer:
             self._set_slot_cstate(slot, req, first)
             if not self._is_stop(req, first):
                 req.out.put(first)
-                if self.draft is None:
-                    req.logprobs.append(float(lp0))
+                self._record_first(req, info)
                 req.emitted = 1
                 self.tokens_emitted += 1
                 if req.emitted >= req.max_new_tokens:
@@ -935,9 +974,9 @@ class GenerationServer:
         slot, req = pf["slot"], pf["req"]
         self._key, sub = jax.random.split(self._key)
         rt, rk, rp = self._row_knobs(req)
-        tok0, lp0 = self._sample_local(logits, jnp.int32(real), sub,
-                                       rt, rk, rp,
-                                       self._req_allowed(req))
+        info = self._sample_local(logits, jnp.int32(real), sub,
+                                  rt, rk, rp, self._req_allowed(req))
+        tok0 = info[0]
         self._kc, self._vc = self._install_rows(
             self._kc, self._vc, pf["kr"], pf["vr"], jnp.int32(slot)
         )
@@ -959,8 +998,7 @@ class GenerationServer:
         self._set_slot_cstate(slot, req, first)
         if not self._is_stop(req, first):
             req.out.put(first)
-            if self.draft is None:
-                req.logprobs.append(float(lp0))
+            self._record_first(req, info)
             req.emitted = 1
             self.tokens_emitted += 1
             if req.emitted >= req.max_new_tokens:
@@ -1010,9 +1048,9 @@ class GenerationServer:
                 counts = np.asarray(m)   # [S]
                 rows = [block[s, :counts[s]] for s in range(self.slots)]
                 lp_rows = None  # speculative verify surfaces no scores
+                tl = None
             elif self.constraints:
-                (toks, lps, self._tok, self._kc, self._vc, self._pos,
-                 self._key, self._done, self._cstate) = self._chunk_steps(
+                outs = self._chunk_steps(
                     self.params, self._tok, self._kc, self._vc,
                     self._pos, self._key, self._done,
                     jnp.asarray(self._s_temp), jnp.asarray(self._s_topk),
@@ -1020,18 +1058,23 @@ class GenerationServer:
                     jnp.asarray(self._s_cid), self._cstate,
                     self._ctables,
                 )
+                toks, lps, tl, outs = self._split_lp(outs)
+                (self._tok, self._kc, self._vc, self._pos,
+                 self._key, self._done, self._cstate) = outs
                 block = np.asarray(toks)  # [chunk, S]
                 lpb = np.asarray(lps)     # [chunk, S]
                 rows = [block[:, s] for s in range(self.slots)]
                 lp_rows = [lpb[:, s] for s in range(self.slots)]
             else:
-                (toks, lps, self._tok, self._kc, self._vc,
-                 self._pos, self._key, self._done) = self._chunk_steps(
+                outs = self._chunk_steps(
                     self.params, self._tok, self._kc, self._vc,
                     self._pos, self._key, self._done,
                     jnp.asarray(self._s_temp), jnp.asarray(self._s_topk),
                     jnp.asarray(self._s_topp),
                 )
+                toks, lps, tl, outs = self._split_lp(outs)
+                (self._tok, self._kc, self._vc, self._pos,
+                 self._key, self._done) = outs
                 block = np.asarray(toks)  # [chunk, S]
                 lpb = np.asarray(lps)     # [chunk, S]
                 rows = [block[:, s] for s in range(self.slots)]
@@ -1049,6 +1092,11 @@ class GenerationServer:
                     req.out.put(t)
                     if lp_rows is not None:
                         req.logprobs.append(float(lp_rows[slot][j]))
+                        if tl is not None:
+                            req.top_logprobs.append(list(zip(
+                                tl[1][j, slot].tolist(),
+                                tl[0][j, slot].tolist(),
+                            )))
                     req.emitted += 1
                     emitted += 1
                     if req.emitted >= req.max_new_tokens:

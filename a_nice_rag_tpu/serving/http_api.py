@@ -464,6 +464,12 @@ class ServingAPI:
         con = self._constraint_name(payload)
         if con is not None:
             kw["constraint"] = con
+        n_top = int(payload.get("top_logprobs", 0) or 0)
+        if n_top and not self.gen_server.lp_k:
+            raise ValueError(
+                "'top_logprobs' requires a server built with "
+                "logprob_topk=K (serve_cli --logprob-topk)"
+            )
         out = self.gen_server.complete(
             ByteTokenizer().encode(str(prompt)),
             max_new_tokens=int(payload.get("max_tokens", 64)), **kw,
@@ -471,9 +477,16 @@ class ServingAPI:
         dec = ByteDecoder()
         text = "".join(filter(None, map(dec.feed, out["tokens"])))
         text += dec.flush()
-        return {"text": text, "tokens": out["tokens"],
+        resp = {"text": text, "tokens": out["tokens"],
                 "token_logprobs": out["logprobs"],
                 "finish_reason": out["finish_reason"]}
+        if n_top:
+            resp["top_logprobs"] = [
+                [{"token": int(t), "logprob": float(v)}
+                 for t, v in pairs[:n_top]]
+                for pairs in out.get("top_logprobs", [])
+            ]
+        return resp
 
 
 def serve(

@@ -411,6 +411,10 @@ def main(argv=None) -> None:
     p.add_argument("--max-pending", type=int, default=None,
                    help="backpressure: reject /v1/generate submissions "
                         "(HTTP 429) beyond this many queued requests")
+    p.add_argument("--logprob-topk", type=int, default=0,
+                   help="emit the top-K raw-distribution alternatives "
+                        "per generated token (/v1/generate "
+                        "'top_logprobs'); 0 = off (no per-step sort)")
     p.add_argument("--json-mode", action="store_true",
                    help="register guided-decoding JSON constraints on "
                         "the local LM: /v1/generate then accepts "
@@ -490,6 +494,7 @@ def main(argv=None) -> None:
             prefill_chunk=args.prefill_chunk, lm_tp=args.lm_tp,
             max_pending=args.max_pending,
             json_mode=args.json_mode, json_depth=args.json_depth,
+            logprob_topk=args.logprob_topk,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
@@ -500,7 +505,8 @@ def build_local_llm_api(index, state, embedder, model_names,
                         max_pending=None,
                         draft_ckpt=None, gamma: int = 4,
                         prefill_chunk=None, lm_tp=None,
-                        json_mode: bool = False, json_depth: int = 4):
+                        json_mode: bool = False, json_depth: int = 4,
+                        logprob_topk: int = 0):
     """Attach the on-device decoder LM to this deployment: a
     continuous-batching GenerationServer shared by /v1/generate and the
     RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
@@ -582,7 +588,8 @@ def build_local_llm_api(index, state, embedder, model_names,
                            draft_model=draft, draft_params=draft_params,
                            gamma=gamma, prefill_chunk=prefill_chunk,
                            max_pending=max_pending, mesh=mesh,
-                           constraints=constraints)
+                           constraints=constraints,
+                           logprob_topk=logprob_topk)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
                                max_prompt_tokens=max(
                                    64, gen_max_len - 256))

@@ -749,3 +749,67 @@ def test_generate_payload_logprobs():
             pass
     finally:
         srv.stop()
+
+
+def test_top_logprobs():
+    """logprob_topk=K: every emitted token carries its top-K raw
+    alternatives; the chosen greedy token is always rank 0 with a
+    matching logprob; streams are unchanged by the knob."""
+    import numpy as np
+
+    model, params = _setup()
+    base = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4,
+                           logprob_topk=3)
+    p = list(range(30, 40))
+    want = srv_out = None
+    try:
+        want = base.complete(p, 8)
+        out = srv.complete(p, 8)
+        assert out["tokens"] == want["tokens"]  # knob changes nothing
+        tls = out["top_logprobs"]
+        assert len(tls) == len(out["tokens"])
+        for tok, lp, alts in zip(out["tokens"], out["logprobs"], tls):
+            assert len(alts) == 3
+            ids = [a[0] for a in alts]
+            lps = [a[1] for a in alts]
+            assert lps == sorted(lps, reverse=True)
+            # Greedy choice == argmax == rank-0 alternative.
+            assert ids[0] == tok
+            assert abs(lps[0] - lp) < 1e-5
+    finally:
+        base.stop()
+        srv.stop()
+
+
+def test_top_logprobs_http():
+    from a_nice_rag_tpu.serving.http_api import ServingAPI
+
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4,
+                           logprob_topk=4)
+    srv.start()
+    try:
+        api = ServingAPI(None, gen_server=srv)
+        out = api.generate({"prompt": "hi", "max_tokens": 5,
+                            "logprobs": True, "top_logprobs": 2})
+        assert len(out["top_logprobs"]) == len(out["tokens"])
+        assert all(len(alts) == 2 for alts in out["top_logprobs"])
+        assert all("token" in a and "logprob" in a
+                   for alts in out["top_logprobs"] for a in alts)
+        # Server without the knob: clear 400-mapped error.
+        plain = GenerationServer(model, params, slots=1, max_len=96,
+                                 chunk=4)
+        plain.start()
+        try:
+            api2 = ServingAPI(None, gen_server=plain)
+            try:
+                api2.generate({"prompt": "x", "logprobs": True,
+                               "top_logprobs": 2})
+                raise AssertionError("not rejected")
+            except ValueError:
+                pass
+        finally:
+            plain.stop()
+    finally:
+        srv.stop()

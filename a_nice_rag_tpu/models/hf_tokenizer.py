@@ -1,0 +1,107 @@
+"""HF ``tokenizer.json`` byte maps (dependency-free).
+
+Guided decoding (models/constrain.py) lowers a byte-level DFA onto a
+tokenizer by walking each token's BYTE string — for the local byte
+tokenizer that map is trivial (id i < 256 IS byte i), but a real
+checkpoint (e.g. Qwen3: byte-level BPE, reference
+src/query_rag_retrieval.py loads it via SaaS/torch) encodes tokens as
+unicode strings under the GPT-2 byte-to-unicode remapping. This module
+reads the HF fast-tokenizer ``tokenizer.json`` and inverts that
+remapping to produce ``{token_id: bytes}``, which plugs straight into
+:func:`a_nice_rag_tpu.models.constrain.vocab_table` /
+``compile_constraint(token_bytes=...)`` — no transformers import, so it
+works in hermetic serving processes.
+
+Only byte-level BPE vocabularies are supported (ByteLevel
+pre-tokenizer/decoder — the GPT/Llama/Qwen family). Added tokens
+(specials like ``<|im_end|>``) carry no byte content and are reported
+separately; constraint tables leave them forbidden, which is exactly
+right — a grammar-constrained completion must not emit control tokens.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Set, Tuple
+
+__all__ = ["bytes_to_unicode", "hf_token_bytes", "load_token_bytes"]
+
+
+def bytes_to_unicode() -> Dict[int, str]:
+    """The GPT-2 byte -> unicode-char remapping (printable bytes map to
+    themselves; the rest to U+0100.. offsets), as used by every
+    ByteLevel BPE tokenizer."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+def _is_byte_level(tok: dict) -> bool:
+    def types(node):
+        if not isinstance(node, dict):
+            return []
+        if node.get("type") == "Sequence":
+            out = []
+            for sub in node.get("pretokenizers", node.get("decoders", [])):
+                out.extend(types(sub))
+            return out
+        return [node.get("type")]
+
+    kinds = types(tok.get("pre_tokenizer") or {}) + types(
+        tok.get("decoder") or {}
+    )
+    return "ByteLevel" in kinds
+
+
+def hf_token_bytes(tokenizer_json: dict) -> Tuple[Dict[int, bytes],
+                                                  Set[int]]:
+    """Invert a parsed ``tokenizer.json`` to ``({id: bytes}, specials)``.
+
+    ``specials`` are added tokens (no byte content — they are control
+    tokens, not text); they are omitted from the byte map so constraint
+    tables keep them forbidden.
+    """
+    if not _is_byte_level(tokenizer_json):
+        raise NotImplementedError(
+            "only ByteLevel (byte-level BPE) tokenizers are supported "
+            "for constraint lowering; this tokenizer.json has "
+            "pre_tokenizer/decoder "
+            f"{[(tokenizer_json.get(k) or {}).get('type') for k in ('pre_tokenizer', 'decoder')]}"
+        )
+    vocab = tokenizer_json["model"]["vocab"]
+    char_to_byte = {c: b for b, c in bytes_to_unicode().items()}
+    specials = {
+        int(t["id"]) for t in tokenizer_json.get("added_tokens", [])
+    }
+    out: Dict[int, bytes] = {}
+    for token, tid in vocab.items():
+        tid = int(tid)
+        if tid in specials:
+            continue
+        try:
+            out[tid] = bytes(char_to_byte[ch] for ch in token)
+        except KeyError:
+            # Not representable as raw bytes (an added/special token
+            # string stored in the main vocab): leave it forbidden.
+            specials.add(tid)
+    return out, specials
+
+
+def load_token_bytes(path: str) -> Tuple[Dict[int, bytes], Set[int]]:
+    """``path`` is a ``tokenizer.json`` file or a checkpoint directory
+    containing one."""
+    if os.path.isdir(path):
+        path = os.path.join(path, "tokenizer.json")
+    with open(path, "r", encoding="utf-8") as f:
+        return hf_token_bytes(json.load(f))

@@ -565,6 +565,22 @@ def build_local_llm_api(index, state, embedder, model_names,
         mesh = Mesh(_np.array(devs[:lm_tp]), ("tp",))
         logger.info("serve: local LM tensor-parallel over %d devices",
                     lm_tp)
+    # The model's own EOS: a real HF checkpoint decodes until its
+    # config's eos_token_id, not the demo byte-tokenizer's 257.
+    import os as _os
+
+    from a_nice_rag_tpu.models.decoder import EOS as _BYTE_EOS
+
+    eos_id = _BYTE_EOS
+    if llm_ckpt:
+        import json as _json
+
+        with open(_os.path.join(llm_ckpt, "config.json")) as f:
+            _eos = _json.load(f).get("eos_token_id")
+        if isinstance(_eos, list):
+            _eos = _eos[0] if _eos else None
+        if _eos is not None:
+            eos_id = int(_eos)
     constraints = None
     if json_mode:
         if draft is not None:
@@ -572,18 +588,44 @@ def build_local_llm_api(index, state, embedder, model_names,
                 "--json-mode does not compose with --draft-ckpt "
                 "(constrained decoding is rejected in speculative mode)"
             )
-        from a_nice_rag_tpu.models.constrain import json_dfa
+        from a_nice_rag_tpu.models.constrain import (
+            compile_constraint,
+            json_dfa,
+        )
 
-        constraints = {
+        # A real checkpoint's tokenizer is multi-byte (byte-level BPE):
+        # lower the grammar onto it by walking each token's bytes
+        # (models/hf_tokenizer.py). Demo weights use the byte-level
+        # local tokenizer (token_bytes=None).
+        token_bytes = None
+        if llm_ckpt and _os.path.exists(
+            _os.path.join(llm_ckpt, "tokenizer.json")
+        ):
+            from a_nice_rag_tpu.models.hf_tokenizer import (
+                load_token_bytes,
+            )
+
+            token_bytes, n_special = load_token_bytes(llm_ckpt)
+            logger.info(
+                "serve: constraints lowered onto the checkpoint's "
+                "tokenizer (%d tokens, %d specials forbidden)",
+                len(token_bytes), len(n_special),
+            )
+        dfas = {
             "json": json_dfa(max_depth=json_depth),
             "json_object": json_dfa(max_depth=json_depth,
                                     top_level="object"),
             "json_array": json_dfa(max_depth=json_depth,
                                    top_level="array"),
         }
+        constraints = {
+            name: compile_constraint(dfa, lm.cfg.vocab_size, eos_id,
+                                     token_bytes=token_bytes, name=name)
+            for name, dfa in dfas.items()
+        }
         logger.info("serve: JSON guided decoding registered (depth=%d)",
                     json_depth)
-    gen = GenerationServer(lm, lm_params, slots=gen_slots,
+    gen = GenerationServer(lm, lm_params, slots=gen_slots, eos_id=eos_id,
                            max_len=gen_max_len, chunk=gen_chunk,
                            draft_model=draft, draft_params=draft_params,
                            gamma=gamma, prefill_chunk=prefill_chunk,

@@ -395,3 +395,64 @@ def test_serve_cli_json_mode(corpus_index):
     finally:
         api.gen_server.stop()
         srv.shutdown()
+
+
+def test_serve_cli_json_mode_real_ckpt_tokenizer(corpus_index,
+                                                 monkeypatch, tmp_path):
+    """--json-mode with --llm-ckpt: the grammar is lowered onto the
+    checkpoint's OWN tokenizer (multi-byte BPE pieces via
+    tokenizer.json) and the server decodes to the checkpoint's
+    eos_token_id, not the demo byte-tokenizer's."""
+    from a_nice_rag_tpu.models import qwen3 as qwen3_mod
+    from a_nice_rag_tpu.models.decoder import (
+        init_decoder,
+        small_lm_config,
+    )
+    from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
+    from a_nice_rag_tpu.models.hf_tokenizer import bytes_to_unicode
+    from a_nice_rag_tpu.serving.serve_cli import build_local_llm_api
+
+    c, idx = corpus_index
+    emb_dim = int(idx.dense_matrix("voyage-3-large").shape[1])
+    embedder = OnDeviceEmbedder(EncoderConfig(
+        n_layers=1, dim=32, out_dim=emb_dim, vocab_size=1024, n_heads=2,
+    ))
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True,
+                        embedder=embedder)
+
+    lcfg = small_lm_config()
+    _, lparams = init_decoder(lcfg, seed=5)
+    monkeypatch.setattr(qwen3_mod, "load_qwen3_checkpoint_dir",
+                        lambda path, **kw: (lcfg, None, lparams))
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "config.json").write_text(json.dumps(
+        {"eos_token_id": 77}
+    ))
+    b2u = bytes_to_unicode()
+    tok_str = lambda bs: "".join(b2u[b] for b in bs)  # noqa: E731
+    pieces = {10: b'{"', 11: b'a"', 12: b": ", 13: b"1", 15: b"}",
+              19: b'":'}
+    (ckpt / "tokenizer.json").write_text(json.dumps({
+        "pre_tokenizer": {"type": "ByteLevel"},
+        "decoder": {"type": "ByteLevel"},
+        "added_tokens": [],
+        "model": {"type": "BPE",
+                  "vocab": {tok_str(b): i for i, b in pieces.items()}},
+    }))
+    api = build_local_llm_api(idx, state, embedder, ("voyage-3-large",),
+                              llm_ckpt=str(ckpt), gen_slots=2,
+                              gen_chunk=4, gen_max_len=640,
+                              json_mode=True, json_depth=3)
+    gen = api.gen_server
+    try:
+        assert gen.eos_id == 77
+        con = gen._cons[gen._cname_to_id["json_object"]]
+        # Multi-byte lowering: the '{"' piece opens an object; raw
+        # byte ids (not in the tokenizer) stay forbidden.
+        assert con.table[0, 10] >= 0
+        assert con.table[0, ord("{")] == -1
+        assert con.table[0, 15] == -1  # can't open with '}'
+    finally:
+        gen.stop()

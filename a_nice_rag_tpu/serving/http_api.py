@@ -17,6 +17,13 @@ Production surface over the retrieval/RAG layers:
   for SSE) — raw LM completion over the continuous-batching
   GenerationServer (serving/genserver.py): concurrent requests share
   one batched on-device decode program.
+* ``POST /v1/chat/completions`` — OpenAI chat API over the same
+  GenerationServer (``"stream": true`` for ``chat.completion.chunk``
+  SSE). Wire-compatible with ``rag/providers.OpenAICompatClient``, so
+  the RAG layer's own provider client can point its ``base_url`` at
+  this server — the reference's SaaS chat hop
+  (reference src/query_rag.py:434-513) served locally over the same
+  protocol, with zero client changes.
 * ``GET  /v1/health``  — liveness + index stats
 * ``GET  /`` (or ``/ui``) — self-contained browser chat UI
   (serving/webui.py), the reference Streamlit app's surface rendered
@@ -124,6 +131,39 @@ def _make_handler(api: "ServingAPI"):
             finally:
                 gen.close()
 
+        def _stream_chat(self, payload: dict) -> None:
+            """SSE in the OpenAI chat.completion.chunk shape: a role
+            prelude chunk, one content-delta chunk per decoded piece, a
+            finish_reason chunk, then ``data: [DONE]``."""
+            gen = api.chat_stream(payload)
+            first = next(gen, None)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for chunk in itertools.chain(
+                    [first] if first is not None else [], gen
+                ):
+                    readable, _, _ = select.select(
+                        [self.connection], [], [], 0
+                    )
+                    if readable and not self.connection.recv(
+                        1, socket.MSG_PEEK
+                    ):
+                        raise BrokenPipeError("SSE client closed")
+                    self.wfile.write(
+                        f"data: {json.dumps(chunk)}\n\n".encode("utf-8")
+                    )
+                    self.wfile.flush()
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                logger.debug("SSE client disconnected; dropping stream")
+            finally:
+                gen.close()
+
         def _stream_gen(self, payload: dict) -> None:
             """SSE for raw LM completion (/v1/generate stream mode):
             one {"delta": ...} event per decoded text piece."""
@@ -179,6 +219,12 @@ def _make_handler(api: "ServingAPI"):
                     self._stream_gen(payload)
                 elif self.path == "/v1/generate":
                     self._reply(200, api.generate(payload))
+                elif self.path == "/v1/chat/completions" and payload.get(
+                    "stream"
+                ):
+                    self._stream_chat(payload)
+                elif self.path == "/v1/chat/completions":
+                    self._reply(200, api.chat(payload))
                 elif self.path == "/v1/feedback":
                     self._reply(200, api.feedback(payload))
                 elif self.path == "/v1/embeddings":
@@ -487,6 +533,136 @@ class ServingAPI:
                 for pairs in out.get("top_logprobs", [])
             ]
         return resp
+
+    # -- OpenAI chat API over the generation server ---------------------
+
+    _chat_ids = itertools.count(1)
+
+    def _chat_request(self, payload: dict):
+        """Validate an OpenAI chat payload -> (prompt, model, max_new,
+        submit kwargs). Supported params: temperature, top_p,
+        max_tokens / max_completion_tokens, stop (string or list),
+        response_format json modes (guided decoding via the server's
+        constraint registry)."""
+        if self.gen_server is None:
+            raise ValueError("no generation server attached")
+        prompt = render_chat_messages(payload.get("messages"))
+        model = str(payload.get("model", "local"))
+        max_new = int(
+            payload.get("max_completion_tokens")
+            or payload.get("max_tokens")
+            or 64
+        )
+        kw = {}
+        if payload.get("temperature") is not None:
+            kw["temperature"] = float(payload["temperature"])
+        if payload.get("top_p") is not None:
+            kw["top_p"] = float(payload["top_p"])
+        stop = payload.get("stop")
+        if stop:
+            kw["stop"] = [stop] if isinstance(stop, str) else [
+                str(s) for s in stop
+            ]
+        con = self._constraint_name(payload)
+        if con is not None:
+            kw["constraint"] = con
+        return prompt, model, max_new, kw
+
+    def _chat_meta(self, model: str) -> dict:
+        import time as _time
+
+        return {
+            "id": f"chatcmpl-local-{next(self._chat_ids)}",
+            "created": int(_time.time()),
+            "model": model,
+        }
+
+    def chat(self, payload: dict) -> dict:
+        """Non-streaming /v1/chat/completions. Without string stop
+        sequences this runs the token-level complete() path (true
+        finish_reason + exact usage counts); with them it aggregates the
+        text stream (the stop cut is text-level)."""
+        from a_nice_rag_tpu.models.decoder import ByteDecoder, ByteTokenizer
+
+        prompt, model, max_new, kw = self._chat_request(payload)
+        tok = ByteTokenizer()
+        if "stop" in kw:
+            text = "".join(
+                self.gen_server.stream_text(
+                    prompt, max_new_tokens=max_new, **kw
+                )
+            )
+            finish, n_out = "stop", len(tok.encode(text, add_bos=False))
+        else:
+            out = self.gen_server.complete(
+                tok.encode(prompt), max_new_tokens=max_new, **kw
+            )
+            dec = ByteDecoder()
+            text = "".join(filter(None, map(dec.feed, out["tokens"])))
+            text += dec.flush()
+            finish, n_out = out["finish_reason"], len(out["tokens"])
+        n_in = len(tok.encode(prompt))
+        return {
+            **self._chat_meta(model),
+            "object": "chat.completion",
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": finish,
+            }],
+            "usage": {
+                "prompt_tokens": n_in,
+                "completion_tokens": n_out,
+                "total_tokens": n_in + n_out,
+            },
+        }
+
+    def chat_stream(self, payload: dict):
+        """Streaming /v1/chat/completions: yields chat.completion.chunk
+        dicts (role prelude, one content delta per decoded piece, then a
+        finish_reason chunk)."""
+        prompt, model, max_new, kw = self._chat_request(payload)
+        meta = {**self._chat_meta(model), "object": "chat.completion.chunk"}
+
+        def _chunk(delta: dict, finish=None) -> dict:
+            return {
+                **meta,
+                "choices": [{
+                    "index": 0, "delta": delta, "finish_reason": finish,
+                }],
+            }
+
+        gen = self.gen_server.stream_text(
+            prompt, max_new_tokens=max_new, **kw
+        )
+        try:
+            # Force the submit (and its validation — prompt length,
+            # unknown constraint, backpressure) BEFORE the first chunk
+            # is yielded, so the HTTP layer can still answer 400/429
+            # instead of a committed-200 SSE stream that dies silently.
+            first = next(gen, None)
+            yield _chunk({"role": "assistant", "content": ""})
+            if first is not None:
+                yield _chunk({"content": first})
+            for piece in gen:
+                yield _chunk({"content": piece})
+            yield _chunk({}, finish="stop")
+        finally:
+            gen.close()
+
+
+def render_chat_messages(messages) -> str:
+    """Chat-messages -> completion prompt, the same template
+    rag/providers.LocalTpuLLMClient uses, so a model served here
+    behaves identically whether reached in-process or over the wire."""
+    if not isinstance(messages, list) or not messages:
+        raise ValueError("'messages' must be a non-empty list")
+    for m in messages:
+        if not isinstance(m, dict) or "content" not in m:
+            raise ValueError("each message needs 'role' and 'content'")
+    return "\n\n".join(
+        f"{m.get('role', 'user')}: {m.get('content', '')}" for m in messages
+    ) + "\n\nassistant: "
 
 
 def serve(

@@ -361,3 +361,138 @@ def test_embeddings_endpoint():
         assert err.value.code == 400
     finally:
         srv2.shutdown()
+
+
+def test_chat_completions_param_plumbing():
+    """OpenAI chat payload knobs (max_completion_tokens, temperature,
+    top_p, stop, response_format) reach the generation server; the
+    response carries the chat.completion shape + usage accounting."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from a_nice_rag_tpu.serving.http_api import ServingAPI, _make_handler
+
+    seen = {}
+
+    class _Recorder:
+        def stream_text(self, prompt, max_new_tokens, **kw):
+            seen.update(kw, prompt=prompt, max_new_tokens=max_new_tokens)
+            yield "hi"
+
+        def complete(self, prompt_ids, max_new_tokens, **kw):
+            seen.update(kw, prompt_ids=prompt_ids,
+                        max_new_tokens=max_new_tokens)
+            return {"tokens": [104, 105], "logprobs": [0.0, 0.0],
+                    "finish_reason": "length"}
+
+    api = ServingAPI(None, gen_server=_Recorder())
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(api))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        msgs = [{"role": "system", "content": "be brief"},
+                {"role": "user", "content": "hello"}]
+        # complete() path: no string stop -> true finish_reason + usage.
+        out = _post(port, "/v1/chat/completions", {
+            "model": "local-demo", "messages": msgs,
+            "max_completion_tokens": 9, "temperature": 0.25,
+            "response_format": {"type": "json_object"},
+        })
+        assert out["object"] == "chat.completion"
+        assert out["model"] == "local-demo"
+        assert out["choices"][0]["message"] == {
+            "role": "assistant", "content": "hi"}
+        assert out["choices"][0]["finish_reason"] == "length"
+        assert out["usage"]["completion_tokens"] == 2
+        assert out["usage"]["total_tokens"] == (
+            out["usage"]["prompt_tokens"] + 2)
+        assert seen["max_new_tokens"] == 9
+        assert seen["temperature"] == 0.25
+        assert seen["constraint"] == "json_object"
+        # The chat template is the LocalTpuLLMClient one.
+        from a_nice_rag_tpu.models.decoder import ByteTokenizer
+        from a_nice_rag_tpu.serving.http_api import render_chat_messages
+
+        assert seen["prompt_ids"] == ByteTokenizer().encode(
+            render_chat_messages(msgs))
+        # stop -> text-level stream aggregation path.
+        out = _post(port, "/v1/chat/completions", {
+            "messages": msgs, "stop": "\n", "top_p": 0.9, "max_tokens": 5,
+        })
+        assert out["choices"][0]["message"]["content"] == "hi"
+        assert out["choices"][0]["finish_reason"] == "stop"
+        assert seen["stop"] == ["\n"] and seen["top_p"] == 0.9
+        assert seen["max_new_tokens"] == 5
+        # Bad payloads -> 400.
+        for bad in ({}, {"messages": []}, {"messages": [{"role": "u"}]}):
+            with pytest.raises(urllib.error.HTTPError) as err:
+                _post(port, "/v1/chat/completions", bad)
+            assert err.value.code == 400
+    finally:
+        httpd.shutdown()
+
+
+def test_chat_completions_serves_own_provider_client():
+    """The full local loop over the OpenAI wire protocol: the RAG
+    layer's OpenAICompatClient pointed at this server streams from the
+    on-device GenerationServer, both raw and through query_rag_stream
+    (zero client changes vs the reference's SaaS providers)."""
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from a_nice_rag_tpu.models.decoder import (
+        generate_text_stream,
+        init_decoder,
+        small_lm_config,
+    )
+    from a_nice_rag_tpu.rag.providers import OpenAICompatClient
+    from a_nice_rag_tpu.serving.genserver import GenerationServer
+    from a_nice_rag_tpu.serving.http_api import (
+        ServingAPI,
+        _make_handler,
+        render_chat_messages,
+    )
+
+    model, params = init_decoder(small_lm_config())
+    # max_len sized for the RAG prompt below (~3k byte tokens of system
+    # prompt + retrieved sections) plus the decode budget.
+    gsrv = GenerationServer(model, params, slots=2, max_len=4096, chunk=4)
+    api = ServingAPI(None, gen_server=gsrv)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(api))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        port = httpd.server_address[1]
+        client = OpenAICompatClient(
+            "local-key", base_url=f"http://127.0.0.1:{port}/v1/",
+            timeout=120.0,
+        )
+        msgs = [{"role": "user", "content": "name one NICE guideline"}]
+        got = "".join(client.stream_chat(
+            "local", msgs, max_tokens=12, stream_options=None))
+        want = "".join(generate_text_stream(
+            model, params, render_chat_messages(msgs), max_new_tokens=12,
+        ))
+        assert got == want and got  # greedy-exact over the wire
+
+        # And through the RAG pipeline: retrieval local, generation via
+        # the OpenAI-protocol hop back into this same server.
+        c = synth_corpus(n_docs=64, dim=16, n_queries=2, seed=31)
+        idx = build_index(
+            ids=c.ids, sources=c.sources, contents=c.contents, urls=c.urls,
+            embeddings=c.embeddings, token_lists=c.tokens,
+        )
+        rag = RAGSystem(indexes={InfoSource.NICE: idx},
+                        llm_clients={"openai": client})
+        chunks, sources = [], None
+        for chunk, _, _, sources in rag.query_rag_stream(
+            " ".join(c.query_tokens[0][:4]), "gpt-4.1-mini",
+            model_weights={"voyage-3-large": 0.0, "BM25": 1.0},
+            use_hybrid_search=True, use_reranker=False,
+            common_sections_n=3,
+        ):
+            chunks.append(chunk)
+        assert "".join(chunks)  # generated text arrived over the wire
+        assert sources  # retrieval ran locally
+    finally:
+        httpd.shutdown()
+        gsrv.stop()

@@ -53,6 +53,11 @@ class ByteTokenizer:
         data = bytes(int(i) for i in ids if 0 <= int(i) < 256)
         return data.decode("utf-8", errors="replace")
 
+    def stream_decoder(self) -> "ByteDecoder":
+        """Incremental decoder for this vocabulary (duck-typed with
+        models/hf_tokenizer.HFTokenizer.stream_decoder)."""
+        return ByteDecoder()
+
 
 class ByteDecoder:
     """Incremental UTF-8 decoder: feed token ids, get back only the
@@ -705,7 +710,8 @@ def generate_text_stream(
 ) -> Generator[str, None, None]:
     """Text-level streaming: UTF-8-safe deltas from the token stream."""
     tok = tokenizer or ByteTokenizer()
-    dec = ByteDecoder()
+    dec = (tok.stream_decoder() if hasattr(tok, "stream_decoder")
+           else ByteDecoder())
     for t in generate_stream(model, params, tok.encode(prompt), **kwargs):
         piece = dec.feed(t)
         if piece:

@@ -25,7 +25,13 @@ import json
 import os
 from typing import Dict, Set, Tuple
 
-__all__ = ["bytes_to_unicode", "hf_token_bytes", "load_token_bytes"]
+__all__ = [
+    "bytes_to_unicode",
+    "hf_token_bytes",
+    "load_token_bytes",
+    "HFStreamDecoder",
+    "HFTokenizer",
+]
 
 
 def bytes_to_unicode() -> Dict[int, str]:
@@ -105,3 +111,77 @@ def load_token_bytes(path: str) -> Tuple[Dict[int, bytes], Set[int]]:
         path = os.path.join(path, "tokenizer.json")
     with open(path, "r", encoding="utf-8") as f:
         return hf_token_bytes(json.load(f))
+
+
+class HFStreamDecoder:
+    """Incremental text decode over a ``{token_id: bytes}`` map: feed
+    ids, get back only the text that is complete so far (a codepoint
+    split across two BPE pieces buffers until its continuation bytes
+    arrive). Special/control ids carry no bytes and decode to ``""``.
+
+    Drop-in for models/decoder.ByteDecoder where the vocabulary is
+    multi-byte (real checkpoints) rather than raw bytes."""
+
+    def __init__(self, token_bytes: Dict[int, bytes]):
+        import codecs
+
+        self._tb = token_bytes
+        self._dec = codecs.getincrementaldecoder("utf-8")(errors="replace")
+
+    def feed(self, token_id: int) -> str:
+        data = self._tb.get(int(token_id))
+        if not data:
+            return ""
+        return self._dec.decode(data)
+
+    def flush(self) -> str:
+        return self._dec.decode(b"", final=True)
+
+
+class HFTokenizer:
+    """Serving tokenizer for an HF fast-tokenizer checkpoint: EXACT
+    encode via the ``tokenizers`` runtime (already in the image as a
+    transformers dependency — the merge walk is its Rust core, the one
+    part not worth reimplementing), decode/streaming-decode via this
+    module's dependency-free byte map so token-level paths (guided
+    decoding, logprob accounting, SSE deltas) all see one consistent
+    ``{id: bytes}`` view.
+
+    Replaces the demo ByteTokenizer at the serving boundary when a real
+    checkpoint is mounted (the reference tokenizes inside its SaaS
+    providers — reference src/query_rag.py:434-513; here the serving
+    process owns the hop). Same duck-typed surface as ByteTokenizer:
+    ``encode(text, add_bos=...)`` / ``decode(ids)`` plus
+    ``stream_decoder()``.
+    """
+
+    def __init__(self, path: str):
+        if os.path.isdir(path):
+            path = os.path.join(path, "tokenizer.json")
+        try:
+            from tokenizers import Tokenizer
+        except ImportError as e:  # pragma: no cover - present in image
+            raise ImportError(
+                "HFTokenizer needs the 'tokenizers' package (ships with "
+                "transformers); for demo weights use ByteTokenizer"
+            ) from e
+        self._tok = Tokenizer.from_file(path)
+        with open(path, "r", encoding="utf-8") as f:
+            self.token_bytes, self.specials = hf_token_bytes(json.load(f))
+        self.vocab_size = int(
+            self._tok.get_vocab_size(with_added_tokens=True)
+        )
+
+    def encode(self, text: str, add_bos: bool = True):
+        # The Qwen/GPT BPE family has no BOS; accept the flag for
+        # ByteTokenizer signature compatibility.
+        del add_bos
+        return list(self._tok.encode(text, add_special_tokens=False).ids)
+
+    def decode(self, ids) -> str:
+        dec = self.stream_decoder()
+        out = "".join(filter(None, (dec.feed(int(i)) for i in ids)))
+        return out + dec.flush()
+
+    def stream_decoder(self) -> HFStreamDecoder:
+        return HFStreamDecoder(self.token_bytes)

@@ -133,7 +133,10 @@ class LocalTpuLLMClient:
         ids = self.tokenizer.encode(prompt)
         if len(ids) > self.max_prompt_tokens:
             # Keep the tail: the question and the nearest context.
-            ids = [self.tokenizer.bos_id] + ids[-self.max_prompt_tokens:]
+            # (A real BPE tokenizer in this family has no BOS.)
+            bos = getattr(self.tokenizer, "bos_id", None)
+            ids = ([bos] if bos is not None else []) + ids[
+                -self.max_prompt_tokens:]
         prompt = self.tokenizer.decode(ids)
         max_new = int(params.get("max_tokens", self.max_new_tokens))
         if self.server is not None:

@@ -568,7 +568,11 @@ class GenerationServer:
         holdback of ``max(len(s)) - 1`` characters handles stop strings
         that straddle token/chunk boundaries."""
         tok = tokenizer or ByteTokenizer()
-        dec = ByteDecoder()
+        # Decode with the tokenizer's own incremental decoder (a real
+        # checkpoint's vocabulary is multi-byte BPE pieces, not raw
+        # bytes — models/hf_tokenizer.HFTokenizer).
+        dec = (tok.stream_decoder() if hasattr(tok, "stream_decoder")
+               else ByteDecoder())
         gen = self.stream(tok.encode(prompt), max_new_tokens,
                           temperature=temperature, top_k=top_k,
                           top_p=top_p, stop_token_ids=stop_token_ids,

@@ -255,6 +255,7 @@ class ServingAPI:
         suggested_queries=None,
         ui_defaults: Optional[dict] = None,
         gen_server=None,
+        tokenizer=None,
     ):
         self.rag_system = rag_system
         self.info_source = info_source
@@ -265,6 +266,19 @@ class ServingAPI:
         # Optional serving.genserver.GenerationServer: raw LM
         # completion endpoint (/v1/generate) with continuous batching.
         self.gen_server = gen_server
+        # Tokenizer for the generation endpoints: the demo byte
+        # tokenizer by default; a real checkpoint's
+        # models/hf_tokenizer.HFTokenizer when one is mounted
+        # (serve_cli --llm-ckpt), so prompts are encoded with the
+        # vocabulary the weights were trained on.
+        self.tokenizer = tokenizer
+
+    def _tok(self):
+        if self.tokenizer is None:
+            from a_nice_rag_tpu.models.decoder import ByteTokenizer
+
+            self.tokenizer = ByteTokenizer()
+        return self.tokenizer
 
     def ui_page(self) -> str:
         from a_nice_rag_tpu.serving.webui import render_page
@@ -463,6 +477,7 @@ class ServingAPI:
         return self.gen_server.stream_text(
             str(prompt),
             max_new_tokens=int(payload.get("max_tokens", 64)),
+            tokenizer=self.tokenizer,
             **kw,
         )
 
@@ -493,8 +508,6 @@ class ServingAPI:
                 "'logprobs' does not compose with string 'stop' "
                 "sequences; use 'stop_token_ids'"
             )
-        from a_nice_rag_tpu.models.decoder import ByteDecoder, ByteTokenizer
-
         prompt = payload.get("prompt")
         if not prompt:
             raise ValueError("'prompt' is required")
@@ -516,11 +529,12 @@ class ServingAPI:
                 "'top_logprobs' requires a server built with "
                 "logprob_topk=K (serve_cli --logprob-topk)"
             )
+        tok = self._tok()
         out = self.gen_server.complete(
-            ByteTokenizer().encode(str(prompt)),
+            tok.encode(str(prompt)),
             max_new_tokens=int(payload.get("max_tokens", 64)), **kw,
         )
-        dec = ByteDecoder()
+        dec = tok.stream_decoder()
         text = "".join(filter(None, map(dec.feed, out["tokens"])))
         text += dec.flush()
         resp = {"text": text, "tokens": out["tokens"],
@@ -582,14 +596,12 @@ class ServingAPI:
         sequences this runs the token-level complete() path (true
         finish_reason + exact usage counts); with them it aggregates the
         text stream (the stop cut is text-level)."""
-        from a_nice_rag_tpu.models.decoder import ByteDecoder, ByteTokenizer
-
         prompt, model, max_new, kw = self._chat_request(payload)
-        tok = ByteTokenizer()
+        tok = self._tok()
         if "stop" in kw:
             text = "".join(
                 self.gen_server.stream_text(
-                    prompt, max_new_tokens=max_new, **kw
+                    prompt, max_new_tokens=max_new, tokenizer=tok, **kw
                 )
             )
             finish, n_out = "stop", len(tok.encode(text, add_bos=False))
@@ -597,7 +609,7 @@ class ServingAPI:
             out = self.gen_server.complete(
                 tok.encode(prompt), max_new_tokens=max_new, **kw
             )
-            dec = ByteDecoder()
+            dec = tok.stream_decoder()
             text = "".join(filter(None, map(dec.feed, out["tokens"])))
             text += dec.flush()
             finish, n_out = out["finish_reason"], len(out["tokens"])
@@ -633,7 +645,7 @@ class ServingAPI:
             }
 
         gen = self.gen_server.stream_text(
-            prompt, max_new_tokens=max_new, **kw
+            prompt, max_new_tokens=max_new, tokenizer=self.tokenizer, **kw
         )
         try:
             # Force the submit (and its validation — prompt length,
@@ -673,11 +685,12 @@ def serve(
     feedback_log=None,
     llm_options=None,
     gen_server=None,
+    tokenizer=None,
 ) -> Optional[ThreadingHTTPServer]:
     """Start the HTTP API; returns the server when ``background``."""
     api = ServingAPI(
         rag_system, feedback_log=feedback_log, llm_options=llm_options,
-        gen_server=gen_server,
+        gen_server=gen_server, tokenizer=tokenizer,
     )
     server = ThreadingHTTPServer((host, port), _make_handler(api))
     if background:

@@ -572,6 +572,7 @@ def build_local_llm_api(index, state, embedder, model_names,
     from a_nice_rag_tpu.models.decoder import EOS as _BYTE_EOS
 
     eos_id = _BYTE_EOS
+    hf_tok = None
     if llm_ckpt:
         import json as _json
 
@@ -581,6 +582,28 @@ def build_local_llm_api(index, state, embedder, model_names,
             _eos = _eos[0] if _eos else None
         if _eos is not None:
             eos_id = int(_eos)
+        # Serve with the checkpoint's OWN tokenizer: prompts must be
+        # encoded with the vocabulary the weights were trained on, not
+        # the demo byte tokenizer (models/hf_tokenizer.HFTokenizer —
+        # exact BPE encode + streaming byte-map decode). A tokenizer
+        # file the `tokenizers` runtime cannot parse (hand-reduced
+        # fixtures) still yields its byte map for constraint lowering.
+        if _os.path.exists(_os.path.join(llm_ckpt, "tokenizer.json")):
+            from a_nice_rag_tpu.models.hf_tokenizer import HFTokenizer
+
+            try:
+                hf_tok = HFTokenizer(llm_ckpt)
+                logger.info(
+                    "serve: generation endpoints use the checkpoint's "
+                    "tokenizer (%d pieces, %d specials)",
+                    len(hf_tok.token_bytes), len(hf_tok.specials),
+                )
+            except Exception as e:  # noqa: BLE001 — degrade, don't die
+                logger.warning(
+                    "serve: tokenizers runtime rejected tokenizer.json "
+                    "(%s); prompts use the demo byte tokenizer, "
+                    "constraints still lower onto the byte map", e,
+                )
     constraints = None
     if json_mode:
         if draft is not None:
@@ -598,18 +621,20 @@ def build_local_llm_api(index, state, embedder, model_names,
         # (models/hf_tokenizer.py). Demo weights use the byte-level
         # local tokenizer (token_bytes=None).
         token_bytes = None
-        if llm_ckpt and _os.path.exists(
+        if hf_tok is not None:
+            token_bytes = hf_tok.token_bytes
+        elif llm_ckpt and _os.path.exists(
             _os.path.join(llm_ckpt, "tokenizer.json")
         ):
             from a_nice_rag_tpu.models.hf_tokenizer import (
                 load_token_bytes,
             )
 
-            token_bytes, n_special = load_token_bytes(llm_ckpt)
+            token_bytes, _spec = load_token_bytes(llm_ckpt)
+        if token_bytes is not None:
             logger.info(
                 "serve: constraints lowered onto the checkpoint's "
-                "tokenizer (%d tokens, %d specials forbidden)",
-                len(token_bytes), len(n_special),
+                "tokenizer (%d tokens)", len(token_bytes),
             )
         dfas = {
             "json": json_dfa(max_depth=json_depth),
@@ -633,6 +658,7 @@ def build_local_llm_api(index, state, embedder, model_names,
                            constraints=constraints,
                            logprob_topk=logprob_topk)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
+                               tokenizer=hf_tok,
                                max_prompt_tokens=max(
                                    64, gen_max_len - 256))
     rag = RAGSystem(
@@ -650,7 +676,8 @@ def build_local_llm_api(index, state, embedder, model_names,
             engine=ShardedSearchEngine(sidx, embedder=embedder,
                                        reranker=IdentityReranker()),
         )
-    return ServingAPI(rag, gen_server=gen, llm_options=["local-tpu"])
+    return ServingAPI(rag, gen_server=gen, llm_options=["local-tpu"],
+                      tokenizer=hf_tok)
 
 
 if __name__ == "__main__":

@@ -110,3 +110,116 @@ def test_multibyte_guided_generation():
                 json.loads(data.decode())
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# HFTokenizer: exact encode + streaming decode for real fast-tokenizer
+# checkpoints (a REAL trained ByteLevel BPE, not a hand-built fixture).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def trained_tok_path(tmp_path_factory):
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    corpus = [
+        "NICE recommends offering antibiotics for suspected sepsis.",
+        "The committee agreed the evidence on café-au-lait spots.",
+        "metformin 500 mg twice daily with meals — see section 1.3",
+        "{\"dose\": 500, \"unit\": \"mg\", \"ok\": true}",
+        "中文文本 and emoji \U0001f600 mixed content",
+    ] * 50
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    trainer = trainers.BpeTrainer(
+        vocab_size=420,
+        special_tokens=["<|endoftext|>", "<|im_end|>"],
+        initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+        show_progress=False,
+    )
+    tok.train_from_iterator(corpus, trainer)
+    path = tmp_path_factory.mktemp("hftok") / "tokenizer.json"
+    tok.save(str(path))
+    return str(path)
+
+
+TEXTS = [
+    "offer antibiotics for sepsis",
+    "café-au-lait — 500 mg",
+    "{\"dose\": 500, \"ok\": true}",
+    "中文 \U0001f600 tail",
+]
+
+
+def test_hf_tokenizer_encode_matches_runtime_and_roundtrips(
+    trained_tok_path,
+):
+    from tokenizers import Tokenizer
+
+    from a_nice_rag_tpu.models.hf_tokenizer import HFTokenizer
+
+    hf = HFTokenizer(trained_tok_path)
+    rt = Tokenizer.from_file(trained_tok_path)
+    for text in TEXTS:
+        ids = hf.encode(text)
+        assert ids == list(rt.encode(text, add_special_tokens=False).ids)
+        assert hf.decode(ids) == text  # byte-map decode is exact
+        # Multi-token: BPE actually merged (not a byte fallback walk).
+    assert len(hf.encode(TEXTS[0])) < len(TEXTS[0].encode("utf-8"))
+    assert hf.vocab_size == rt.get_vocab_size(with_added_tokens=True)
+
+
+def test_hf_stream_decoder_incremental_equals_full(trained_tok_path):
+    """Feeding ids one at a time must concatenate to the full decode,
+    even when a codepoint is split across BPE pieces; specials decode
+    to ''."""
+    from a_nice_rag_tpu.models.hf_tokenizer import HFTokenizer
+
+    hf = HFTokenizer(trained_tok_path)
+    for text in TEXTS:
+        ids = hf.encode(text)
+        dec = hf.stream_decoder()
+        got = "".join(filter(None, (dec.feed(i) for i in ids)))
+        got += dec.flush()
+        assert got == text
+    # Specials carry no bytes.
+    dec = hf.stream_decoder()
+    assert all(dec.feed(s) == "" for s in hf.specials)
+    # A codepoint split across two ids buffers until complete: feed the
+    # raw bytes of é via two single-byte tokens if present in the vocab.
+    two = [i for i, b in hf.token_bytes.items() if b == b"\xc3"]
+    cont = [i for i, b in hf.token_bytes.items() if b == b"\xa9"]
+    if two and cont:
+        dec = hf.stream_decoder()
+        assert dec.feed(two[0]) == ""
+        assert dec.feed(cont[0]) == "é"
+
+
+def test_genserver_streams_text_through_hf_tokenizer(trained_tok_path):
+    """stream_text(tokenizer=HFTokenizer) encodes the prompt with the
+    checkpoint vocabulary and decodes the emitted ids through the byte
+    map — token-for-token consistent with the raw id stream."""
+    from a_nice_rag_tpu.models.decoder import (
+        generate_stream,
+        init_decoder,
+        small_lm_config,
+    )
+    from a_nice_rag_tpu.models.hf_tokenizer import HFTokenizer
+    from a_nice_rag_tpu.serving.genserver import GenerationServer
+
+    hf = HFTokenizer(trained_tok_path)
+    cfg = small_lm_config(vocab_size=hf.vocab_size)
+    model, params = init_decoder(cfg)
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4,
+                           eos_id=0)
+    try:
+        prompt = "offer antibiotics for sepsis"
+        text = "".join(srv.stream_text(prompt, max_new_tokens=10,
+                                       tokenizer=hf))
+        ids = list(generate_stream(model, params, hf.encode(prompt),
+                                   max_new_tokens=10))
+        assert text == hf.decode(ids)
+    finally:
+        srv.stop()

@@ -456,3 +456,70 @@ def test_serve_cli_json_mode_real_ckpt_tokenizer(corpus_index,
         assert con.table[0, 15] == -1  # can't open with '}'
     finally:
         gen.stop()
+
+
+def test_serve_cli_real_ckpt_serves_with_hf_tokenizer(corpus_index,
+                                                      monkeypatch,
+                                                      tmp_path):
+    """A checkpoint with a runtime-valid tokenizer.json is served with
+    its OWN tokenizer everywhere: the ServingAPI generation endpoints
+    and the RAG-local client encode prompts with the checkpoint
+    vocabulary (not the demo byte tokenizer)."""
+    pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    from a_nice_rag_tpu.models import qwen3 as qwen3_mod
+    from a_nice_rag_tpu.models.decoder import init_decoder, small_lm_config
+    from a_nice_rag_tpu.models.embedder import OnDeviceEmbedder
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
+    from a_nice_rag_tpu.models.hf_tokenizer import HFTokenizer
+    from a_nice_rag_tpu.serving.serve_cli import build_local_llm_api
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    tok.train_from_iterator(
+        ["what dose of metformin does NICE recommend"] * 40,
+        trainers.BpeTrainer(
+            vocab_size=300, special_tokens=["<|endoftext|>"],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+            show_progress=False,
+        ),
+    )
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    tok.save(str(ckpt / "tokenizer.json"))
+    (ckpt / "config.json").write_text(json.dumps({"eos_token_id": 0}))
+
+    lcfg = small_lm_config(
+        vocab_size=tok.get_vocab_size(with_added_tokens=True)
+    )
+    _, lparams = init_decoder(lcfg, seed=5)
+    monkeypatch.setattr(qwen3_mod, "load_qwen3_checkpoint_dir",
+                        lambda path, **kw: (lcfg, None, lparams))
+
+    c, idx = corpus_index
+    emb_dim = int(idx.dense_matrix("voyage-3-large").shape[1])
+    embedder = OnDeviceEmbedder(EncoderConfig(
+        n_layers=1, dim=32, out_dim=emb_dim, vocab_size=1024, n_heads=2,
+    ))
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True,
+                        embedder=embedder)
+    api = build_local_llm_api(idx, state, embedder, ("voyage-3-large",),
+                              llm_ckpt=str(ckpt), gen_slots=2,
+                              gen_chunk=4, gen_max_len=256)
+    try:
+        assert isinstance(api.tokenizer, HFTokenizer)
+        local = api.rag_system.llm_clients["local"]
+        assert local.tokenizer is api.tokenizer
+        # Generation encodes the prompt with the checkpoint vocabulary:
+        # the submitted ids are BPE pieces, and the response decodes
+        # through the byte map.
+        out = api.generate({"prompt": "what dose of metformin",
+                            "max_tokens": 4})
+        assert isinstance(out["text"], str)
+        ids = api.tokenizer.encode("what dose of metformin")
+        assert all(i < lcfg.vocab_size for i in ids)
+        assert len(ids) < len("what dose of metformin".encode())
+    finally:
+        api.gen_server.stop()

@@ -185,3 +185,32 @@ class HFTokenizer:
 
     def stream_decoder(self) -> HFStreamDecoder:
         return HFStreamDecoder(self.token_bytes)
+
+    def token_to_id(self, token: str):
+        """Id of an exact vocabulary/special piece, or None."""
+        return self._tok.token_to_id(token)
+
+
+def supports_chatml(tokenizer) -> bool:
+    """True when the tokenizer carries the ChatML turn markers as
+    special pieces (the Qwen instruct family). The `tokenizers` runtime
+    extracts added tokens from input text even with
+    add_special_tokens=False, so encoding a ChatML-rendered prompt
+    yields the single special ids the instruct weights were trained
+    on."""
+    t2i = getattr(tokenizer, "token_to_id", None)
+    return t2i is not None and None not in (
+        t2i("<|im_start|>"), t2i("<|im_end|>")
+    )
+
+
+def render_chatml(messages) -> str:
+    """Chat messages -> ChatML prompt text (the Qwen instruct template,
+    reference checkpoints' expected markup), ending with an open
+    assistant turn. Encoding this with the checkpoint's tokenizer maps
+    the markers onto their special ids."""
+    return "".join(
+        f"<|im_start|>{m.get('role', 'user')}\n{m.get('content', '')}"
+        f"<|im_end|>\n"
+        for m in messages
+    ) + "<|im_start|>assistant\n"

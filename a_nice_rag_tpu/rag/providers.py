@@ -125,11 +125,20 @@ class LocalTpuLLMClient:
 
     def stream_chat(self, model, messages, **params):
         from a_nice_rag_tpu.models.decoder import generate_text_stream
+        from a_nice_rag_tpu.models.hf_tokenizer import (
+            render_chatml,
+            supports_chatml,
+        )
 
-        prompt = "\n\n".join(
-            f"{m.get('role', 'user')}: {m.get('content', '')}"
-            for m in messages
-        ) + "\n\nassistant: "
+        if supports_chatml(self.tokenizer):
+            # Real instruct checkpoints: turn markers encode onto their
+            # special ids (models/hf_tokenizer.render_chatml).
+            prompt = render_chatml(messages)
+        else:
+            prompt = "\n\n".join(
+                f"{m.get('role', 'user')}: {m.get('content', '')}"
+                for m in messages
+            ) + "\n\nassistant: "
         ids = self.tokenizer.encode(prompt)
         if len(ids) > self.max_prompt_tokens:
             # Keep the tail: the question and the nearest context.

@@ -560,7 +560,9 @@ class ServingAPI:
         constraint registry)."""
         if self.gen_server is None:
             raise ValueError("no generation server attached")
-        prompt = render_chat_messages(payload.get("messages"))
+        prompt = render_chat_messages(
+            payload.get("messages"), tokenizer=self._tok()
+        )
         model = str(payload.get("model", "local"))
         max_new = int(
             payload.get("max_completion_tokens")
@@ -663,15 +665,27 @@ class ServingAPI:
             gen.close()
 
 
-def render_chat_messages(messages) -> str:
-    """Chat-messages -> completion prompt, the same template
-    rag/providers.LocalTpuLLMClient uses, so a model served here
-    behaves identically whether reached in-process or over the wire."""
+def render_chat_messages(messages, tokenizer=None) -> str:
+    """Chat-messages -> completion prompt. With a tokenizer that
+    carries the ChatML markers as specials (a real instruct
+    checkpoint), renders ChatML so the turn structure encodes onto the
+    ids the weights were trained on; otherwise the plain role-prefix
+    template rag/providers.LocalTpuLLMClient uses for demo weights, so
+    a model served here behaves identically whether reached in-process
+    or over the wire."""
     if not isinstance(messages, list) or not messages:
         raise ValueError("'messages' must be a non-empty list")
     for m in messages:
         if not isinstance(m, dict) or "content" not in m:
             raise ValueError("each message needs 'role' and 'content'")
+    if tokenizer is not None:
+        from a_nice_rag_tpu.models.hf_tokenizer import (
+            render_chatml,
+            supports_chatml,
+        )
+
+        if supports_chatml(tokenizer):
+            return render_chatml(messages)
     return "\n\n".join(
         f"{m.get('role', 'user')}: {m.get('content', '')}" for m in messages
     ) + "\n\nassistant: "

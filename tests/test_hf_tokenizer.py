@@ -223,3 +223,56 @@ def test_genserver_streams_text_through_hf_tokenizer(trained_tok_path):
         assert text == hf.decode(ids)
     finally:
         srv.stop()
+
+
+def test_chatml_rendering_lowers_onto_special_ids(tmp_path):
+    """A tokenizer carrying <|im_start|>/<|im_end|> specials flips chat
+    rendering to ChatML, and encoding the rendered prompt maps each
+    marker to its single special id (instruct-checkpoint turn
+    structure)."""
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    from a_nice_rag_tpu.models.hf_tokenizer import (
+        HFTokenizer,
+        render_chatml,
+        supports_chatml,
+    )
+    from a_nice_rag_tpu.serving.http_api import render_chat_messages
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    tok.train_from_iterator(
+        ["offer antibiotics for sepsis"] * 30,
+        trainers.BpeTrainer(
+            vocab_size=300,
+            special_tokens=["<|endoftext|>", "<|im_start|>", "<|im_end|>"],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+            show_progress=False,
+        ),
+    )
+    path = tmp_path / "tokenizer.json"
+    tok.save(str(path))
+    hf = HFTokenizer(str(path))
+    assert supports_chatml(hf)
+
+    msgs = [{"role": "system", "content": "be brief"},
+            {"role": "user", "content": "sepsis?"}]
+    rendered = render_chat_messages(msgs, tokenizer=hf)
+    assert rendered == render_chatml(msgs)
+    ids = hf.encode(rendered)
+    im_s, im_e = hf.token_to_id("<|im_start|>"), hf.token_to_id("<|im_end|>")
+    assert ids.count(im_s) == 3 and ids.count(im_e) == 2
+    # The prompt ends with an OPEN assistant turn: the last im_start
+    # comes after the last im_end.
+    last_s = len(ids) - 1 - ids[::-1].index(im_s)
+    last_e = len(ids) - 1 - ids[::-1].index(im_e)
+    assert ids[0] == im_s and last_s > last_e
+
+    # Demo byte tokenizer (no specials): plain role-prefix template.
+    from a_nice_rag_tpu.models.decoder import ByteTokenizer
+
+    assert not supports_chatml(ByteTokenizer())
+    plain = render_chat_messages(msgs, tokenizer=ByteTokenizer())
+    assert plain.endswith("assistant: ") and "<|im_start|>" not in plain

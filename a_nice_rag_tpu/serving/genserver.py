@@ -116,6 +116,9 @@ class _Request:
     # list of (token_id, logprob) pairs (only when the server was built
     # with logprob_topk=K; empty otherwise / in speculative mode).
     top_logprobs: List[list] = field(default_factory=list)
+    # Emitted token values, server-side (prefix retention builds the
+    # cached-prefix key from prompt + the forwarded emitted tokens).
+    sent_ids: List[int] = field(default_factory=list)
 
 
 class GenerationServer:
@@ -143,6 +146,7 @@ class GenerationServer:
         tp_axis: str = "tp",
         constraints: Optional[dict] = None,
         logprob_topk: int = 0,
+        retain_prefixes: int = 0,
     ):
         self.model, self.params = model, params
         # Tensor-parallel serving: with ``mesh=`` the params and KV
@@ -342,6 +346,22 @@ class GenerationServer:
         self._prefix_cache: dict = {}
         self.prefix_cache_max = 8
         self.prefix_hits = 0
+        # Automatic prefix retention: with retain_prefixes=N, a retired
+        # request's KV row (already computed — zero extra forward work)
+        # is kept as a cached prefix, so a follow-up request carrying
+        # the conversation so far (multi-turn chat) prefills only its
+        # new tail. The key covers exactly the positions whose KV the
+        # row holds: the prompt plus every FORWARDED emitted token —
+        # all of them when the row stopped on EOS/stop (the stop-
+        # producing step forwarded the last emitted token), all but the
+        # last on budget/cancel (the final token was sampled but never
+        # fed back). N bounds the LRU (each entry is a full
+        # 2*layers*max_len*nkv*hd row). Off in speculative mode (verify
+        # rounds interleave draft state with the target rows).
+        self.retain_prefixes = int(retain_prefixes)
+        if self.retain_prefixes > 0:
+            self.prefix_cache_max = self.retain_prefixes
+        self.prefix_retained = 0
         # Serving counters (stats()): decode dispatches, tokens pushed
         # to request queues, requests cancelled before completion.
         self.ticks = 0
@@ -913,6 +933,7 @@ class GenerationServer:
             first = int(tok0)
             self._set_slot_cstate(slot, req, first)
             if not self._is_stop(req, first):
+                req.sent_ids.append(first)
                 req.out.put(first)
                 self._record_first(req, info)
                 req.emitted = 1
@@ -1001,6 +1022,7 @@ class GenerationServer:
         first = int(tok0)
         self._set_slot_cstate(slot, req, first)
         if not self._is_stop(req, first):
+            req.sent_ids.append(first)
             req.out.put(first)
             self._record_first(req, info)
             req.emitted = 1
@@ -1016,9 +1038,35 @@ class GenerationServer:
             req.finished = True
             if req.finish_reason is None:
                 req.finish_reason = reason
+            if (
+                self.retain_prefixes > 0
+                and self.draft is None
+                and req.finish_reason in ("stop", "length")
+            ):
+                self._retain_row(slot, req)
             req.out.put(_END)
         self._active[slot] = None
         self._done = self._done.at[slot].set(True)
+
+    def _retain_row(self, slot: int, req: _Request) -> None:
+        """Keep the retired slot's KV row as a cached prefix (see
+        retain_prefixes in __init__ for the forwarded-token key rule).
+        The slice creates fresh device buffers, so the batch cache can
+        be freely overwritten afterwards; zero forward work."""
+        fwd = (req.sent_ids if req.finish_reason == "stop"
+               else req.sent_ids[:-1])
+        key = tuple(req.prompt_ids) + tuple(int(t) for t in fwd)
+        if not key or len(key) + self.chunk > self.smax:
+            return
+        if key in self._prefix_cache:
+            self._prefix_cache[key] = self._prefix_cache.pop(key)
+            return
+        kr = [c[slot:slot + 1] for c in self._kc]
+        vr = [c[slot:slot + 1] for c in self._vc]
+        self._prefix_cache[key] = (kr, vr)
+        self.prefix_retained += 1
+        while len(self._prefix_cache) > self.prefix_cache_max:
+            self._prefix_cache.pop(next(iter(self._prefix_cache)))
 
     def tick(self) -> int:
         """Admit + one chunked decode dispatch; returns #tokens emitted
@@ -1093,6 +1141,7 @@ class GenerationServer:
                     if self._is_stop(req, t):
                         self._retire(slot, "stop")
                         break
+                    req.sent_ids.append(t)
                     req.out.put(t)
                     if lp_rows is not None:
                         req.logprobs.append(float(lp_rows[slot][j]))
@@ -1125,6 +1174,7 @@ class GenerationServer:
                 "ticks": self.ticks,
                 "tokens_emitted": self.tokens_emitted,
                 "prefix_cache_hits": self.prefix_hits,
+                "prefixes_retained": self.prefix_retained,
                 "cancelled": self.cancelled_count,
                 "speculative": self.draft is not None,
                 "constraints": sorted(

@@ -411,6 +411,10 @@ def main(argv=None) -> None:
     p.add_argument("--max-pending", type=int, default=None,
                    help="backpressure: reject /v1/generate submissions "
                         "(HTTP 429) beyond this many queued requests")
+    p.add_argument("--retain-prefixes", type=int, default=0,
+                   help="keep up to N retired requests' KV rows as "
+                        "cached prefixes (multi-turn chat prefills "
+                        "only the new tail; zero extra forward work)")
     p.add_argument("--logprob-topk", type=int, default=0,
                    help="emit the top-K raw-distribution alternatives "
                         "per generated token (/v1/generate "
@@ -495,6 +499,7 @@ def main(argv=None) -> None:
             max_pending=args.max_pending,
             json_mode=args.json_mode, json_depth=args.json_depth,
             logprob_topk=args.logprob_topk,
+            retain_prefixes=args.retain_prefixes,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
@@ -506,7 +511,8 @@ def build_local_llm_api(index, state, embedder, model_names,
                         draft_ckpt=None, gamma: int = 4,
                         prefill_chunk=None, lm_tp=None,
                         json_mode: bool = False, json_depth: int = 4,
-                        logprob_topk: int = 0):
+                        logprob_topk: int = 0,
+                        retain_prefixes: int = 0):
     """Attach the on-device decoder LM to this deployment: a
     continuous-batching GenerationServer shared by /v1/generate and the
     RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
@@ -656,7 +662,8 @@ def build_local_llm_api(index, state, embedder, model_names,
                            gamma=gamma, prefill_chunk=prefill_chunk,
                            max_pending=max_pending, mesh=mesh,
                            constraints=constraints,
-                           logprob_topk=logprob_topk)
+                           logprob_topk=logprob_topk,
+                           retain_prefixes=retain_prefixes)
     client = LocalTpuLLMClient(lm, lm_params, server=gen,
                                tokenizer=hf_tok,
                                max_prompt_tokens=max(

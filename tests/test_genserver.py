@@ -813,3 +813,82 @@ def test_top_logprobs_http():
             plain.stop()
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# Automatic prefix retention (retain_prefixes=N): retired rows become
+# cached prefixes, so a follow-up request carrying the conversation so
+# far prefills only its new tail — and decodes BIT-IDENTICALLY to a
+# retention-free server (the cached-key rule covers exactly the
+# positions whose KV the row holds).
+# ---------------------------------------------------------------------------
+
+
+def _complete(srv, prompt, budget):
+    req = srv.submit(list(prompt), budget)
+    srv.drain()
+    toks, _ = _collect(req)
+    return toks, req.finish_reason
+
+
+def test_retained_prefix_multiturn_exact_stop_and_length():
+    model, params = _setup()
+    fresh = GenerationServer(model, params, slots=2, max_len=256, chunk=4)
+    srv = GenerationServer(model, params, slots=2, max_len=256, chunk=4,
+                           retain_prefixes=4)
+
+    for budget in (40, 7):  # natural EOS stop and budget-truncated
+        p1 = list(range(20, 44))
+        t1, fr = _complete(srv, p1, budget)
+        assert srv.prefix_retained >= 1
+        # Turn 2: the conversation so far plus a new user turn.
+        p2 = p1 + t1 + [50, 51, 52, 53]
+        hits0 = srv.prefix_hits
+        t2, _ = _complete(srv, p2, 12)
+        assert srv.prefix_hits == hits0 + 1, fr
+        ref, _ = _complete(fresh, p2, 12)
+        assert t2 == ref, (fr, t2, ref)
+
+
+def test_retained_prefix_lru_bound_and_cancel_excluded():
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4,
+                           retain_prefixes=2)
+    for base in (10, 60, 110, 160):
+        _complete(srv, list(range(base, base + 8)), 5)
+    assert len(srv._prefix_cache) <= 2  # LRU bound holds
+    assert srv.prefix_retained >= 4
+
+    # A cancelled stream must not poison the cache with a wrong key.
+    retained0 = srv.prefix_retained
+    gen = srv.stream(list(range(200, 214)), 30)
+    next(gen)
+    gen.close()  # cancel
+    srv.drain()
+    assert srv.prefix_retained == retained0
+
+
+def test_retained_prefix_respects_stop_token_ids():
+    """Custom stop tokens retire with reason 'stop'; the retained key
+    must still reproduce the retention-free decode exactly."""
+    model, params = _setup()
+    fresh = GenerationServer(model, params, slots=1, max_len=256, chunk=4)
+    srv = GenerationServer(model, params, slots=1, max_len=256, chunk=4,
+                           retain_prefixes=4)
+    p1 = list(range(30, 50))
+    ref1, _ = _complete(fresh, p1, 16)
+    stop_at = ref1[5]  # stop mid-stream on a token the model will emit
+    t1, fr = _complete_stop(srv, p1, 16, stop_at)
+    p2 = p1 + t1 + [77, 78]
+    hits0 = srv.prefix_hits
+    t2, _ = _complete(srv, p2, 8)
+    ref2, _ = _complete(fresh, p2, 8)
+    assert srv.prefix_hits == hits0 + 1
+    assert t2 == ref2
+
+
+def _complete_stop(srv, prompt, budget, stop_tok):
+    req = srv.submit(list(prompt), budget, stop_token_ids=[stop_tok])
+    srv.drain()
+    toks, _ = _collect(req)
+    return toks, req.finish_reason

@@ -171,6 +171,29 @@ class HFTokenizer:
         self.vocab_size = int(
             self._tok.get_vocab_size(with_added_tokens=True)
         )
+        # The checkpoint's declared chat template (tokenizer_config.json
+        # or the newer chat_template.json), when present. This — not
+        # marker presence in the vocab — decides the serving prompt
+        # format: Qwen BASE tokenizers also carry <|im_start|>/<|im_end|>
+        # as specials, so vocabulary alone over-claims ChatML support.
+        self.chat_template = None
+        self._has_tok_config = False
+        d = os.path.dirname(path)
+        for name, key in (("tokenizer_config.json", "chat_template"),
+                          ("chat_template.json", "chat_template")):
+            p = os.path.join(d, name)
+            if not os.path.exists(p):
+                continue
+            try:
+                with open(p, "r", encoding="utf-8") as f:
+                    cfg = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue
+            if name == "tokenizer_config.json":
+                self._has_tok_config = True
+            tpl = cfg.get(key)
+            if isinstance(tpl, str) and self.chat_template is None:
+                self.chat_template = tpl
 
     def encode(self, text: str, add_bos: bool = True):
         # The Qwen/GPT BPE family has no BOS; accept the flag for
@@ -192,12 +215,30 @@ class HFTokenizer:
 
 
 def supports_chatml(tokenizer) -> bool:
-    """True when the tokenizer carries the ChatML turn markers as
-    special pieces (the Qwen instruct family). The `tokenizers` runtime
-    extracts added tokens from input text even with
-    add_special_tokens=False, so encoding a ChatML-rendered prompt
-    yields the single special ids the instruct weights were trained
-    on."""
+    """True when the checkpoint should be prompted with ChatML turn
+    markers. Decided, in order:
+
+    1. An explicit override: ``tokenizer.force_chatml`` (set by e.g. a
+       ``--chat-template`` serve flag) wins outright.
+    2. The checkpoint's declared ``chat_template`` (from
+       tokenizer_config.json / chat_template.json): ChatML iff the
+       template itself renders ``<|im_start|>`` turns. A declared
+       non-ChatML template → the plain role-prefix fallback.
+    3. A tokenizer_config.json WITHOUT a chat_template marks a BASE
+       checkpoint (Qwen base tokenizers carry the ChatML specials in
+       their vocab but were not instruction-trained on them) → False.
+    4. No config at all: fall back to the marker-in-vocab heuristic
+       (the `tokenizers` runtime extracts added tokens from input text
+       even with add_special_tokens=False, so encoding a
+       ChatML-rendered prompt yields the single special ids)."""
+    force = getattr(tokenizer, "force_chatml", None)
+    if force is not None:
+        return bool(force)
+    tpl = getattr(tokenizer, "chat_template", None)
+    if isinstance(tpl, str):
+        return "<|im_start|>" in tpl
+    if getattr(tokenizer, "_has_tok_config", False):
+        return False
     t2i = getattr(tokenizer, "token_to_id", None)
     return t2i is not None and None not in (
         t2i("<|im_start|>"), t2i("<|im_end|>")

@@ -124,7 +124,10 @@ class LocalTpuLLMClient:
         self.server = server
 
     def stream_chat(self, model, messages, **params):
-        from a_nice_rag_tpu.models.decoder import generate_text_stream
+        from a_nice_rag_tpu.models.decoder import (
+            ByteDecoder,
+            generate_stream,
+        )
         from a_nice_rag_tpu.models.hf_tokenizer import (
             render_chatml,
             supports_chatml,
@@ -146,22 +149,32 @@ class LocalTpuLLMClient:
             bos = getattr(self.tokenizer, "bos_id", None)
             ids = ([bos] if bos is not None else []) + ids[
                 -self.max_prompt_tokens:]
-        prompt = self.tokenizer.decode(ids)
+        # Feed ids DIRECTLY — a decode/re-encode round-trip here would
+        # strip the ChatML special ids (HFStreamDecoder renders specials
+        # as ""), silently destroying the turn structure of truncated
+        # instruct prompts.
         max_new = int(params.get("max_tokens", self.max_new_tokens))
         if self.server is not None:
-            yield from self.server.stream_text(
-                prompt, max_new_tokens=max_new, tokenizer=self.tokenizer
+            gen = self.server.stream(ids, max_new_tokens=max_new)
+        else:
+            gen = generate_stream(
+                self.model, self.params, ids,
+                max_new_tokens=max_new,
+                temperature=float(params.get("temperature", 0.0)),
+                top_k=int(params.get("top_k", 0)),
+                top_p=float(params.get("top_p", 0.0)),
+                chunk=self.chunk,
             )
-            return
-        yield from generate_text_stream(
-            self.model, self.params, prompt,
-            tokenizer=self.tokenizer,
-            max_new_tokens=max_new,
-            temperature=float(params.get("temperature", 0.0)),
-            top_k=int(params.get("top_k", 0)),
-            top_p=float(params.get("top_p", 0.0)),
-            chunk=self.chunk,
-        )
+        dec = (self.tokenizer.stream_decoder()
+               if hasattr(self.tokenizer, "stream_decoder")
+               else ByteDecoder())
+        for t in gen:
+            piece = dec.feed(t)
+            if piece:
+                yield piece
+        tail = dec.flush()
+        if tail:
+            yield tail
 
 
 def build_default_clients(env: Optional[Dict[str, str]] = None) -> Dict[str, ChatClient]:

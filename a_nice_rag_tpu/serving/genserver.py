@@ -552,12 +552,15 @@ class GenerationServer:
                top_k: Optional[int] = None,
                top_p: Optional[float] = None,
                stop_token_ids=None,
-               constraint: Optional[str] = None) -> Iterator[int]:
+               constraint: Optional[str] = None,
+               info: Optional[dict] = None) -> Iterator[int]:
         """Submit and iterate tokens. Starts the background loop if it
         is not already running (otherwise the get() would deadlock
         unless another thread is calling tick()). Closing the generator
         early (``.close()``, ``break``, client disconnect upstream)
-        cancels the request and frees its slot."""
+        cancels the request and frees its slot. Pass a mutable ``info``
+        dict to receive ``info["finish_reason"]`` ("stop" | "length")
+        when the stream ends normally."""
         if self._thread is None:
             self.start()
         req = self.submit(prompt_ids, max_new_tokens,
@@ -568,6 +571,8 @@ class GenerationServer:
             while True:
                 item = req.out.get()
                 if item is _END:
+                    if info is not None:
+                        info["finish_reason"] = req.finish_reason
                     return
                 yield item
         finally:
@@ -580,13 +585,16 @@ class GenerationServer:
                     top_p: Optional[float] = None,
                     stop: Optional[List[str]] = None,
                     stop_token_ids=None,
-                    constraint: Optional[str] = None) -> Iterator[str]:
+                    constraint: Optional[str] = None,
+                    info: Optional[dict] = None) -> Iterator[str]:
         """Text streaming with optional STRING stop sequences: the
         stream ends just before the earliest match of any ``stop``
         string (the match itself is never emitted) and the underlying
         request is cancelled so it stops occupying a decode slot. A
         holdback of ``max(len(s)) - 1`` characters handles stop strings
-        that straddle token/chunk boundaries."""
+        that straddle token/chunk boundaries. A mutable ``info`` dict
+        receives ``info["finish_reason"]`` ("stop" on an EOS/stop cut,
+        "length" on budget exhaustion) when the stream completes."""
         tok = tokenizer or ByteTokenizer()
         # Decode with the tokenizer's own incremental decoder (a real
         # checkpoint's vocabulary is multi-byte BPE pieces, not raw
@@ -596,7 +604,7 @@ class GenerationServer:
         gen = self.stream(tok.encode(prompt), max_new_tokens,
                           temperature=temperature, top_k=top_k,
                           top_p=top_p, stop_token_ids=stop_token_ids,
-                          constraint=constraint)
+                          constraint=constraint, info=info)
         if not stop:
             for t in gen:
                 piece = dec.feed(t)
@@ -623,6 +631,8 @@ class GenerationServer:
                 buf += piece
                 cut = _earliest(buf)
                 if cut >= 0:
+                    if info is not None:
+                        info["finish_reason"] = "stop"
                     if buf[:cut]:
                         yield buf[:cut]
                     return  # finally closes gen -> cancels the request
@@ -633,6 +643,8 @@ class GenerationServer:
             cut = _earliest(buf)
             if cut >= 0:
                 buf = buf[:cut]
+                if info is not None:
+                    info["finish_reason"] = "stop"
             if buf:
                 yield buf
         finally:
@@ -825,15 +837,28 @@ class GenerationServer:
                 )
 
     def _longest_cached_prefix(self, prompt: List[int]):
-        """Longest stored prefix that is a PROPER prefix of ``prompt``
-        (at least one suffix token must remain to prefill)."""
-        best = None
+        """Best stored entry to continue ``prompt`` from, as
+        ``(key, L)`` where ``L`` is the usable common-prefix length
+        (``L <= len(key)``), or ``None``. A stored row's KV at
+        positions ``0..L-1`` depends only on tokens ``0..L-1``
+        (causal attention), so a PARTIAL match is as good as a whole
+        one: the suffix prefill at offset ``L`` simply overwrites the
+        stale tail. This matters for retained rows (retain_prefixes):
+        a re-encoded follow-up conversation need not reproduce the
+        emitted ids exactly at the prompt/generation BPE join, but it
+        shares the long id prefix up to that join. At least one prompt
+        token must remain to prefill (``L < len(prompt)``)."""
+        best, best_l = None, 0
+        cap = len(prompt) - 1
         for key_t in self._prefix_cache:
-            L = len(key_t)
-            if L < len(prompt) and (best is None or L > len(best)) \
-                    and tuple(prompt[:L]) == key_t:
-                best = key_t
-        return best
+            n = min(len(key_t), cap)
+            l = 0
+            while l < n and key_t[l] == prompt[l]:
+                l += 1
+            # Ties go to the LATER (more recently used) entry.
+            if l > 0 and l >= best_l:
+                best, best_l = key_t, l
+        return (best, best_l) if best is not None else None
 
     # ----------------------------------------------------------- loop
 
@@ -885,17 +910,17 @@ class GenerationServer:
             self._set_slot_sampling(slot, req)
             rt, rk, rp = self._row_knobs(req)
             hit = self._longest_cached_prefix(req.prompt_ids)
-            if hit is not None and len(hit) + self._bucket(
-                n - len(hit)
+            if hit is not None and hit[1] + self._bucket(
+                n - hit[1]
             ) <= self.smax:
-                L = len(hit)
+                key_t, L = hit
                 suffix = req.prompt_ids[L:]
                 bucket = self._bucket(len(suffix))
                 ids = np.full((1, bucket), PAD, np.int32)
                 ids[0, : len(suffix)] = suffix
                 # Refresh LRU position.
-                rows = self._prefix_cache.pop(hit)
-                self._prefix_cache[hit] = rows
+                rows = self._prefix_cache.pop(key_t)
+                self._prefix_cache[key_t] = rows
                 kr, vr = rows
                 info, self._kc, self._vc = self._prefill_suffix(
                     self.params, self._kc, self._vc, kr, vr,
@@ -954,15 +979,15 @@ class GenerationServer:
         c = self.prefill_chunk
         hit = self._longest_cached_prefix(req.prompt_ids)
         if hit is not None:
-            rows = self._prefix_cache.pop(hit)
-            self._prefix_cache[hit] = rows  # refresh LRU position
+            key_t, done = hit
+            rows = self._prefix_cache.pop(key_t)
+            self._prefix_cache[key_t] = rows  # refresh LRU position
             kr, vr = rows  # apply() is functional: originals stay valid
             # Slack past max_len so a final chunk starting near the end
             # of the row never clamps its write (see __init__ note).
             pad = ((0, 0), (0, c), (0, 0), (0, 0))
             kr = [jnp.pad(r, pad) for r in kr]
             vr = [jnp.pad(r, pad) for r in vr]
-            done = len(hit)
             self.prefix_hits += 1
         else:
             row_shape = (1, self.smax + c, cfg.num_kv_heads, cfg.head_dim)

@@ -601,12 +601,16 @@ class ServingAPI:
         prompt, model, max_new, kw = self._chat_request(payload)
         tok = self._tok()
         if "stop" in kw:
+            info: dict = {}
             text = "".join(
                 self.gen_server.stream_text(
-                    prompt, max_new_tokens=max_new, tokenizer=tok, **kw
+                    prompt, max_new_tokens=max_new, tokenizer=tok,
+                    info=info, **kw
                 )
             )
-            finish, n_out = "stop", len(tok.encode(text, add_bos=False))
+            finish = info.get("finish_reason")
+            finish = finish if finish in ("stop", "length") else "stop"
+            n_out = len(tok.encode(text, add_bos=False))
         else:
             out = self.gen_server.complete(
                 tok.encode(prompt), max_new_tokens=max_new, **kw
@@ -646,8 +650,10 @@ class ServingAPI:
                 }],
             }
 
+        info: dict = {}
         gen = self.gen_server.stream_text(
-            prompt, max_new_tokens=max_new, tokenizer=self.tokenizer, **kw
+            prompt, max_new_tokens=max_new, tokenizer=self.tokenizer,
+            info=info, **kw
         )
         try:
             # Force the submit (and its validation — prompt length,
@@ -660,7 +666,13 @@ class ServingAPI:
                 yield _chunk({"content": first})
             for piece in gen:
                 yield _chunk({"content": piece})
-            yield _chunk({}, finish="stop")
+            # OpenAI clients detect truncation via finish_reason ==
+            # "length"; surface the request's real reason.
+            finish = info.get("finish_reason")
+            yield _chunk(
+                {}, finish=finish if finish in ("stop", "length")
+                else "stop"
+            )
         finally:
             gen.close()
 

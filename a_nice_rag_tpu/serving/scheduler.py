@@ -55,6 +55,7 @@ class BatchScheduler:
         self.adaptive = adaptive
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        self._batch_tasks: set = set()
         self._inflight = asyncio.Semaphore(max_inflight)
         self._last_arrival: Optional[float] = None
         self._inter_ewma_s: Optional[float] = None  # mean inter-arrival
@@ -73,6 +74,13 @@ class BatchScheduler:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # Drain in-flight batch tasks so nothing is left pending when
+        # the event loop is torn down ("Task was destroyed but it is
+        # pending" at teardown otherwise). They hold real batches —
+        # let them finish rather than cancel.
+        if self._batch_tasks:
+            await asyncio.gather(*tuple(self._batch_tasks),
+                                 return_exceptions=True)
 
     async def submit(
         self,
@@ -160,8 +168,9 @@ class BatchScheduler:
 
         # The event loop keeps only a WEAK reference to tasks; without a
         # strong reference here a pending batch task can be GC'd
-        # mid-flight, dropping the batch and hanging every caller.
-        tasks: set = set()
+        # mid-flight, dropping the batch and hanging every caller. The
+        # set lives on the instance so stop() can drain it.
+        tasks = self._batch_tasks
         while True:
             batch = await self._collect()
             t = asyncio.create_task(run_one(batch))

@@ -160,8 +160,18 @@ def build_state(
             state.retriever = make_retriever(new_sidx)
             from a_nice_rag_tpu.serving import SchedulerPool
 
+            old_pool = state.pool
             state.pool = SchedulerPool(state.retriever,
                                        **(scheduler_kwargs or {}))
+            # Stop the replaced pool's scheduler loops — abandoning
+            # them leaks pending asyncio tasks on the serving loop.
+            if old_pool is not None and state.loop is not None:
+                try:
+                    asyncio.run_coroutine_threadsafe(
+                        old_pool.stop(), state.loop
+                    ).result(timeout=10)
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
             logger.warning("serve: retriever rebuilt over %d shards",
                            new_sidx.n_shards)
 
@@ -334,16 +344,36 @@ def serve_state(
     server = ThreadingHTTPServer(
         (host, port), _make_handler(state, default_weights, api=api)
     )
+    def _teardown():
+        """Stop everything the serve started: monitor, generation
+        server, the scheduler pool's loop tasks (so no asyncio task is
+        left pending when the loop thread dies), then the loop."""
+        if state.monitor is not None:
+            state.monitor.stop()
+        if api is not None and api.gen_server is not None:
+            api.gen_server.stop()
+        try:
+            fut = asyncio.run_coroutine_threadsafe(state.pool.stop(), loop)
+            fut.result(timeout=10)
+        except Exception:  # noqa: BLE001 — best-effort teardown
+            pass
+        loop.call_soon_threadsafe(loop.stop)
+
     if background:
         threading.Thread(target=server.serve_forever, daemon=True).start()
+        orig_shutdown = server.shutdown
+
+        def _shutdown():
+            orig_shutdown()
+            _teardown()
+
+        server.shutdown = _shutdown
         return server
     logger.info("serving on http://%s:%d", host, port)
     try:
         server.serve_forever()
     finally:
-        if state.monitor is not None:
-            state.monitor.stop()
-        loop.call_soon_threadsafe(loop.stop)
+        _teardown()
     return None
 
 
@@ -435,6 +465,12 @@ def main(argv=None) -> None:
                         "caches over the first N devices "
                         "(parallel/lm.py Megatron layout; streams stay "
                         "bit-identical to single-device)")
+    p.add_argument("--chat-template", default="auto",
+                   choices=["auto", "chatml", "plain"],
+                   help="chat prompt format for /v1/chat/completions: "
+                        "auto = the checkpoint's declared chat_template "
+                        "(tokenizer_config.json) with a marker-in-vocab "
+                        "fallback; chatml/plain force it either way")
     args = p.parse_args(argv)
 
     if args.demo:
@@ -500,6 +536,7 @@ def main(argv=None) -> None:
             json_mode=args.json_mode, json_depth=args.json_depth,
             logprob_topk=args.logprob_topk,
             retain_prefixes=args.retain_prefixes,
+            chat_template=args.chat_template,
         )
     serve_state(state, weights, host=args.host, port=args.port, api=api)
 
@@ -512,7 +549,8 @@ def build_local_llm_api(index, state, embedder, model_names,
                         prefill_chunk=None, lm_tp=None,
                         json_mode: bool = False, json_depth: int = 4,
                         logprob_topk: int = 0,
-                        retain_prefixes: int = 0):
+                        retain_prefixes: int = 0,
+                        chat_template: str = "auto"):
     """Attach the on-device decoder LM to this deployment: a
     continuous-batching GenerationServer shared by /v1/generate and the
     RAG LLM hop, a RAGSystem over this serve state's engine (sharded or
@@ -599,6 +637,10 @@ def build_local_llm_api(index, state, embedder, model_names,
 
             try:
                 hf_tok = HFTokenizer(llm_ckpt)
+                if chat_template != "auto":
+                    # Explicit override of the template heuristic
+                    # (models/hf_tokenizer.supports_chatml rule 1).
+                    hf_tok.force_chatml = chat_template == "chatml"
                 logger.info(
                     "serve: generation endpoints use the checkpoint's "
                     "tokenizer (%d pieces, %d specials)",

@@ -892,3 +892,56 @@ def _complete_stop(srv, prompt, budget, stop_tok):
     srv.drain()
     toks, _ = _collect(req)
     return toks, req.finish_reason
+
+
+def test_retained_prefix_partial_match_after_reencode_divergence():
+    """A follow-up prompt that DIVERGES from the stored key before its
+    end (the BPE-join re-encode case: decode(prompt+gen) need not
+    re-encode to the same ids at the join) still hits the retained row
+    for the common id prefix, and decodes bit-identically to a
+    retention-free server."""
+    model, params = _setup()
+    fresh = GenerationServer(model, params, slots=2, max_len=256, chunk=4)
+    srv = GenerationServer(model, params, slots=2, max_len=256, chunk=4,
+                           retain_prefixes=4)
+    p1 = list(range(20, 44))
+    t1, _ = _complete(srv, p1, 10)
+    assert srv.prefix_retained >= 1
+    # Diverge IMMEDIATELY after the prompt: the stored key (p1 + fwd)
+    # is NOT a prefix of p2, but shares the p1 prefix.
+    bad = [t for t in (3, 4) if not t1 or t != t1[0]][0]
+    p2 = p1 + [bad, 99, 98]
+    hits0 = srv.prefix_hits
+    t2, _ = _complete(srv, p2, 8)
+    assert srv.prefix_hits == hits0 + 1
+    ref, _ = _complete(fresh, p2, 8)
+    assert t2 == ref
+
+
+def test_stream_info_reports_finish_reason():
+    """stream()/stream_text() surface the request's finish_reason via
+    the mutable info dict: 'length' on budget exhaustion, 'stop' on a
+    string-stop cut (the OpenAI truncation-detection contract)."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=2, max_len=128, chunk=4)
+    try:
+        # Budget-bound: 3 tokens from an untrained model never EOSes.
+        info = {}
+        toks = list(srv.stream(list(range(10, 20)), 3, info=info))
+        assert len(toks) == 3 and info["finish_reason"] == "length"
+
+        # Text path, same budget rule.
+        info = {}
+        text = "".join(srv.stream_text("hello", max_new_tokens=3,
+                                       info=info))
+        assert info["finish_reason"] == "length"
+
+        # String-stop cut: stop on a character the stream will emit.
+        full = "".join(srv.stream_text("hello", max_new_tokens=6))
+        if len(full) >= 2:
+            info = {}
+            _ = "".join(srv.stream_text("hello", max_new_tokens=6,
+                                        stop=[full[1]], info=info))
+            assert info["finish_reason"] == "stop"
+    finally:
+        srv.stop()

@@ -276,3 +276,110 @@ def test_chatml_rendering_lowers_onto_special_ids(tmp_path):
     assert not supports_chatml(ByteTokenizer())
     plain = render_chat_messages(msgs, tokenizer=ByteTokenizer())
     assert plain.endswith("assistant: ") and "<|im_start|>" not in plain
+
+
+def _train_marker_tok(tmp_path):
+    from tokenizers import Tokenizer, decoders, models, pre_tokenizers, trainers
+
+    tok = Tokenizer(models.BPE(unk_token=None))
+    tok.pre_tokenizer = pre_tokenizers.ByteLevel(add_prefix_space=False)
+    tok.decoder = decoders.ByteLevel()
+    tok.train_from_iterator(
+        ["offer antibiotics for sepsis"] * 30,
+        trainers.BpeTrainer(
+            vocab_size=300,
+            special_tokens=["<|endoftext|>", "<|im_start|>", "<|im_end|>"],
+            initial_alphabet=pre_tokenizers.ByteLevel.alphabet(),
+            show_progress=False,
+        ),
+    )
+    tok.save(str(tmp_path / "tokenizer.json"))
+
+
+def test_supports_chatml_prefers_declared_chat_template(tmp_path):
+    """The checkpoint's chat_template (tokenizer_config.json) — not
+    marker presence in the vocab — decides the prompt format: Qwen BASE
+    tokenizers carry <|im_start|>/<|im_end|> as specials without being
+    instruction-trained on them."""
+    pytest.importorskip("tokenizers")
+    from a_nice_rag_tpu.models.hf_tokenizer import (
+        HFTokenizer,
+        supports_chatml,
+    )
+
+    _train_marker_tok(tmp_path)
+
+    # No config at all: the marker heuristic applies.
+    assert supports_chatml(HFTokenizer(str(tmp_path)))
+
+    # A tokenizer_config.json WITHOUT chat_template = base checkpoint.
+    cfg_p = tmp_path / "tokenizer_config.json"
+    cfg_p.write_text(json.dumps({"model_max_length": 1024}))
+    hf = HFTokenizer(str(tmp_path))
+    assert hf.chat_template is None and not supports_chatml(hf)
+
+    # Declared ChatML template wins.
+    cfg_p.write_text(json.dumps(
+        {"chat_template": "{% for m in messages %}<|im_start|>"
+                          "{{ m.role }}\n{{ m.content }}<|im_end|>\n"
+                          "{% endfor %}"}
+    ))
+    hf = HFTokenizer(str(tmp_path))
+    assert "<|im_start|>" in hf.chat_template and supports_chatml(hf)
+
+    # Declared NON-ChatML template: role markers exist in the vocab but
+    # the checkpoint was trained on a different format -> plain.
+    cfg_p.write_text(json.dumps(
+        {"chat_template": "{% for m in messages %}[INST] {{ m.content }}"
+                          " [/INST]{% endfor %}"}
+    ))
+    assert not supports_chatml(HFTokenizer(str(tmp_path)))
+
+    # Explicit override (serve_cli --chat-template) beats everything.
+    hf = HFTokenizer(str(tmp_path))
+    hf.force_chatml = True
+    assert supports_chatml(hf)
+    cfg_p.unlink()
+    hf = HFTokenizer(str(tmp_path))
+    hf.force_chatml = False
+    assert not supports_chatml(hf)
+
+
+def test_local_client_truncation_preserves_chatml_ids(tmp_path):
+    """rag/providers.LocalTpuLLMClient must truncate long prompts at
+    the ID level: a decode/re-encode round-trip strips the ChatML
+    special ids (HFStreamDecoder renders specials as ''), silently
+    destroying the turn structure. The ids handed to the decode path
+    must keep the trailing open-assistant <|im_start|> marker."""
+    pytest.importorskip("tokenizers")
+    from a_nice_rag_tpu.models import decoder as decoder_mod
+    from a_nice_rag_tpu.models.hf_tokenizer import HFTokenizer
+    from a_nice_rag_tpu.rag.providers import LocalTpuLLMClient
+
+    _train_marker_tok(tmp_path)
+    cfg_p = tmp_path / "tokenizer_config.json"
+    cfg_p.write_text(json.dumps({"chat_template": "<|im_start|>chatml"}))
+    hf = HFTokenizer(str(tmp_path))
+
+    captured = {}
+    orig = decoder_mod.generate_stream
+
+    def fake_generate_stream(model, params, prompt_ids, **kw):
+        captured["ids"] = list(prompt_ids)
+        return iter([])
+
+    decoder_mod.generate_stream = fake_generate_stream
+    try:
+        client = LocalTpuLLMClient(None, None, tokenizer=hf,
+                                   max_prompt_tokens=24)
+        msgs = [{"role": "user",
+                 "content": "offer antibiotics for sepsis " * 40}]
+        list(client.stream_chat("local", msgs))
+    finally:
+        decoder_mod.generate_stream = orig
+
+    ids = captured["ids"]
+    assert len(ids) <= 24
+    im_s = hf.token_to_id("<|im_start|>")
+    # The tail-kept window still carries the open assistant turn.
+    assert im_s in ids

@@ -11,10 +11,15 @@ answer-relevancy strictness 1 + plain-dot-product similarity + the
 """
 
 from a_nice_rag_tpu.evals.ragas.dataset import (  # noqa: F401
+    AIMessage,
     EvaluationDataset,
     EvaluationResult,
+    HumanMessage,
+    Message,
     MultiTurnSample,
     SingleTurnSample,
+    ToolCall,
+    ToolMessage,
 )
 from a_nice_rag_tpu.evals.ragas.evaluation import evaluate  # noqa: F401
 from a_nice_rag_tpu.evals.ragas.run_config import RunConfig  # noqa: F401

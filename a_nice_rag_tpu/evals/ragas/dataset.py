@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
-from pydantic import BaseModel
+from pydantic import BaseModel, field_validator
 
 
 class SingleTurnSample(BaseModel):
@@ -28,18 +28,115 @@ class SingleTurnSample(BaseModel):
 
 
 class Message(BaseModel):
+    """Flat conversation turn. The typed subclasses below mirror the
+    reference's message hierarchy
+    (ragas_modified/messages.py:6-134) for the agentic metrics; this
+    base stays accepted everywhere for plain role/content transcripts."""
+
     role: str
     content: str
+    metadata: Optional[Dict[str, Any]] = None
+
+
+class ToolCall(BaseModel):
+    """A named tool invocation with its argument dict
+    (ragas_modified/messages.py:22-36)."""
+
+    name: str
+    args: Dict[str, Any]
+
+
+class HumanMessage(Message):
+    """User turn (ragas_modified/messages.py:39-58)."""
+
+    role: str = "human"
+    type: str = "human"
+
+    def pretty_repr(self) -> str:
+        return f"Human: {self.content}"
+
+
+class ToolMessage(Message):
+    """Tool output turn (ragas_modified/messages.py:61-79)."""
+
+    role: str = "tool"
+    type: str = "tool"
+
+    def pretty_repr(self) -> str:
+        return f"ToolOutput: {self.content}"
+
+
+class AIMessage(Message):
+    """Assistant turn, optionally carrying typed tool calls
+    (ragas_modified/messages.py:82-134)."""
+
+    role: str = "ai"
+    type: str = "ai"
+    tool_calls: Optional[List[ToolCall]] = None
+
+    def to_dict(self, **kwargs) -> Dict[str, Any]:
+        content: Any = (
+            self.content
+            if self.tool_calls is None
+            else {
+                "text": self.content,
+                "tool_calls": [tc.model_dump() for tc in self.tool_calls],
+            }
+        )
+        return {"content": content, "type": self.type}
+
+    def pretty_repr(self) -> str:
+        lines = []
+        if self.content != "":
+            lines.append(f"AI: {self.content}")
+        if self.tool_calls is not None:
+            lines.append("Tools:")
+            for tc in self.tool_calls:
+                lines.append(f"  {tc.name}: {tc.args}")
+        return "\n".join(lines)
+
+
+# Subclasses FIRST: pydantic validates List[AnyMessage] left-to-right,
+# and a bare Message annotation would coerce an AIMessage down to the
+# base class, silently dropping its tool_calls.
+AnyMessage = Union[HumanMessage, AIMessage, ToolMessage, Message]
 
 
 class MultiTurnSample(BaseModel):
-    user_input: List[Message]
+    user_input: List[AnyMessage]
     reference: Optional[str] = None
     reference_tool_calls: Optional[List[Dict[str, Any]]] = None
     rubrics: Optional[Dict[str, str]] = None
 
+    @field_validator("user_input", mode="before")
+    @classmethod
+    def _route_dicts(cls, v):
+        """Dicts route to the typed class by their type/role key —
+        pydantic's left-to-right union would otherwise make every dict
+        a HumanMessage (whose role field accepts any string)."""
+        if not isinstance(v, list):
+            return v
+        routed = []
+        by_kind = {
+            "human": HumanMessage, "user": HumanMessage,
+            "ai": AIMessage, "assistant": AIMessage,
+            "tool": ToolMessage,
+        }
+        for m in v:
+            if isinstance(m, dict):
+                kind = m.get("type") or m.get("role")
+                routed.append(by_kind.get(kind, Message)(**m))
+            else:
+                routed.append(m)
+        return routed
+
     def pretty_repr(self) -> str:
-        return "\n".join(f"{m.role}: {m.content}" for m in self.user_input)
+        return "\n".join(
+            m.pretty_repr()
+            if hasattr(m, "pretty_repr")
+            else f"{m.role}: {m.content}"
+            for m in self.user_input
+        )
 
 
 Sample = Union[SingleTurnSample, MultiTurnSample]

@@ -2,9 +2,11 @@
 
 Equivalent of ragas_modified/integrations/swarm.py: turns a list of
 OpenAI-style message dicts (role/content, optional tool_calls) into the
-framework's Message schema. Tool calls become role="tool_call" messages
-whose content is the JSON the agentic metrics
-(metrics/agentic.ToolCallAccuracy) parse.
+framework's TYPED message schema
+(ragas_modified/messages.py:6-134): assistant turns become AIMessage
+with structured ToolCall entries — the native channel
+metrics/agentic.ToolCallAccuracy reads — user turns HumanMessage, tool
+outputs ToolMessage.
 """
 
 from __future__ import annotations
@@ -12,7 +14,13 @@ from __future__ import annotations
 import json
 from typing import Any, Dict, List
 
-from a_nice_rag_tpu.evals.ragas.dataset import Message
+from a_nice_rag_tpu.evals.ragas.dataset import (
+    AIMessage,
+    HumanMessage,
+    Message,
+    ToolCall,
+    ToolMessage,
+)
 
 
 def convert_to_ragas_messages(
@@ -21,6 +29,7 @@ def convert_to_ragas_messages(
     out: List[Message] = []
     for m in messages:
         role = m.get("role", "user")
+        calls: List[ToolCall] = []
         for tc in m.get("tool_calls") or []:
             fn = tc.get("function", tc)
             args = fn.get("arguments", {})
@@ -29,18 +38,20 @@ def convert_to_ragas_messages(
                     args = json.loads(args)
                 except ValueError:
                     args = {"raw": args}
-            out.append(
-                Message(
-                    role="tool_call",
-                    content=json.dumps(
-                        {"name": fn.get("name", ""), "args": args}
-                    ),
-                )
-            )
+            calls.append(ToolCall(name=fn.get("name", ""), args=args))
         content = m.get("content")
+        if role == "assistant":
+            if calls or content:
+                out.append(AIMessage(content=str(content or ""),
+                                     tool_calls=calls or None))
+            continue
+        if calls:  # tool calls on a non-assistant turn: keep them typed
+            out.append(AIMessage(content="", tool_calls=calls))
         if content:
-            role_map = {"tool": "tool", "assistant": "ai", "user": "human"}
-            out.append(
-                Message(role=role_map.get(role, role), content=str(content))
-            )
+            if role == "tool":
+                out.append(ToolMessage(content=str(content)))
+            elif role == "user":
+                out.append(HumanMessage(content=str(content)))
+            else:
+                out.append(Message(role=role, content=str(content)))
     return out

@@ -99,6 +99,12 @@ class ToolCallAccuracy(MultiTurnMetric):
     async def _multi_turn_ascore(self, sample: MultiTurnSample) -> float:
         performed = []
         for m in sample.user_input:
+            # Typed AIMessage.tool_calls is the native channel
+            # (reference ragas_modified/messages.py:82-134); the
+            # role="tool_call" JSON-in-content form is kept as a
+            # fallback for flat transcripts.
+            for tc in getattr(m, "tool_calls", None) or []:
+                performed.append({"name": tc.name, "args": tc.args})
             if m.role == "tool_call":
                 import json
 

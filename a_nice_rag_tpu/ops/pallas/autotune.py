@@ -38,6 +38,19 @@ DEFAULT_CANDIDATES: Tuple[Tuple[int, int, int, str], ...] = (
     (256, 16384, 2, "dbuf"),
 )
 
+# Packed value+index fold: ~20% faster at N=4M (8.4 vs 10.5 ms TRUE,
+# round 4) because one i32 max reduce yields value AND column and each
+# extraction iteration is a single traversal — but top-k is taken on
+# bf16-ROUNDED scores, so ids near the k-th boundary can differ from
+# the f32 path among scores within one bf16 ulp. Only tuned in when the
+# caller opts into rounded selection (allow_rounded=True).
+ROUNDED_CANDIDATES: Tuple[Tuple[int, int, int, str], ...] = (
+    (128, 8192, 2, "packed"),
+    (128, 16384, 1, "packed"),
+    (128, 16384, 2, "packed"),
+    (256, 16384, 2, "packed"),
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class FusedKernelConfig:
@@ -66,19 +79,26 @@ def tune_fused_blocks(
     reps: int = 4,
     trials: int = 2,
     cache_path: Optional[str] = None,
+    allow_rounded: bool = False,
 ) -> FusedKernelConfig:
     """Pick the fastest (block_q, block_n, subtiles) on the live device.
 
     Returns the default config without measuring when not on TPU (CPU
     interpret timings are meaningless). Results are memoized per
     (platform, N, D, B, k, dtype) signature, optionally persisted to
-    ``cache_path`` JSON.
+    ``cache_path`` JSON. ``allow_rounded=True`` additionally tunes the
+    packed bf16-key fold (see ROUNDED_CANDIDATES) — opt-in because its
+    top-k is taken on bf16-rounded scores.
     """
     from a_nice_rag_tpu.ops.pallas import fused_dense_top_k
 
+    if allow_rounded and candidates is DEFAULT_CANDIDATES:
+        candidates = tuple(candidates) + ROUNDED_CANDIDATES
     n, d = emb.shape
     b = queries.shape[0]
     sig = _signature(n, d, b, k, str(emb.dtype))
+    if allow_rounded:
+        sig += ":rounded"
     if sig in _memory_cache:
         return _memory_cache[sig]
     if cache_path and os.path.exists(cache_path):

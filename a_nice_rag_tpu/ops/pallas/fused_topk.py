@@ -193,6 +193,328 @@ def _fold_tile_scratch(s_ref, off, rv, ri, rm0=None, kth0=None):
     return rv, ri
 
 
+def _packed_neg_sat() -> int:
+    """Packed form of the NEG sentinel with a saturated column field —
+    every real (> NEG) score packs strictly above it."""
+    import ml_dtypes
+    import numpy as np
+
+    bits = int(
+        np.asarray(NEG, dtype=ml_dtypes.bfloat16).view(np.uint16)
+    )
+    key = (0xFFFF - bits) - 0x8000  # NEG is negative: order-flip map
+    return (key << 16) | 0xFFFF
+
+
+_PACKED_NEG_SAT = _packed_neg_sat()
+_I32_MIN = -2147483648
+
+
+def _pack_scores(scores, n_tile: int):
+    """Order-preserving (bf16 value, column) packing into one int32.
+
+    High 16 bits: the score's bf16 bit pattern mapped monotonically to
+    a signed 16-bit key (sign-flip map, then biased to [-0x8000,
+    0x7FFF] so the <<16 never overflows into the i32 sign bit). Low 16
+    bits: (n_tile - 1 - col), so among equal scores the SMALLEST column
+    wins the max. One i32 max reduction then yields the row's best
+    value AND its column — Mosaic's f32-only argmax is never needed,
+    and each extraction iteration is a single read+mask+write+max
+    traversal instead of argmax + mask-write + re-max.
+
+    The cost: top-k is taken on bf16-ROUNDED scores — ids can differ
+    from the f32 path only among scores within one bf16 ulp (the same
+    documented tie caveat as ``compare_dtype``); returned values are
+    bf16-resolution.
+    """
+    bq, w = scores.shape
+    sb = scores.astype(jnp.bfloat16)
+    u = pltpu.bitcast(sb, jnp.uint16).astype(jnp.int32)
+    key = jnp.where(u >= 0x8000, 0xFFFF - u, u + 0x8000) - 0x8000
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1)
+    return (key << 16) | (n_tile - 1 - col)
+
+
+def unpack_packed_vals(kv: jax.Array) -> jax.Array:
+    """XLA-side inverse of :func:`_pack_scores`'s key field: packed i32
+    -> f32 score values (bf16 resolution). Runs OUTSIDE the kernel."""
+    key = (kv >> 16) + 0x8000  # [0, 65535]
+    u = jnp.where(key >= 0x8000, key - 0x8000, 0xFFFF - key)
+    bits = u.astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16).astype(
+        jnp.float32
+    )
+
+
+def _select_topk_i32(kv: jax.Array, ids: jax.Array, k: int):
+    """Iterative top-k on PACKED i32 keys (descending). Mosaic argmax
+    is f32-only, so the arg pick is eq-mask + min-column."""
+    bq, m = kv.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, m), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
+
+    def body(t, carry):
+        s, out_v, out_i = carry
+        row_max = jnp.max(s, axis=1)
+        elig = s == row_max[:, None]
+        arg = jnp.min(
+            jnp.where(elig, col, jnp.int32(1 << 30)), axis=1
+        )
+        picked = jnp.max(
+            jnp.where(col == arg[:, None], ids, jnp.int32(-2147483647)),
+            axis=1,
+        )
+        onehot = kcol == t
+        out_v = jnp.where(onehot, row_max[:, None], out_v)
+        out_i = jnp.where(onehot, picked[:, None], out_i)
+        s = jnp.where(col == arg[:, None], jnp.int32(_I32_MIN), s)
+        return s, out_v, out_i
+
+    init_v = jnp.full((bq, k), _I32_MIN, jnp.int32)
+    init_i = jnp.full((bq, k), -1, jnp.int32)
+    _, vals, out_ids = jax.lax.fori_loop(0, k, body, (kv, init_v, init_i))
+    return vals, out_ids
+
+
+def _fold_window_packed(p_ref, col0: int, w: int, tile_base, n_tile: int,
+                        rv, ri):
+    """Extraction on the packed scratch: one i32 max per window is both
+    the trigger AND the first argument; each loop iteration is one
+    masked rewrite + re-max traversal. rv holds packed keys
+    (column-saturated), ri global ids."""
+    bq = p_ref.shape[0]
+    k = rv.shape[1]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
+    pm0 = jnp.max(p_ref[:, col0:col0 + w], axis=1)
+    kth0 = jnp.min(rv, axis=1)
+
+    def cond(c):
+        it, pm, _, _, kth = c
+        fire = jnp.max(jnp.where(pm > kth, 1, 0))
+        return jnp.logical_and(it < w, fire > 0)
+
+    def body(c):
+        it, pm, rv, ri, kth = c
+        imp = pm > kth
+        # eq-mask argmin over the k-wide running buffer (tiny).
+        elig = rv == kth[:, None]
+        slot = jnp.min(
+            jnp.where(elig, kcol, jnp.int32(1 << 30)), axis=1
+        )
+        hot = jnp.logical_and(kcol == slot[:, None], imp[:, None])
+        rv = jnp.where(hot, (pm | 0xFFFF)[:, None], rv)
+        col_t = (n_tile - 1) - (pm & 0xFFFF)
+        ri = jnp.where(hot, (tile_base + col_t)[:, None], ri)
+        pp = p_ref[:, col0:col0 + w]
+        pp = jnp.where(pp == pm[:, None], jnp.int32(_I32_MIN), pp)
+        p_ref[:, col0:col0 + w] = pp
+        pm = jnp.max(pp, axis=1)
+        kth = jnp.min(rv, axis=1)
+        return it + 1, pm, rv, ri, kth
+
+    _, _, rv, ri, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), pm0, rv, ri, kth0)
+    )
+    return rv, ri
+
+
+def _packed_visit(scores, kvals_ref, idx_ref, run_v, run_i, p_scr, *,
+                  k: int, n_tile: int, block_q: int, subtiles: int):
+    """Packed-fold visit: pack the tile's scores into the i32 scratch
+    (fused into the store), fold static windows, emit PACKED values at
+    the last tile (the launcher unpacks outside the kernel)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(0)
+    row0 = pl.multiple_of(i * block_q, block_q)
+    p_scr[:, :] = _pack_scores(scores, n_tile)
+    n_sub = subtiles
+    width = n_tile
+    while width % n_sub:
+        n_sub //= 2
+    w = width // n_sub
+    rv = run_v[pl.ds(row0, block_q), :]
+    ri = run_i[pl.ds(row0, block_q), :]
+    first = (j == 0)
+    rv = jnp.where(first, jnp.full((block_q, k), _I32_MIN, jnp.int32), rv)
+    ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
+    for s in range(n_sub):
+        rv, ri = _fold_window_packed(
+            p_scr, s * w, w, j * n_tile, n_tile, rv, ri
+        )
+    run_v[pl.ds(row0, block_q), :] = rv
+    run_i[pl.ds(row0, block_q), :] = ri
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        new_v, new_i = _select_topk_i32(rv, ri, k)
+        kvals_ref[:] = new_v
+        idx_ref[:] = jnp.where(new_v <= _PACKED_NEG_SAT, -1, new_i)
+
+
+def _kernel_packed(*refs, k: int, n_tile: int, block_q: int,
+                   has_mask: bool, subtiles: int = 2):
+    if has_mask:
+        q_ref, e_ref, mask_ref, kvals_ref, idx_ref, run_v, run_i, p_scr = refs
+    else:
+        q_ref, e_ref, kvals_ref, idx_ref, run_v, run_i, p_scr = refs
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _packed_visit(scores, kvals_ref, idx_ref, run_v, run_i, p_scr,
+                  k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
+def _kernel_packed_int8(*refs, k: int, n_tile: int, block_q: int,
+                        has_mask: bool, subtiles: int = 2):
+    if has_mask:
+        (q_ref, qs_ref, e_ref, es_ref, mask_ref, kvals_ref, idx_ref,
+         run_v, run_i, p_scr) = refs
+    else:
+        (q_ref, qs_ref, e_ref, es_ref, kvals_ref, idx_ref, run_v, run_i,
+         p_scr) = refs
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = (
+        acc.astype(jnp.float32)
+        * qs_ref[:, 0][:, None]
+        * es_ref[:, 0][None, :]
+    )
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _packed_visit(scores, kvals_ref, idx_ref, run_v, run_i, p_scr,
+                  k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
+def _fold_window_scratch(s_ref, col0: int, w: int, off, rv, ri):
+    """Static-window variant of :func:`_fold_tile_scratch`: the
+    extraction loop mutates columns ``[col0, col0+w)`` of a WIDER
+    scratch ref in place (``col0``/``w`` are Python ints, so every
+    slice lowers as a static ref window).
+
+    Used by the direct-store kernel, where the matmul writes the whole
+    [Bq, block_n] score tile into scratch ONCE and the per-subtile fold
+    reads/mutates it there — removing the per-subtile copy pass of the
+    value-based fold (a full extra read+write of every score, ~2 of
+    the ~4 mandatory VPU passes per tile).
+    """
+    bq = s_ref.shape[0]
+    k = rv.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
+    rm0 = jnp.max(s_ref[:, col0:col0 + w], axis=1)
+    kth0 = jnp.min(rv, axis=1)
+
+    def cond(c):
+        it, rm, _, _, kth = c
+        return jnp.logical_and(it < w, jnp.max(rm - kth) > 0.0)
+
+    def body(c):
+        it, rm, rv, ri, kth = c
+        ss = s_ref[:, col0:col0 + w]
+        arg = jnp.argmax(ss, axis=1).astype(jnp.int32)
+        imp = rm > kth
+        amin = jnp.argmin(rv, axis=1).astype(jnp.int32)
+        hot = jnp.logical_and(kcol == amin[:, None], imp[:, None])
+        rv = jnp.where(hot, rm[:, None], rv)
+        ri = jnp.where(hot, (arg + off)[:, None], ri)
+        ss = jnp.where(cols == arg[:, None], jnp.asarray(NEG, ss.dtype), ss)
+        s_ref[:, col0:col0 + w] = ss
+        rm = jnp.max(ss, axis=1)
+        kth = jnp.min(rv, axis=1)
+        return it + 1, rm, rv, ri, kth
+
+    _, _, rv, ri, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rm0, rv, ri, kth0)
+    )
+    return rv, ri
+
+
+def _direct_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full, *,
+                  k: int, n_tile: int, block_q: int, subtiles: int):
+    """Direct-store visit: write the tile's scores into the full-width
+    scratch once, then fold static subtile windows in place."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(0)
+    row0 = pl.multiple_of(i * block_q, block_q)
+    s_full[:, :] = scores
+    n_sub = subtiles
+    width = n_tile
+    while width % n_sub:
+        n_sub //= 2
+    w = width // n_sub
+    rv = run_v[pl.ds(row0, block_q), :]
+    ri = run_i[pl.ds(row0, block_q), :]
+    first = (j == 0)
+    rv = jnp.where(first, jnp.full((block_q, k), NEG, jnp.float32), rv)
+    ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
+    for s in range(n_sub):
+        rv, ri = _fold_window_scratch(
+            s_full, s * w, w, j * n_tile + s * w, rv, ri
+        )
+    run_v[pl.ds(row0, block_q), :] = rv
+    run_i[pl.ds(row0, block_q), :] = ri
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        _finalize_iterate(rv, ri, vals_ref, idx_ref, k)
+
+
+def _kernel_direct(*refs, k: int, n_tile: int, block_q: int,
+                   has_mask: bool, subtiles: int = 2):
+    """Doc-major streaming fold with the matmul writing straight to
+    scratch (no value-based copy pass). Grid = (n_tiles, b_blocks)."""
+    if has_mask:
+        q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, s_full = refs
+    else:
+        q_ref, e_ref, vals_ref, idx_ref, run_v, run_i, s_full = refs
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _direct_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full,
+                  k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
+def _kernel_direct_int8(*refs, k: int, n_tile: int, block_q: int,
+                        has_mask: bool, subtiles: int = 2):
+    if has_mask:
+        (q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
+         run_v, run_i, s_full) = refs
+    else:
+        (q_ref, qs_ref, e_ref, es_ref, vals_ref, idx_ref, run_v, run_i,
+         s_full) = refs
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = (
+        acc.astype(jnp.float32)
+        * qs_ref[:, 0][:, None]
+        * es_ref[:, 0][None, :]
+    )
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _direct_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full,
+                  k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
 def _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k: int):
     """Sort the unsorted running buffer descending and emit outputs."""
     new_v, new_i = _select_topk(run_v, run_i, k)
@@ -657,7 +979,7 @@ def fused_dense_top_k_int8(
         # No int8 dbuf yet; a config autotuned on the f32/bf16 kernel
         # must not fall into the legacy count-gated branch below.
         algo = "iterate"
-    if algo == "iterate":
+    if algo in ("iterate", "direct", "packed"):
         # The mask pass can only be skipped when NO mask was requested
         # AND no doc-axis padding happens (padded rows score exactly 0.0
         # and would beat real negative scores).
@@ -672,11 +994,23 @@ def fused_dense_top_k_int8(
             n, block_n, _, values, scales = _align_doc_axis(
                 n, block_n, jnp.ones((0,), jnp.bool_), values, scales
             )
+        assert block_n <= 65536, "packed column field is 16-bit"
         grid = (n // block_n, b // block_q)
-        kernel = functools.partial(
-            _kernel_iterate_int8, k=k, n_tile=block_n, block_q=block_q,
-            has_mask=has_mask, subtiles=subtiles, gated=gated,
-        )
+        if algo == "packed":
+            kernel = functools.partial(
+                _kernel_packed_int8, k=k, n_tile=block_n,
+                block_q=block_q, has_mask=has_mask, subtiles=subtiles,
+            )
+        elif algo == "direct":
+            kernel = functools.partial(
+                _kernel_direct_int8, k=k, n_tile=block_n,
+                block_q=block_q, has_mask=has_mask, subtiles=subtiles,
+            )
+        else:
+            kernel = functools.partial(
+                _kernel_iterate_int8, k=k, n_tile=block_n, block_q=block_q,
+                has_mask=has_mask, subtiles=subtiles, gated=gated,
+            )
         n_sub = subtiles
         while block_n % n_sub:
             n_sub //= 2
@@ -703,13 +1037,25 @@ def fused_dense_top_k_int8(
             pl.BlockSpec((block_q, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
-        scratch = [
-            pltpu.VMEM((b, k), jnp.float32),
-            pltpu.VMEM((b, k), jnp.int32),
-            # Score-subtile scratch for the in-place extraction loop
-            # (see _fold_tile_scratch).
-            pltpu.VMEM((block_q, block_n // n_sub), jnp.float32),
-        ]
+        if algo == "packed":
+            scratch = [
+                pltpu.VMEM((b, k), jnp.int32),  # packed running keys
+                pltpu.VMEM((b, k), jnp.int32),
+                pltpu.VMEM((block_q, block_n), jnp.int32),
+            ]
+        else:
+            scratch = [
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.int32),
+                # Score scratch for the in-place extraction loop: the
+                # direct kernel stores the full tile (no copy pass),
+                # the value-fold copies one subtile at a time.
+                pltpu.VMEM(
+                    (block_q,
+                     block_n if algo == "direct" else block_n // n_sub),
+                    jnp.float32,
+                ),
+            ]
     else:
         has_mask = True
         if mask is None:
@@ -744,13 +1090,14 @@ def fused_dense_top_k_int8(
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
         ]
+    vals_dtype = jnp.int32 if algo == "packed" else jnp.float32
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), vals_dtype),
             jax.ShapeDtypeStruct((b, k), jnp.int32),
         ],
         scratch_shapes=scratch,
@@ -765,6 +1112,10 @@ def fused_dense_top_k_int8(
         ),
         interpret=interpret,
     )(*operands)
+    if algo == "packed":
+        vals = jnp.where(
+            vals <= _PACKED_NEG_SAT, -jnp.inf, unpack_packed_vals(vals)
+        )
     return vals, idx
 
 
@@ -855,7 +1206,7 @@ def fused_dense_top_k(
             interpret=interpret,
         )(queries, emb)
         return vals, idx
-    if algo == "iterate":
+    if algo in ("iterate", "direct", "packed"):
         # Skip the whole-tile mask select only when no mask was asked
         # for AND no padding happens (padded zero rows score 0.0, which
         # beats real negative scores).
@@ -868,12 +1219,25 @@ def fused_dense_top_k(
             n, block_n, _, emb = _align_doc_axis(
                 n, block_n, jnp.ones((0,), jnp.bool_), emb
             )
+        assert block_n <= 65536, "packed column field is 16-bit"
         grid = (n // block_n, b // block_q)
-        kernel = functools.partial(
-            _kernel_iterate, k=k, n_tile=block_n, block_q=block_q,
-            has_mask=has_mask, subtiles=subtiles, row_groups=row_groups,
-            compare_dtype=jnp.dtype(compare_dtype), gated=gated,
-        )
+        if algo == "packed":
+            kernel = functools.partial(
+                _kernel_packed, k=k, n_tile=block_n, block_q=block_q,
+                has_mask=has_mask, subtiles=subtiles,
+            )
+        elif algo == "direct":
+            kernel = functools.partial(
+                _kernel_direct, k=k, n_tile=block_n, block_q=block_q,
+                has_mask=has_mask, subtiles=subtiles,
+            )
+        else:
+            kernel = functools.partial(
+                _kernel_iterate, k=k, n_tile=block_n, block_q=block_q,
+                has_mask=has_mask, subtiles=subtiles,
+                row_groups=row_groups,
+                compare_dtype=jnp.dtype(compare_dtype), gated=gated,
+            )
         in_specs = [
             pl.BlockSpec((block_q, d), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -896,14 +1260,27 @@ def fused_dense_top_k(
         n_sub = subtiles
         while block_n % n_sub:
             n_sub //= 2
-        scratch = [
-            pltpu.VMEM((b, k), jnp.float32),
-            pltpu.VMEM((b, k), jnp.int32),
-            # Score-subtile scratch for the in-place extraction loop —
-            # always f32 (Mosaic argmax is f32-only); bf16 compare
-            # scores are cast on the gated copy (see _iterate_visit).
-            pltpu.VMEM((block_q, block_n // n_sub), jnp.float32),
-        ]
+        if algo == "packed":
+            scratch = [
+                pltpu.VMEM((b, k), jnp.int32),  # packed running keys
+                pltpu.VMEM((b, k), jnp.int32),
+                pltpu.VMEM((block_q, block_n), jnp.int32),
+            ]
+        else:
+            scratch = [
+                pltpu.VMEM((b, k), jnp.float32),
+                pltpu.VMEM((b, k), jnp.int32),
+                # Score scratch for the in-place extraction loop —
+                # always f32 (Mosaic argmax is f32-only). The direct
+                # kernel stores the full tile straight from the matmul
+                # (no copy pass); the value-fold copies one subtile at
+                # a time.
+                pltpu.VMEM(
+                    (block_q,
+                     block_n if algo == "direct" else block_n // n_sub),
+                    jnp.float32,
+                ),
+            ]
     else:
         if mask is None:
             mask = jnp.ones((n,), jnp.bool_)
@@ -931,13 +1308,14 @@ def fused_dense_top_k(
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
         ]
+    vals_dtype = jnp.int32 if algo == "packed" else jnp.float32
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=[
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), vals_dtype),
             jax.ShapeDtypeStruct((b, k), jnp.int32),
         ],
         scratch_shapes=scratch,
@@ -952,4 +1330,8 @@ def fused_dense_top_k(
         ),
         interpret=interpret,
     )(*operands)
+    if algo == "packed":
+        vals = jnp.where(
+            vals <= _PACKED_NEG_SAT, -jnp.inf, unpack_packed_vals(vals)
+        )
     return vals, idx

@@ -39,9 +39,12 @@ def test_swarm_converter_tool_calls():
         ]
     )
     roles = [m.role for m in msgs]
-    assert roles == ["human", "tool_call", "tool", "ai"]
-    tc = json.loads(msgs[1].content)
-    assert tc == {"name": "get_weather", "args": {"city": "london"}}
+    assert roles == ["human", "ai", "tool", "ai"]
+    # Typed channel (reference ragas_modified/messages.py:82-134): the
+    # assistant turn carries structured ToolCall objects.
+    tc = msgs[1].tool_calls[0]
+    assert tc.name == "get_weather"
+    assert tc.args == {"city": "london"}
 
 
 def test_langgraph_converter_duck_typed():
@@ -53,8 +56,9 @@ def test_langgraph_converter_duck_typed():
     )
     tool = types.SimpleNamespace(type="tool", content="result", tool_calls=None)
     msgs = langgraph_to_messages([human, ai, tool])
-    assert [m.role for m in msgs] == ["human", "tool_call", "ai", "tool"]
-    assert json.loads(msgs[1].content)["name"] == "lookup"
+    assert [m.role for m in msgs] == ["human", "ai", "tool"]
+    assert msgs[1].tool_calls[0].name == "lookup"
+    assert msgs[1].content == "calling tool"
 
 
 def test_r2r_transform():

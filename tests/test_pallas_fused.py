@@ -184,3 +184,68 @@ def test_fused_dbuf_mask_and_misalignment_fall_back():
     )
     _, idx_y = dense_top_k(emb[:2000], q, 8)
     np.testing.assert_array_equal(np.asarray(idx_u), np.asarray(idx_y))
+
+
+def test_fused_packed_exact_on_bf16_grid():
+    """algo="packed" folds (bf16 key | column) into one i32 word —
+    ids exactly match the f32 path whenever scores are bf16-exact
+    (here: +/-1 embeddings, integer dot products). On non-grid scores
+    ids may differ among values within one bf16 ulp (documented)."""
+    rng = np.random.default_rng(117)
+    emb = rng.choice([-1.0, 1.0], (2048, 64)).astype(np.float32)
+    q = rng.choice([-1.0, 1.0], (32, 64)).astype(np.float32)
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=8, block_q=16, block_n=1024,
+        algo="packed", interpret=INTERPRET,
+    )
+    sc = q @ emb.T
+    for r in range(32):
+        got = np.sort(sc[r][np.asarray(idx_p)[r]])[::-1]
+        ref = np.sort(sc[r])[::-1][:8]
+        np.testing.assert_array_equal(got, ref)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(vals_p)[r])[::-1], ref
+        )
+
+
+def test_fused_packed_mask_and_random_value_parity():
+    """Masked packed fold: value sets match XLA to bf16 resolution and
+    masked-out docs never appear."""
+    rng = np.random.default_rng(119)
+    emb = rng.standard_normal((3072, 64)).astype(np.float32)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    mask = rng.random(3072) > 0.4
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=8, block_q=16, block_n=1024,
+        mask=jnp.asarray(mask), algo="packed", interpret=INTERPRET,
+    )
+    vals_x, idx_x = dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), 8, mask=jnp.asarray(mask)
+    )
+    idx_p, vals_p = np.asarray(idx_p), np.asarray(vals_p)
+    assert mask[idx_p[idx_p >= 0]].all()
+    np.testing.assert_allclose(
+        np.sort(vals_p, 1), np.sort(np.asarray(vals_x), 1),
+        rtol=8e-3, atol=1e-6,
+    )
+
+
+def test_fused_packed_int8_parity():
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k_int8
+
+    rng = np.random.default_rng(121)
+    vals = rng.integers(-4, 5, (2048, 64)).astype(np.int8)
+    scales = np.ones(2048, np.float32)
+    qv = rng.integers(-4, 5, (16, 64)).astype(np.int8)
+    qs = np.ones(16, np.float32)
+    v_p, i_p = fused_dense_top_k_int8(
+        jnp.asarray(vals), jnp.asarray(scales), jnp.asarray(qv),
+        jnp.asarray(qs), 8, block_q=16, block_n=1024, algo="packed",
+        interpret=INTERPRET,
+    )
+    sc = (qv.astype(np.int32) @ vals.astype(np.int32).T).astype(np.float32)
+    assert np.abs(sc).max() < 256  # integer scores bf16-exact
+    for r in range(16):
+        got = np.sort(sc[r][np.asarray(i_p)[r]])[::-1]
+        ref = np.sort(sc[r])[::-1][:8]
+        np.testing.assert_array_equal(got, ref)

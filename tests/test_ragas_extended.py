@@ -14,7 +14,15 @@ from a_nice_rag_tpu.evals.ragas import (
     RunConfig,
     evaluate,
 )
-from a_nice_rag_tpu.evals.ragas.dataset import Message, MultiTurnSample, SingleTurnSample
+from a_nice_rag_tpu.evals.ragas.dataset import (
+    AIMessage,
+    HumanMessage,
+    Message,
+    MultiTurnSample,
+    SingleTurnSample,
+    ToolCall,
+    ToolMessage,
+)
 from a_nice_rag_tpu.evals.ragas.metrics import (
     AgentGoalAccuracyWithReference,
     AnswerAccuracy,
@@ -186,6 +194,49 @@ def _convo():
         reference="Get a cardiology referral booked",
         reference_tool_calls=[{"name": "book", "args": {"dept": "cardio"}}],
     )
+
+
+def test_typed_message_hierarchy_tool_call_accuracy():
+    """Typed channel (reference ragas_modified/messages.py:6-134):
+    AIMessage.tool_calls is read natively by ToolCallAccuracy; the
+    pretty_repr renders per-type; pydantic keeps subclass instances."""
+    s = MultiTurnSample(
+        user_input=[
+            HumanMessage(content="Book me a cardiology referral"),
+            AIMessage(content="",
+                      tool_calls=[ToolCall(name="book",
+                                           args={"dept": "cardio"})]),
+            ToolMessage(content="booked id=7"),
+            AIMessage(content="Referral booked."),
+        ],
+        reference_tool_calls=[{"name": "book", "args": {"dept": "cardio"}}],
+    )
+    assert isinstance(s.user_input[1], AIMessage)
+    assert s.user_input[1].tool_calls[0].name == "book"
+    rep = s.pretty_repr()
+    assert "Human: Book me" in rep and "ToolOutput: booked" in rep
+    assert "book: {'dept': 'cardio'}" in rep
+    assert _run(ToolCallAccuracy(), s, multi=True) == 1.0
+    partial = MultiTurnSample(
+        user_input=[
+            AIMessage(content="", tool_calls=[
+                ToolCall(name="book", args={"dept": "cardio", "ts": 1})
+            ]),
+        ],
+        reference_tool_calls=[
+            {"name": "book", "args": {"dept": "cardio", "ts": 2}}
+        ],
+    )
+    assert _run(ToolCallAccuracy(), partial, multi=True) == 0.5
+    # dict inputs route to the typed classes by role/type
+    s2 = MultiTurnSample(user_input=[
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+        {"type": "tool", "content": "out", "role": "tool"},
+    ])
+    assert isinstance(s2.user_input[0], HumanMessage)
+    assert isinstance(s2.user_input[1], AIMessage)
+    assert isinstance(s2.user_input[2], ToolMessage)
 
 
 def test_agent_goal_and_tool_call_accuracy():

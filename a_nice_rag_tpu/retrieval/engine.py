@@ -28,10 +28,12 @@ import numpy as np
 from a_nice_rag_tpu.config import Config
 from a_nice_rag_tpu.index.array_index import ArrayIndex
 from a_nice_rag_tpu.ops.bm25 import (
+    Bm25TwoTier,
     bm25_scores,
     bm25_scores_dense,
     bm25_scores_dense_gather,
     bm25_top_k_sparse,
+    bm25_top_k_two_tier,
 )
 from a_nice_rag_tpu.ops.dense import dense_scores
 from a_nice_rag_tpu.ops.fusion import wrrf_top_n
@@ -135,6 +137,9 @@ class FusedRetriever:
         pallas_config=None,
         nprobe: Optional[int] = None,
         ivf_max_tiles: Optional[int] = None,
+        two_tier_common="auto",
+        two_tier_dtype: str = "bfloat16",
+        t_max_hint: int = 16,
     ):
         """``pallas_config``: optional ops.pallas.FusedKernelConfig
         (e.g. from tune_fused_blocks) overriding the streaming kernel's
@@ -176,6 +181,51 @@ class FusedRetriever:
         use_pallas = self._route_pallas(
             dense_backend, n_pad, similarity_k, jax.default_backend()
         )
+        # Two-tier BM25 by DEFAULT on skewed CSR corpora (round-3
+        # verdict next-step 6): when common terms' dfs make both sparse
+        # fetch forms unaffordable (window slices need t*max_df <=
+        # 4*budget; the flat gather silently truncates past budget),
+        # split the top-df terms into a dense impact tier streamed
+        # through the fused kernel and keep the rare CSR side window-
+        # sliced — exact (tiers partition postings; scores add;
+        # ops.bm25.bm25_top_k_two_tier docstring). "auto" builds the
+        # smallest power-of-two common tier that makes the rare side
+        # affordable, capped at 1 GB of bf16 dense rows; an int forces
+        # that width; 0/None disables.
+        self._two_tier = None
+        self._tt_rare_cap = None
+        if (
+            use_bm25 and not use_dense_bm25 and use_pallas
+            and two_tier_common and index.bm25 is not None
+        ):
+            df = np.diff(np.asarray(index.bm25.indptr))
+            if df.size:
+                sorted_df = np.sort(df)[::-1]
+                affordable = sorted_df * t_max_hint <= 4 * budget
+                if two_tier_common == "auto":
+                    if affordable[0]:
+                        v_common = 0  # single-tier already affordable
+                    else:
+                        first_ok = int(np.argmax(affordable))
+                        v_common = 1 << max(first_ok - 1, 0).bit_length()
+                        v_common = min(v_common, df.size)
+                        if n_pad * v_common * 2 > (1 << 30):
+                            v_common = 0  # dense tier too big: keep CSR
+                else:
+                    v_common = int(two_tier_common)
+                if v_common > 0:
+                    from a_nice_rag_tpu.ops.bm25 import split_two_tier
+
+                    self._two_tier = split_two_tier(
+                        index.bm25, v_common, two_tier_dtype
+                    )
+                    rare_df = np.diff(
+                        np.asarray(self._two_tier.rare.indptr)
+                    )
+                    rmax = int(rare_df.max()) if rare_df.size else 0
+                    if rmax and rmax * t_max_hint <= 4 * budget:
+                        self._tt_rare_cap = rmax
+        tt_rare_cap = self._tt_rare_cap
         # Exposed so callers (bench.py, tests) can assert which backend
         # the configuration actually routed to.
         self.use_pallas = use_pallas
@@ -302,6 +352,15 @@ class FusedRetriever:
                             bm25_mask[None, :], scores, -jnp.inf
                         )
                     vals, idx = masked_top_k(scores, similarity_k)
+                elif isinstance(bm25_arrays, Bm25TwoTier):
+                    # Auto-selected two-tier layout: dense common tier
+                    # streamed through the fused kernel, rare CSR side
+                    # window-sliced. Exact (tiers partition postings).
+                    vals, idx = bm25_top_k_two_tier(
+                        bm25_arrays, q_terms, similarity_k,
+                        mask=bm25_mask, budget=budget,
+                        df_cap=tt_rare_cap, interpret=interpret,
+                    )
                 elif use_pallas:
                     # Million-doc CSR index: sort-based sparse top-k —
                     # the scatter scoring path would serialize and the
@@ -426,9 +485,12 @@ class FusedRetriever:
                 self._const_cache[key] = bm
             bm25_mask = self._const_cache[key]
             terms = jnp.asarray(q_terms)
-            bm25_arrays = (
-                idx.bm25_dense if idx.bm25_dense is not None else idx.bm25
-            )
+            if self._two_tier is not None:
+                bm25_arrays = self._two_tier
+            elif idx.bm25_dense is not None:
+                bm25_arrays = idx.bm25_dense
+            else:
+                bm25_arrays = idx.bm25
         else:
             b = q_tuple[0].shape[0] if q_tuple else 1
             key = ("noterms", b)

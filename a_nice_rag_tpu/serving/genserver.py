@@ -881,8 +881,17 @@ class GenerationServer:
         return self._next is not None or not self._pending.empty()
 
     def _admit(self) -> int:
-        """Prefill pending requests into free slots; returns #admitted."""
+        """Prefill pending requests into free slots; returns #admitted.
+
+        Two phases: every free slot's prefill program is DISPATCHED
+        first (async, device-serialized), then ONE fused read fetches
+        all first tokens/logprobs. The host-visible bookkeeping per
+        admission was previously an ``int(tok0)`` read each — a full
+        dispatch round-trip per request, which serialized a burst of
+        admissions on transport latency instead of device time.
+        """
         admitted = 0
+        staged = []  # (slot, req, info)
         for slot in range(self.slots):
             if self._active[slot] is not None:
                 continue
@@ -955,19 +964,39 @@ class GenerationServer:
             self._done = self._done.at[slot].set(tok0 == self.eos_id)
             req.slot = slot
             self._active[slot] = req
-            first = int(tok0)
-            self._set_slot_cstate(slot, req, first)
-            if not self._is_stop(req, first):
-                req.sent_ids.append(first)
-                req.out.put(first)
-                self._record_first(req, info)
-                req.emitted = 1
-                self.tokens_emitted += 1
-                if req.emitted >= req.max_new_tokens:
-                    self._retire(slot, "length")
-            else:
-                self._retire(slot, "stop")
+            staged.append((slot, req, info))
             admitted += 1
+        if staged:
+            # One fused transfer for every admission's host-visible
+            # outputs (streams stay bit-identical: same tokens, same
+            # per-request emit order).
+            firsts = np.asarray(
+                jnp.stack([info[0] for _, _, info in staged])
+            )
+            lps = None
+            if self.draft is None:
+                lps = np.asarray(
+                    jnp.stack([info[1] for _, _, info in staged])
+                )
+            for j, (slot, req, info) in enumerate(staged):
+                first = int(firsts[j])
+                self._set_slot_cstate(slot, req, first)
+                if not self._is_stop(req, first):
+                    req.sent_ids.append(first)
+                    req.out.put(first)
+                    if lps is not None:
+                        req.logprobs.append(float(lps[j]))
+                        if self.lp_k:
+                            req.top_logprobs.append(list(zip(
+                                np.asarray(info[3]).tolist(),
+                                np.asarray(info[2], np.float64).tolist(),
+                            )))
+                    req.emitted = 1
+                    self.tokens_emitted += 1
+                    if req.emitted >= req.max_new_tokens:
+                        self._retire(slot, "length")
+                else:
+                    self._retire(slot, "stop")
         return admitted
 
     def _start_chunked_prefill(self, req: _Request, slot: int) -> None:

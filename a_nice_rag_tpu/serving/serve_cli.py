@@ -80,6 +80,31 @@ class ServeState:
         )
         return fut.result(timeout=timeout_s)
 
+    def submit_batch_sync(self, model: str, q_mat: np.ndarray, terms,
+                          weights, filt, wrrf_k,
+                          timeout_s: float = 60.0):
+        """Submit a CLIENT-SIDE batch: every row enters the scheduler
+        as its own query (so it micro-batches with other traffic and
+        pays real batch-formation latency), and one future gathers all
+        rows. Returns (rows [B, n], scores [B, n])."""
+        async def _gather():
+            subs = [
+                self.pool.submit(
+                    {model: q_mat[i]},
+                    None if terms is None else terms[i],
+                    weights=weights, filename_type_filter=filt,
+                    wrrf_k=wrrf_k,
+                )
+                for i in range(q_mat.shape[0])
+            ]
+            return await asyncio.gather(*subs)
+
+        fut = asyncio.run_coroutine_threadsafe(_gather(), self.loop)
+        out = fut.result(timeout=timeout_s)
+        rows = np.stack([r for r, _ in out])
+        scores = np.stack([s for _, s in out])
+        return rows, scores
+
 
 def build_state(
     index,
@@ -277,6 +302,40 @@ def _make_handler(state: ServeState, default_weights: Dict[str, float],
                 self._reply(400, {"error": f"bad JSON: {e}"})
                 return
             try:
+                if "query_embeddings_b64" in payload:
+                    # Batched RPC form: raw little-endian f32 [B, D]
+                    # (and optionally i32 term ids [B, T]) as base64 —
+                    # the JSON-array encoding of a 256x2048 batch is
+                    # ~2 MB of text and would bench the JSON parser,
+                    # not the serving stack.
+                    import base64
+
+                    shape = payload["shape"]
+                    q_mat = np.frombuffer(
+                        base64.b64decode(payload["query_embeddings_b64"]),
+                        np.float32,
+                    ).reshape(shape)
+                    terms_b = None
+                    if payload.get("terms_b64"):
+                        terms_b = np.frombuffer(
+                            base64.b64decode(payload["terms_b64"]),
+                            np.int32,
+                        ).reshape(payload["terms_shape"])
+                    model = payload.get(
+                        "model", state.retriever.model_names[0]
+                    )
+                    weights = (payload.get("model_weights")
+                               or default_weights)
+                    rows, scores = state.submit_batch_sync(
+                        model, q_mat, terms_b, weights,
+                        payload.get("filename_type_filter"),
+                        float(payload.get("wrrf_k", 40.0)),
+                    )
+                    self._reply(200, {
+                        "rows": rows.tolist(),
+                        "scores": scores.tolist(),
+                    })
+                    return
                 emb = payload.get("query_embedding")
                 text = payload.get("query")
                 text_terms = None

@@ -46,14 +46,17 @@ def true_device_ms(
     it as a compiled constant and ships it inside the remote-compile
     request (413s at ~780 MB through the tunnel).
 
-    Runs the program ``n_loop`` times inside ONE jitted fori_loop,
-    threading the loop carry into the q operand (runtime +0.0) so XLA
-    cannot hoist the call (varying any operand of the opaque custom
-    call / fusion forces per-iteration execution), then divides by
-    ``n_loop``. Measured on the tunneled v5e: chained dispatch adds a
-    FIXED ~2.4 ms per call on top of true device time (2.1 GB stream:
-    6.17 ms chained vs 3.73 ms here), so this is the required
-    methodology for any single-digit-ms kernel number.
+    Runs the program ``n_loop`` times inside ONE jitted loop, threading
+    the loop carry into the q operand (runtime +0.0) so XLA cannot
+    hoist the call (varying any operand of the opaque custom call /
+    fusion forces per-iteration execution). The trip count is a RUNTIME
+    argument so the SAME compiled program measures a zero-iteration
+    run: T(0) is exactly the per-call dispatch + value-read overhead
+    (~one tunnel RTT, 20-30 ms here), and (T(n) - T(0)) / n is the
+    bias-free device time. The old form divided T(n) by n without the
+    subtraction, leaving ~RTT/n of residual — ~0.8 ms at n_loop=30,
+    material for single-digit-ms kernels (round-4 correction; every
+    earlier "TRUE" number carries that inflation).
 
     The perturbation must be ADDED (`q + isnan(x).astype(dtype)`) —
     multiplying by zero is foldable and re-enables hoisting (see
@@ -62,21 +65,28 @@ def true_device_ms(
     import jax.numpy as jnp
 
     @jax.jit
-    def loop(x0, qq, *a):
+    def loop(n, x0, qq, *a):
         def body(i, x):
             dq = qq + jnp.isnan(x).astype(qq.dtype)
             out = make_call(dq, *a)
             leaf = jax.tree_util.tree_leaves(out)[0]
             return x + 0.0 * leaf.reshape(-1)[0].astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n_loop, body, x0)
+        return jax.lax.fori_loop(0, n, body, x0)
 
     import numpy as _np
 
-    float(_np.asarray(loop(jnp.zeros(()), q, *args)).ravel()[0])
+    def run(n) -> float:
+        t0 = time.perf_counter()
+        float(_np.asarray(
+            loop(jnp.int32(n), jnp.zeros(()), q, *args)
+        ).ravel()[0])
+        return time.perf_counter() - t0
+
+    run(n_loop)  # compile
     best = float("inf")
     for _ in range(max(1, trials)):
-        t0 = time.perf_counter()
-        float(_np.asarray(loop(jnp.zeros(()), q, *args)).ravel()[0])
-        best = min(best, (time.perf_counter() - t0) / n_loop * 1e3)
+        base = run(0)
+        full = run(n_loop)
+        best = min(best, max(full - base, 0.0) / n_loop * 1e3)
     return best

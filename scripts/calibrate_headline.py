@@ -83,10 +83,12 @@ def eval_combo(noise, tok_noise, seed=7):
 
 
 def main():
-    combos = []
-    for noise in (0.12, 0.14, 0.16, 0.18):
-        for tok in (0.45, 0.55, 0.65):
-            combos.append((noise, tok))
+    import itertools
+    noises = [float(x) for x in os.environ.get(
+        "NOISES", "0.20,0.21,0.22,0.23").split(",")]
+    toks = [float(x) for x in os.environ.get(
+        "TOKS", "0.15,0.25,0.35").split(",")]
+    combos = list(itertools.product(noises, toks))
     for noise, tok in combos:
         r = eval_combo(noise, tok)
         flag = "  <== OK" if (

@@ -523,3 +523,37 @@ def test_serve_cli_real_ckpt_serves_with_hf_tokenizer(corpus_index,
         assert len(ids) < len("what dose of metformin".encode())
     finally:
         api.gen_server.stop()
+
+
+def test_serve_cli_batched_b64_search(corpus_index):
+    """Batched RPC form of /v1/search: base64 f32 embeddings + i32
+    terms, every row micro-batched through the scheduler, top ids per
+    row (the form bench.py's served-QPS stage drives)."""
+    import base64
+
+    c, idx = corpus_index
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True)
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        q = np.asarray(c.query_embeddings["voyage-3-large"][:8],
+                       np.float32)
+        terms = np.asarray(idx.pad_term_ids(c.query_tokens[:8], 16),
+                           np.int32)
+        out = _search(port, {
+            "query_embeddings_b64":
+                base64.b64encode(q.tobytes()).decode(),
+            "shape": list(q.shape),
+            "terms_b64": base64.b64encode(terms.tobytes()).decode(),
+            "terms_shape": list(terms.shape),
+        })
+        rows = np.asarray(out["rows"])
+        assert rows.shape[0] == 8
+        hits = sum(
+            c.gold_ids[b] in [idx.meta.ids[r] for r in rows[b] if r >= 0]
+            for b in range(8)
+        )
+        assert hits >= 6, hits
+    finally:
+        srv.shutdown()

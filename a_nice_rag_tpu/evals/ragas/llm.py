@@ -314,7 +314,10 @@ class LocalGuidedJudgeLLM(BaseJudgeLLM):
 
     def __init__(self, server, constraint: str = "json",
                  max_tokens: int = 256, tokenizer=None,
-                 auto_schema: bool = True):
+                 auto_schema: bool = True,
+                 default_temperature: float = None,
+                 max_string_len: int = None,
+                 max_items: int = None):
         from a_nice_rag_tpu.models.decoder import ByteTokenizer
 
         self.server = server
@@ -322,6 +325,19 @@ class LocalGuidedJudgeLLM(BaseJudgeLLM):
         self.max_tokens = max_tokens
         self.tokenizer = tokenizer or ByteTokenizer()
         self.auto_schema = auto_schema
+        # Near-greedy decoding under a DFA can LOOP inside free-form
+        # JSON string states (the mask allows almost every byte there,
+        # and a weak model's argmax may never emit the closing quote
+        # until the budget dies of finish_reason=length). A default
+        # sampling temperature gives such models a stochastic exit;
+        # callers that pass an explicit temperature are never
+        # overridden.
+        self.default_temperature = default_temperature
+        # Cap undeclared string lengths in compiled schema DFAs so a
+        # weak model cannot spend its whole budget inside one string
+        # field (the DFA itself closes the string at the cap).
+        self.max_string_len = max_string_len
+        self.max_items = max_items
         self._schema_names: dict = {}
 
     def _constraint_for(self, schema) -> str:
@@ -346,12 +362,17 @@ class LocalGuidedJudgeLLM(BaseJudgeLLM):
             from a_nice_rag_tpu.models.constrain import schema_dfa
 
             name = "schema:" + hashlib.sha1(
-                key.encode()
+                (key + f":{self.max_string_len}:{self.max_items}")
+                .encode()
             ).hexdigest()[:12]
             # compact=True: no inter-token whitespace, so the budget is
             # spent on content, never on runs of spaces.
             self.server.register_constraint(
-                name, schema_dfa(schema, compact=True)
+                name, schema_dfa(
+                    schema, compact=True,
+                    default_max_string=self.max_string_len,
+                    default_max_items=self.max_items,
+                )
             )
             self._schema_names[key] = name
         return name
@@ -378,6 +399,8 @@ class LocalGuidedJudgeLLM(BaseJudgeLLM):
 
     async def agenerate(self, prompt, n=1, temperature=1e-8,
                         schema=None):
+        if self.default_temperature is not None and temperature <= 1e-6:
+            temperature = self.default_temperature
         loop = asyncio.get_running_loop()
         con = self._constraint_for(schema)
         return list(await asyncio.gather(*[

@@ -726,7 +726,9 @@ def _any_value_regex(depth: int) -> str:
 
 
 def schema_regex(schema: dict, any_depth: int = 2,
-                 compact: bool = False) -> str:
+                 compact: bool = False,
+                 default_max_string: Optional[int] = None,
+                 default_max_items: Optional[int] = None) -> str:
     """Regex for JSON documents conforming to a (subset of a) JSON
     Schema — enough for pydantic ``model_json_schema()`` output:
     typed scalars, enums/consts, Literal, arrays with min/maxItems,
@@ -735,6 +737,14 @@ def schema_regex(schema: dict, any_depth: int = 2,
     (pydantic accepts any order, so the canonical order always
     validates); additionalProperties / untyped fields fall back to a
     generic bounded-depth value.
+
+    ``default_max_string`` caps strings that declare no ``maxLength``
+    of their own (adds ~cap states per string field): a weak model in
+    a free-form string state may never sample the closing quote, and
+    an unbounded string then eats the whole token budget
+    (finish_reason=length) — the cap forces the DFA itself to end the
+    string. Capped outputs still validate (pydantic str has no length
+    constraint unless the schema declares one).
     """
     defs = schema.get("$defs", schema.get("definitions", {}))
     ws = "" if compact else _WS_RE
@@ -772,14 +782,24 @@ def schema_regex(schema: dict, any_depth: int = 2,
         if t == "string":
             lo = s.get("minLength")
             hi = s.get("maxLength")
+            if hi is None:
+                hi = default_max_string
             if lo is None and hi is None:
                 return f"({_STR_RE})"
             return (f'("{_STR_CHAR_RE}'
                     + "{" + f"{lo or 0},{hi if hi is not None else ''}"
                     + '}")')
         if t == "integer":
+            if default_max_string is not None:
+                # Caps requested: bound digit runs too (an unbounded
+                # integer is the same weak-model budget sink as an
+                # unbounded string — "noncommittal": 47293749... ).
+                return r"(-?(0|[1-9][0-9]{0,8}))"
             return f"({_INT_RE})"
         if t == "number":
+            if default_max_string is not None:
+                return (r"(-?(0|[1-9][0-9]{0,8})(\.[0-9]{1,6})?"
+                        r"([eE][+-]?[0-9]{1,2})?)")
             return f"({_NUM_RE})"
         if t == "boolean":
             return "(true|false)"
@@ -789,6 +809,8 @@ def schema_regex(schema: dict, any_depth: int = 2,
             item = val(s.get("items", {}), depth + 1)
             lo = int(s.get("minItems", 0))
             hi = s.get("maxItems")
+            if hi is None:
+                hi = default_max_items  # same rationale as strings
             if hi is not None:
                 hi = int(hi)
                 if hi == 0:
@@ -823,7 +845,9 @@ def schema_regex(schema: dict, any_depth: int = 2,
 
 
 def schema_dfa(schema: dict, any_depth: int = 2,
-               compact: bool = False) -> ByteDFA:
+               compact: bool = False,
+               default_max_string: Optional[int] = None,
+               default_max_items: Optional[int] = None) -> ByteDFA:
     """Compile a pydantic-style JSON Schema to a ByteDFA: every
     accepted sentence both parses as JSON AND validates against the
     schema's types/keys — guided decoding then guarantees
@@ -832,5 +856,11 @@ def schema_dfa(schema: dict, any_depth: int = 2,
     ``compact=True`` bans inter-token whitespace (canonical compact
     JSON, which every JSON parser accepts): strictly better for guided
     GENERATION — whitespace self-loop states otherwise let a weak model
-    burn budget on runs of spaces — and it shrinks the table."""
-    return regex_dfa(schema_regex(schema, any_depth, compact=compact))
+    burn budget on runs of spaces — and it shrinks the table.
+    ``default_max_string`` / ``default_max_items`` bound undeclared
+    string lengths and array lengths (see :func:`schema_regex`)."""
+    return regex_dfa(schema_regex(
+        schema, any_depth, compact=compact,
+        default_max_string=default_max_string,
+        default_max_items=default_max_items,
+    ))

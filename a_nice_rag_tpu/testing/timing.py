@@ -69,8 +69,16 @@ def true_device_ms(
         def body(i, x):
             dq = qq + jnp.isnan(x).astype(qq.dtype)
             out = make_call(dq, *a)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return x + 0.0 * leaf.reshape(-1)[0].astype(jnp.float32)
+            # Fold EVERY output leaf into the carry: a single leaf can
+            # be input-independent (WRRF fused VALUES are pure rank
+            # sums — only the ids vary with the query) and XLA then
+            # DCEs the whole call out of the loop (measured: an int8
+            # 2.1 GB scan "took" 0.0 ms). make_call must still return
+            # at least one data-dependent output.
+            acc = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc = acc + leaf.reshape(-1)[0].astype(jnp.float32)
+            return x + 0.0 * acc
 
         return jax.lax.fori_loop(0, n, body, x0)
 

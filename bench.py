@@ -172,8 +172,9 @@ def at_scale_metrics() -> dict:
     wk = retr._scalar_device(40.0)
 
     def _hybrid_call(dq, emb, bm, t, mask, bmask):
-        _, fvals, _ = retr._run((emb,), bm, (dq,), t, mask, bmask, wv, wk)
-        return fvals
+        fids, fvals, _ = retr._run((emb,), bm, (dq,), t, mask, bmask,
+                                   wv, wk)
+        return fids, fvals
 
     batch_true_ms = true_device_ms(
         _hybrid_call, q2, emb, bm25, q_terms, mask, bmask,
@@ -241,9 +242,9 @@ def at_scale_metrics() -> dict:
     )
 
     def _hybrid_call_p(dq, emb, bm, t, mask, bmask):
-        _, fvals, _ = retr_p._run((emb,), bm, (dq,), t, mask, bmask,
-                                  wv, wk)
-        return fvals
+        fids, fvals, _ = retr_p._run((emb,), bm, (dq,), t, mask, bmask,
+                                     wv, wk)
+        return fids, fvals
 
     batch_true_packed_ms = true_device_ms(
         _hybrid_call_p, q2, emb, bm25, q_terms, mask, bmask,
@@ -294,7 +295,7 @@ def int8_scale_metrics() -> dict:
     K3 = 25
     C_IVF = 4096
     PER = N // C_IVF  # docs per cluster (built cluster-major)
-    N_CHUNKS = 20
+    N_CHUNKS = 40  # 1.07 GB f32 working set per chunk
     CHUNK = N // N_CHUNKS
     rng = np.random.default_rng(23)
     gold = rng.integers(0, N, size=B3).astype(np.int32)
@@ -313,33 +314,37 @@ def int8_scale_metrics() -> dict:
 
     cent = gen_centers(jax.random.PRNGKey(50))
 
-    @jax.jit
-    def gen_corpus(cent, key):
-        def body(i, carry):
-            vals, scales, key = carry
-            key, sub = jax.random.split(key)
-            row0 = i * CHUNK
-            which = (row0 + jnp.arange(CHUNK, dtype=jnp.int32)) // PER
-            e = jnp.take(cent, which, axis=0)
-            e = e + 0.042 * jax.random.normal(
-                sub, (CHUNK, D), dtype=jnp.float32
-            )
-            s = jnp.max(jnp.abs(e), axis=1) / 127.0
-            q8 = jnp.clip(
-                jnp.round(e / s[:, None]), -127, 127
-            ).astype(jnp.int8)
-            vals = jax.lax.dynamic_update_slice(vals, q8, (row0, 0))
-            scales = jax.lax.dynamic_update_slice(scales, s, (row0,))
-            return vals, scales, key
+    import functools as _ft
 
-        vals0 = jnp.zeros((N, D), jnp.int8)
-        scales0 = jnp.zeros((N,), jnp.float32)
-        vals, scales, _ = jax.lax.fori_loop(
-            0, N_CHUNKS, body, (vals0, scales0, key)
+    # Python-level chunk loop with DONATED buffers: the 10.7 GB value
+    # matrix updates in place (a fori carry risks a second full copy,
+    # and 2 x 10.7 GB does not fit the chip's HBM).
+    @_ft.partial(jax.jit, donate_argnums=(0, 1))
+    def add_chunk(vals, scales, cent, key, row0):
+        which = (
+            row0 + jnp.arange(CHUNK, dtype=jnp.int32)
+        ) // PER
+        e = jnp.take(cent, which, axis=0)
+        e = e + 0.042 * jax.random.normal(
+            key, (CHUNK, D), dtype=jnp.float32
         )
+        s = jnp.max(jnp.abs(e), axis=1) / 127.0
+        q8 = jnp.clip(
+            jnp.round(e / s[:, None]), -127, 127
+        ).astype(jnp.int8)
+        vals = jax.lax.dynamic_update_slice(vals, q8, (row0, 0))
+        scales = jax.lax.dynamic_update_slice(scales, s, (row0,))
         return vals, scales
 
-    vals, scales = gen_corpus(cent, jax.random.PRNGKey(5))
+    vals = jnp.zeros((N, D), jnp.int8)
+    scales = jnp.zeros((N,), jnp.float32)
+    key5 = jax.random.PRNGKey(5)
+    for i in range(N_CHUNKS):
+        key5, sub = jax.random.split(key5)
+        vals, scales = add_chunk(
+            vals, scales, cent, sub, jnp.int32(i * CHUNK)
+        )
+    jax.block_until_ready(vals)
 
     @jax.jit
     def gen_queries(vals, scales, gold_rows, key):
@@ -405,10 +410,10 @@ def int8_scale_metrics() -> dict:
 
     def _int8_call(dq, vals, scales):
         mat = QuantizedDense(values=vals, scales=scales)
-        _, fvals, _ = retr._run(
+        fids, fvals, _ = retr._run(
             (mat,), None, (dq,), terms3, mask3, mask3, wv3, wk3,
         )
-        return fvals
+        return fids, fvals
 
     try:
         from a_nice_rag_tpu.testing.timing import true_device_ms
@@ -630,6 +635,11 @@ def ivf_scale_metrics() -> dict:
         q0, emb, n_loop=50, trials=3,
     )
 
+    assert exact_ms / ivf_ms >= 2.5, (
+        f"2M IVF speedup {exact_ms / ivf_ms:.2f}x below floor 2.5x "
+        f"(ivf {ivf_ms:.3f} ms vs exact {exact_ms:.3f} ms; the round-3 "
+        f"1.63x reading was T(0) bias — see timing.true_device_ms)"
+    )
     return {
         "ivf_2m_b8_true_ms": round(ivf_ms, 3),
         "exact_2m_b8_true_ms": round(exact_ms, 3),
@@ -818,6 +828,9 @@ def served_qps_metrics() -> dict:
     for t in threads:
         t.join()
     wall = _time.perf_counter() - t0
+    scheds = list(state.pool._pool.values())
+    batches = sum(s.batches_run for s in scheds)
+    served = sum(s.queries_served for s in scheds)
     server.shutdown()
     if errs:
         return {"served_error": str(errs[0])[:160]}
@@ -834,6 +847,7 @@ def served_qps_metrics() -> dict:
         "served_batch": B,
         "served_clients": n_threads,
         "served_requests": len(lat),
+        "served_avg_device_batch": round(served / max(batches, 1), 1),
     }
 
 
@@ -1016,10 +1030,10 @@ def main() -> None:
     from a_nice_rag_tpu.testing.timing import true_device_ms
 
     def _one_query(dq, emb, bm, t, mask, bmask):
-        _, fvals, _ = retriever._run(
+        fids, fvals, _ = retriever._run(
             (emb,), bm, (dq,), t, mask, bmask, wv, wk
         )
-        return fvals
+        return fids, fvals
 
     p50_device_true_ms = true_device_ms(
         _one_query, q1d, emb, bm25_arrays, t1d, mask, bm25_mask,

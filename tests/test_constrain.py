@@ -249,3 +249,45 @@ def test_schema_dfa_compact_mode():
     assert tight.matches(b'{"a":1}')
     assert not tight.matches(b'{"a": 1}')  # whitespace banned
     assert tight.n_states < loose.n_states
+
+
+def test_schema_dfa_default_caps_bound_strings_and_arrays():
+    """default_max_string / default_max_items close free-form strings
+    and unbounded arrays at the cap, so a weak model under guidance
+    cannot spend its whole budget inside one field; declared bounds
+    keep priority and capped outputs still validate."""
+    import json
+
+    from pydantic import BaseModel
+
+    from a_nice_rag_tpu.models.constrain import schema_dfa
+
+    class Out(BaseModel):
+        statements: list[str]
+
+    d = schema_dfa(Out.model_json_schema(), compact=True,
+                   default_max_string=20, default_max_items=2)
+
+    def walk(doc: str):
+        s = 0
+        for i, b in enumerate(doc.encode()):
+            s = int(d.next[s, b])
+            if s < 0:
+                return None, i
+        return s, None
+
+    ok = json.dumps({"statements": ["short", "x" * 20]},
+                    separators=(",", ":"))
+    s, died = walk(ok)
+    assert died is None and bool(d.accept[s])
+    Out.model_validate_json(ok)
+
+    too_long = json.dumps({"statements": ["y" * 21]},
+                          separators=(",", ":"))
+    _, died = walk(too_long)
+    assert died is not None
+
+    too_many = json.dumps({"statements": ["a", "b", "c"]},
+                          separators=(",", ":"))
+    _, died = walk(too_many)
+    assert died is not None

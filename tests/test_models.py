@@ -62,6 +62,7 @@ def test_on_device_embedder_and_reranker():
     assert scores == sorted(scores, reverse=True)
 
 
+@pytest.mark.slow
 def test_contrastive_training_reduces_loss():
     model, params = init_encoder(CFG, seed=1)
     tok = HashingTokenizer(vocab_size=CFG.vocab_size, max_len=16)
@@ -78,6 +79,7 @@ def test_contrastive_training_reduces_loss():
     assert losses[-1] < losses[0] * 0.8, losses
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     mesh = make_mesh(shape=(4, 2), axis_names=("dp", "tp"))
     model, params = init_encoder(CFG, seed=2)
@@ -124,6 +126,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_with_resume(tmp_path):
     from a_nice_rag_tpu.models.trainer import train_encoder
 

@@ -47,6 +47,7 @@ def test_moe_capacity_overflow_drops_to_residual(moe):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_expert_parallel_training_converges(moe):
     model, params, toks = moe
     mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("dp", "ep"))

@@ -53,6 +53,7 @@ def trained():
     )
 
 
+@pytest.mark.slow
 def test_nli_training_separates_entailment(trained):
     assert trained.losses[-1] < trained.losses[0]
     assert trained.holdout_auc > 0.7, trained.holdout_auc
@@ -64,6 +65,7 @@ def test_nli_training_separates_entailment(trained):
     assert scorer(premise, entailed) > scorer(premise, drifted)
 
 
+@pytest.mark.slow
 def test_hhem_metric_with_trained_scorer(trained):
     from a_nice_rag_tpu.evals.ragas.dataset import SingleTurnSample
     from a_nice_rag_tpu.evals.ragas.llm import FakeJudgeLLM

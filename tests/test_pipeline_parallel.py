@@ -53,6 +53,7 @@ def test_pipelined_forward_matches_single_device(setup):
     assert np.abs(got - ref).max() < 2e-2
 
 
+@pytest.mark.slow
 def test_pipeline_training_matches_and_converges(setup):
     model, params, mesh, toks = setup
     q, d = toks(), toks()

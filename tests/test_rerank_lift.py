@@ -95,6 +95,7 @@ def _trained_reranker(c, idx, n_train=288, seed=99):
     return res
 
 
+@pytest.mark.slow
 def test_trained_reranker_lifts_recall_at_1(corpus_and_index):
     c, idx = corpus_and_index
     res = _trained_reranker(c, idx)

@@ -4,6 +4,7 @@ must improve retrieval quality on a synthetic paired corpus."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from a_nice_rag_tpu.models import (
     EncoderConfig,
@@ -21,6 +22,7 @@ def _recall_at_1(model, params, tok, docs, queries):
     return float(np.mean(np.asarray(idx)[:, 0] == np.arange(len(queries))))
 
 
+@pytest.mark.slow
 def test_training_improves_retrieval():
     cfg = EncoderConfig(
         vocab_size=512, dim=64, n_layers=2, n_heads=2, max_len=16, out_dim=64

@@ -36,6 +36,12 @@ DEFAULT_CANDIDATES: Tuple[Tuple[int, int, int, str], ...] = (
     # falls back to iterate under a mask, so safe to tune in).
     (128, 16384, 2, "dbuf"),
     (256, 16384, 2, "dbuf"),
+    # Carried-argmax fold: EXACT (ids bit-match the f32 path) at ~one
+    # traversal per extraction iteration — safe for the default tuner.
+    (128, 8192, 2, "exact2"),
+    (128, 16384, 1, "exact2"),
+    (128, 16384, 2, "exact2"),
+    (256, 16384, 2, "exact2"),
 )
 
 # Packed value+index fold: ~20% faster at N=4M (8.4 vs 10.5 ms TRUE,

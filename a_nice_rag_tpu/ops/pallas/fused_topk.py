@@ -395,6 +395,125 @@ def _kernel_packed_int8(*refs, k: int, n_tile: int, block_q: int,
                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
 
 
+def _fold_window_carried(s_ref, col0: int, w: int, off, rv, ri):
+    """EXACT fold at ~one traversal per iteration: the row max AND its
+    argmax are computed together in the same traversal that writes the
+    masked rewrite, then CARRIED into the next iteration — the packed
+    fold's pass structure without its bf16 rounding (algo="exact2").
+
+    Correctness note shared with the other folds: an iteration masks
+    every row's current argmax column even when that row saw no
+    improvement — harmless, since a value <= the running k-th can
+    never improve later within this window (kth only rises).
+    """
+    bq = s_ref.shape[0]
+    k = rv.shape[1]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1)
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
+    win0 = s_ref[:, col0:col0 + w]
+    rm0 = jnp.max(win0, axis=1)
+    a0 = jnp.argmax(win0, axis=1).astype(jnp.int32)
+    kth0 = jnp.min(rv, axis=1)
+
+    def cond(c):
+        it, rm, _, _, _, kth = c
+        return jnp.logical_and(it < w, jnp.max(rm - kth) > 0.0)
+
+    def body(c):
+        it, rm, arg, rv, ri, kth = c
+        imp = rm > kth
+        amin = jnp.argmin(rv, axis=1).astype(jnp.int32)
+        hot = jnp.logical_and(kcol == amin[:, None], imp[:, None])
+        rv = jnp.where(hot, rm[:, None], rv)
+        ri = jnp.where(hot, (arg + off)[:, None], ri)
+        ss = s_ref[:, col0:col0 + w]
+        ss = jnp.where(cols == arg[:, None], jnp.asarray(NEG, ss.dtype),
+                       ss)
+        s_ref[:, col0:col0 + w] = ss
+        rm = jnp.max(ss, axis=1)
+        arg = jnp.argmax(ss, axis=1).astype(jnp.int32)
+        kth = jnp.min(rv, axis=1)
+        return it + 1, rm, arg, rv, ri, kth
+
+    _, _, _, rv, ri, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rm0, a0, rv, ri, kth0)
+    )
+    return rv, ri
+
+
+def _exact2_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full, *,
+                  k: int, n_tile: int, block_q: int, subtiles: int):
+    """Direct-store visit over the carried-argmax fold."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(0)
+    row0 = pl.multiple_of(i * block_q, block_q)
+    s_full[:, :] = scores
+    n_sub = subtiles
+    width = n_tile
+    while width % n_sub:
+        n_sub //= 2
+    w = width // n_sub
+    rv = run_v[pl.ds(row0, block_q), :]
+    ri = run_i[pl.ds(row0, block_q), :]
+    first = (j == 0)
+    rv = jnp.where(first, jnp.full((block_q, k), NEG, jnp.float32), rv)
+    ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
+    for s in range(n_sub):
+        rv, ri = _fold_window_carried(
+            s_full, s * w, w, j * n_tile + s * w, rv, ri
+        )
+    run_v[pl.ds(row0, block_q), :] = rv
+    run_i[pl.ds(row0, block_q), :] = ri
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        _finalize_iterate(rv, ri, vals_ref, idx_ref, k)
+
+
+def _kernel_exact2(*refs, k: int, n_tile: int, block_q: int,
+                   has_mask: bool, subtiles: int = 2):
+    if has_mask:
+        q_ref, e_ref, mask_ref, vals_ref, idx_ref, run_v, run_i, s_full = refs
+    else:
+        q_ref, e_ref, vals_ref, idx_ref, run_v, run_i, s_full = refs
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _exact2_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full,
+                  k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
+def _kernel_exact2_int8(*refs, k: int, n_tile: int, block_q: int,
+                        has_mask: bool, subtiles: int = 2):
+    if has_mask:
+        (q_ref, qs_ref, e_ref, es_ref, mask_ref, vals_ref, idx_ref,
+         run_v, run_i, s_full) = refs
+    else:
+        (q_ref, qs_ref, e_ref, es_ref, vals_ref, idx_ref, run_v, run_i,
+         s_full) = refs
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    scores = (
+        acc.astype(jnp.float32)
+        * qs_ref[:, 0][:, None]
+        * es_ref[:, 0][None, :]
+    )
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _exact2_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full,
+                  k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
 def _fold_window_scratch(s_ref, col0: int, w: int, off, rv, ri):
     """Static-window variant of :func:`_fold_tile_scratch`: the
     extraction loop mutates columns ``[col0, col0+w)`` of a WIDER
@@ -979,7 +1098,11 @@ def fused_dense_top_k_int8(
         # No int8 dbuf yet; a config autotuned on the f32/bf16 kernel
         # must not fall into the legacy count-gated branch below.
         algo = "iterate"
-    if algo in ("iterate", "direct", "packed"):
+    if algo == "packed" and (mask is not None or n % _N_ALIGN):
+        # Maskless-only (see the f32 launcher): the mask select does
+        # not fuse with the pack chain.
+        algo = "iterate"
+    if algo in ("iterate", "direct", "packed", "exact2"):
         # The mask pass can only be skipped when NO mask was requested
         # AND no doc-axis padding happens (padded rows score exactly 0.0
         # and would beat real negative scores).
@@ -999,6 +1122,11 @@ def fused_dense_top_k_int8(
         if algo == "packed":
             kernel = functools.partial(
                 _kernel_packed_int8, k=k, n_tile=block_n,
+                block_q=block_q, has_mask=has_mask, subtiles=subtiles,
+            )
+        elif algo == "exact2":
+            kernel = functools.partial(
+                _kernel_exact2_int8, k=k, n_tile=block_n,
                 block_q=block_q, has_mask=has_mask, subtiles=subtiles,
             )
         elif algo == "direct":
@@ -1048,11 +1176,12 @@ def fused_dense_top_k_int8(
                 pltpu.VMEM((b, k), jnp.float32),
                 pltpu.VMEM((b, k), jnp.int32),
                 # Score scratch for the in-place extraction loop: the
-                # direct kernel stores the full tile (no copy pass),
-                # the value-fold copies one subtile at a time.
+                # direct/exact2 kernels store the full tile (no copy
+                # pass), the value-fold copies one subtile at a time.
                 pltpu.VMEM(
                     (block_q,
-                     block_n if algo == "direct" else block_n // n_sub),
+                     block_n if algo in ("direct", "exact2")
+                     else block_n // n_sub),
                     jnp.float32,
                 ),
             ]
@@ -1161,6 +1290,12 @@ def fused_dense_top_k(
         # algo per index signature, so a filtered call on a dbuf-tuned
         # engine must still work — route it to the general kernel.
         algo = "iterate"
+    if algo == "packed" and (mask is not None or n % _N_ALIGN):
+        # packed is ALSO maskless-only: the f32 mask select does not
+        # fuse with the pack chain (measured 17.4 ms masked vs 3.4
+        # maskless at N=2M — worse than the plain fold's 6.1). Filtered
+        # or misaligned calls take the exact iterate path.
+        algo = "iterate"
     if algo == "dbuf":
         n, block_n, _, emb = _align_doc_axis(
             n, block_n, jnp.ones((0,), jnp.bool_), emb
@@ -1206,7 +1341,7 @@ def fused_dense_top_k(
             interpret=interpret,
         )(queries, emb)
         return vals, idx
-    if algo in ("iterate", "direct", "packed"):
+    if algo in ("iterate", "direct", "packed", "exact2"):
         # Skip the whole-tile mask select only when no mask was asked
         # for AND no padding happens (padded zero rows score 0.0, which
         # beats real negative scores).
@@ -1224,6 +1359,11 @@ def fused_dense_top_k(
         if algo == "packed":
             kernel = functools.partial(
                 _kernel_packed, k=k, n_tile=block_n, block_q=block_q,
+                has_mask=has_mask, subtiles=subtiles,
+            )
+        elif algo == "exact2":
+            kernel = functools.partial(
+                _kernel_exact2, k=k, n_tile=block_n, block_q=block_q,
                 has_mask=has_mask, subtiles=subtiles,
             )
         elif algo == "direct":
@@ -1271,13 +1411,14 @@ def fused_dense_top_k(
                 pltpu.VMEM((b, k), jnp.float32),
                 pltpu.VMEM((b, k), jnp.int32),
                 # Score scratch for the in-place extraction loop —
-                # always f32 (Mosaic argmax is f32-only). The direct
-                # kernel stores the full tile straight from the matmul
-                # (no copy pass); the value-fold copies one subtile at
-                # a time.
+                # always f32 (Mosaic argmax is f32-only). The
+                # direct/exact2 kernels store the full tile straight
+                # from the matmul (no copy pass); the value-fold
+                # copies one subtile at a time.
                 pltpu.VMEM(
                     (block_q,
-                     block_n if algo == "direct" else block_n // n_sub),
+                     block_n if algo in ("direct", "exact2")
+                     else block_n // n_sub),
                     jnp.float32,
                 ),
             ]

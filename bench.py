@@ -166,18 +166,22 @@ def at_scale_metrics() -> dict:
     # (testing/timing.true_device_ms).
     from a_nice_rag_tpu.testing.timing import true_device_ms
 
-    mask = index2.filter_mask(None)
-    bmask = mask & jnp.asarray(index2.bm25_doc_mask)
+    # None masks, matching the production serve path: retrieve_device
+    # routes unfiltered queries MASKLESS (filter_mask_or_none), which
+    # both drops the per-tile select pass and keeps the packed fold on
+    # its fast path (masked packed measured 17.4 vs 3.4 ms at 2M).
+    mask = index2.filter_mask_or_none(None)
+    bmask = mask
     wv = retr._weights_device(weights)
     wk = retr._scalar_device(40.0)
 
-    def _hybrid_call(dq, emb, bm, t, mask, bmask):
+    def _hybrid_call(dq, emb, bm, t):
         fids, fvals, _ = retr._run((emb,), bm, (dq,), t, mask, bmask,
                                    wv, wk)
         return fids, fvals
 
     batch_true_ms = true_device_ms(
-        _hybrid_call, q2, emb, bm25, q_terms, mask, bmask,
+        _hybrid_call, q2, emb, bm25, q_terms,
         n_loop=20, trials=3,
     )
 
@@ -191,6 +195,18 @@ def at_scale_metrics() -> dict:
         n=10, trials=2,
     )
     dispatch_overhead_ms = max(chained_ms - batch_true_ms, 0.0)
+
+    # The de-bias constant for the STREAM probe below must come from
+    # the raw dispatch round-trip, not from the hybrid program's
+    # chained-vs-true difference (that includes the retriever's
+    # per-call host work and once pushed the stream estimate past the
+    # clamp, reporting a petabyte/s "floor").
+    rtt = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        float(np.asarray(jnp.float32(1.0)))
+        rtt.append(time.perf_counter() - t0)
+    rtt_ms2 = float(np.median(rtt) * 1e3)
 
     # Roofline: pure-stream rate over the same matrix (trivial Pallas
     # tile sum — one full HBM pass, no selection). Chained, then
@@ -218,7 +234,7 @@ def at_scale_metrics() -> dict:
     )(x)[0, 0])
     stream_chained = chained_dispatch_ms(lambda: stream(emb), n=10,
                                          trials=2)
-    stream_true_ms = max(stream_chained - dispatch_overhead_ms, 1e-3)
+    stream_true_ms = max(stream_chained - rtt_ms2 / 10, 0.5)
     emb_gb = N * D * 2 / 1e9
     stream_gb_s = emb_gb / stream_true_ms * 1e3
     fused_gb_s = emb_gb / batch_true_ms * 1e3
@@ -241,13 +257,13 @@ def at_scale_metrics() -> dict:
         f"packed-route hybrid recall {r_h_packed} below floor 0.99"
     )
 
-    def _hybrid_call_p(dq, emb, bm, t, mask, bmask):
+    def _hybrid_call_p(dq, emb, bm, t):
         fids, fvals, _ = retr_p._run((emb,), bm, (dq,), t, mask, bmask,
                                      wv, wk)
         return fids, fvals
 
     batch_true_packed_ms = true_device_ms(
-        _hybrid_call_p, q2, emb, bm25, q_terms, mask, bmask,
+        _hybrid_call_p, q2, emb, bm25, q_terms,
         n_loop=20, trials=3,
     )
 
@@ -551,7 +567,10 @@ def ivf_scale_metrics() -> dict:
     D = 256
     B = 8
     K = 16
-    NPROBE = 32
+    # nprobe 16 of ~1448 clusters: recall stays ~1.0 on the planted
+    # structure while the scheduled tile fraction halves vs 32 — at 32
+    # the fraction (~27%) capped the measured speedup at ~2.2x.
+    NPROBE = 16
     MAXT = 512
     N_CENTERS = 2048
     rng = np.random.default_rng(31)
@@ -1057,7 +1076,7 @@ def main() -> None:
     import gc
 
     del retriever, index, q_embs, q_dev, terms_dev, terms_np, out
-    del emb, bm25_arrays, mask, bm25_mask, args, wv, wk, q1, t1, q1d, t1d
+    del emb, bm25_arrays, mask, bm25_mask, wv, wk, q1, t1, q1d, t1d
     gc.collect()
 
     at_scale = at_scale_metrics() if platform == "tpu" else {}

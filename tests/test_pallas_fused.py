@@ -249,3 +249,48 @@ def test_fused_packed_int8_parity():
         got = np.sort(sc[r][np.asarray(i_p)[r]])[::-1]
         ref = np.sort(sc[r])[::-1][:8]
         np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_exact2_matches_xla_topk():
+    """algo="exact2" (carried-argmax fold: one traversal per
+    extraction iteration) is EXACT — ids match the XLA reference
+    bit-for-bit, unlike the bf16-rounded packed fold."""
+    rng = np.random.default_rng(131)
+    emb = rng.standard_normal((3072, 96)).astype(np.float32)
+    q = rng.standard_normal((32, 96)).astype(np.float32)
+    vals_p, idx_p = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=12, block_q=16,
+        block_n=1024, algo="exact2", interpret=INTERPRET,
+    )
+    vals_x, idx_x = dense_top_k(jnp.asarray(emb), jnp.asarray(q), 12)
+    np.testing.assert_allclose(
+        np.asarray(vals_p), np.asarray(vals_x), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(idx_p), np.asarray(idx_x))
+
+
+def test_fused_exact2_masked_and_int8():
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k_int8
+
+    rng = np.random.default_rng(137)
+    emb = rng.standard_normal((2048, 64)).astype(np.float32)
+    q = rng.standard_normal((16, 64)).astype(np.float32)
+    mask = rng.random(2048) > 0.5
+    _, idx_m = fused_dense_top_k(
+        jnp.asarray(emb), jnp.asarray(q), k=8, block_q=16, block_n=1024,
+        mask=jnp.asarray(mask), algo="exact2", interpret=INTERPRET,
+    )
+    _, idx_x = dense_top_k(jnp.asarray(emb), jnp.asarray(q), 8,
+                           mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(idx_m), np.asarray(idx_x))
+
+    vals = rng.integers(-90, 91, (2048, 64)).astype(np.int8)
+    qv = rng.integers(-90, 91, (16, 64)).astype(np.int8)
+    _, i8 = fused_dense_top_k_int8(
+        jnp.asarray(vals), jnp.ones(2048, np.float32), jnp.asarray(qv),
+        jnp.ones(16, np.float32), 8, block_q=16, block_n=1024,
+        algo="exact2", interpret=INTERPRET,
+    )
+    sc = (qv.astype(np.int32) @ vals.astype(np.int32).T)
+    ref = np.sort(np.argsort(-sc, axis=1)[:, :8], 1)
+    np.testing.assert_array_equal(np.sort(np.asarray(i8), 1), ref)

@@ -21,9 +21,14 @@ import numpy as np
 
 @dataclasses.dataclass
 class _Pending:
-    q_embs: Dict[str, np.ndarray]  # model -> [D]
-    q_terms: Optional[np.ndarray]  # [T] or None
+    q_embs: Dict[str, np.ndarray]  # model -> [D] (or [rows, D])
+    q_terms: Optional[np.ndarray]  # [T] or None (or [rows, T])
     future: asyncio.Future
+    # rows > 1 marks a CLIENT-BATCHED submission (submit_many): the
+    # whole row block rides one queue entry and one future — per-row
+    # asyncio futures were the measured host bottleneck of the E2E
+    # served path (one CPU core: ~0.3 ms/query of event-loop work).
+    rows: int = 1
 
 
 class BatchScheduler:
@@ -102,6 +107,24 @@ class BatchScheduler:
         await self._queue.put(_Pending(q_embs, q_terms, future))
         return await future
 
+    async def submit_many(
+        self,
+        q_embs: Dict[str, np.ndarray],
+        q_terms: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Client-batched submission: ``q_embs[m]`` is [rows, D] (and
+        ``q_terms`` [rows, T]), carried as ONE queue entry + ONE future
+        — it still coalesces with other pending traffic up to
+        ``max_batch`` rows, so single-query submitters share the same
+        device batches. Returns (doc rows [rows, n], scores [rows, n]).
+        """
+        rows = next(iter(q_embs.values())).shape[0]
+        loop = asyncio.get_running_loop()
+        self._last_arrival = loop.time()
+        future: asyncio.Future = loop.create_future()
+        await self._queue.put(_Pending(q_embs, q_terms, future, rows))
+        return await future
+
     # ------------------------------------------------------------------
 
     @staticmethod
@@ -130,24 +153,27 @@ class BatchScheduler:
     async def _collect(self) -> List[_Pending]:
         first = await self._queue.get()
         batch = [first]
+        rows = first.rows
         # Anything already queued ships in this batch regardless of the
         # wait policy (a burst arriving after idle still coalesces).
-        while len(batch) < self.max_batch:
+        while rows < self.max_batch:
             try:
-                batch.append(self._queue.get_nowait())
+                p = self._queue.get_nowait()
             except asyncio.QueueEmpty:
                 break
+            batch.append(p)
+            rows += p.rows
         deadline = asyncio.get_running_loop().time() + self._adaptive_wait_s()
-        while len(batch) < self.max_batch:
+        while rows < self.max_batch:
             timeout = deadline - asyncio.get_running_loop().time()
             if timeout <= 0:
                 break
             try:
-                batch.append(
-                    await asyncio.wait_for(self._queue.get(), timeout)
-                )
+                p = await asyncio.wait_for(self._queue.get(), timeout)
             except asyncio.TimeoutError:
                 break
+            batch.append(p)
+            rows += p.rows
         return batch
 
     async def _loop(self) -> None:
@@ -179,21 +205,28 @@ class BatchScheduler:
 
     def _run_batch(self, batch: List[_Pending]):
         models = self.retriever.model_names
-        b = len(batch)
+        b = sum(p.rows for p in batch)
         b_pad = self._bucket(b)
         q_embs: Dict[str, np.ndarray] = {}
         for m in models:
             dim = np.asarray(batch[0].q_embs[m]).shape[-1]
             arr = np.zeros((b_pad, dim), np.float32)
-            for i, p in enumerate(batch):
-                arr[i] = p.q_embs[m]
+            i = 0
+            for p in batch:
+                arr[i:i + p.rows] = p.q_embs[m]
+                i += p.rows
             q_embs[m] = arr
         terms = np.full((b_pad, self.t_max), -1, np.int32)
         if self.retriever.use_bm25:
-            for i, p in enumerate(batch):
+            i = 0
+            for p in batch:
                 if p.q_terms is not None:
-                    t = np.asarray(p.q_terms)[: self.t_max]
-                    terms[i, : len(t)] = t
+                    t = np.asarray(p.q_terms)
+                    if p.rows == 1 and t.ndim == 1:
+                        t = t[None, :]
+                    w = min(t.shape[1], self.t_max)
+                    terms[i:i + p.rows, :w] = t[:, :w]
+                i += p.rows
         # Device path + download of ONLY the fused outputs (the per-list
         # debug indices stay on device).
         d_fids, d_fvals, _ = self.retriever.retrieve_device(
@@ -203,7 +236,15 @@ class BatchScheduler:
         fvals = np.asarray(d_fvals)
         self.batches_run += 1
         self.queries_served += b
-        return [(fids[i], fvals[i]) for i in range(b)]
+        out = []
+        i = 0
+        for p in batch:
+            if p.rows == 1:
+                out.append((fids[i], fvals[i]))
+            else:
+                out.append((fids[i:i + p.rows], fvals[i:i + p.rows]))
+            i += p.rows
+        return out
 
 
 class SchedulerPool:
@@ -263,6 +304,19 @@ class SchedulerPool:
             raise ValueError("SchedulerPool.submit requires weights")
         sched = await self.get(weights, filename_type_filter, wrrf_k)
         return await sched.submit(q_embs, q_terms)
+
+    async def submit_many(
+        self,
+        q_embs,
+        q_terms=None,
+        weights: Optional[Dict[str, float]] = None,
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+    ):
+        if weights is None:
+            raise ValueError("SchedulerPool.submit_many requires weights")
+        sched = await self.get(weights, filename_type_filter, wrrf_k)
+        return await sched.submit_many(q_embs, q_terms)
 
     async def stop(self) -> None:
         # Entries stay for post-mortem stats; their loops are stopped

@@ -83,27 +83,23 @@ class ServeState:
     def submit_batch_sync(self, model: str, q_mat: np.ndarray, terms,
                           weights, filt, wrrf_k,
                           timeout_s: float = 60.0):
-        """Submit a CLIENT-SIDE batch: every row enters the scheduler
-        as its own query (so it micro-batches with other traffic and
-        pays real batch-formation latency), and one future gathers all
-        rows. Returns (rows [B, n], scores [B, n])."""
-        async def _gather():
-            subs = [
-                self.pool.submit(
-                    {model: q_mat[i]},
-                    None if terms is None else terms[i],
-                    weights=weights, filename_type_filter=filt,
-                    wrrf_k=wrrf_k,
-                )
-                for i in range(q_mat.shape[0])
-            ]
-            return await asyncio.gather(*subs)
-
-        fut = asyncio.run_coroutine_threadsafe(_gather(), self.loop)
-        out = fut.result(timeout=timeout_s)
-        rows = np.stack([r for r, _ in out])
-        scores = np.stack([s for _, s in out])
-        return rows, scores
+        """Submit a CLIENT-SIDE batch: the row block rides one
+        scheduler entry + one future (BatchScheduler.submit_many) and
+        still coalesces with other pending traffic up to max_batch
+        rows. Per-row futures were the measured host bottleneck on the
+        E2E served path (one event-loop task per query at one CPU
+        core). Returns (rows [B, n], scores [B, n])."""
+        fut = asyncio.run_coroutine_threadsafe(
+            self.pool.submit_many(
+                {model: np.asarray(q_mat, np.float32)},
+                None if terms is None else np.asarray(terms, np.int32),
+                weights=weights, filename_type_filter=filt,
+                wrrf_k=wrrf_k,
+            ),
+            self.loop,
+        )
+        rows, scores = fut.result(timeout=timeout_s)
+        return np.asarray(rows), np.asarray(scores)
 
 
 def build_state(
@@ -331,9 +327,18 @@ def _make_handler(state: ServeState, default_weights: Dict[str, float],
                         payload.get("filename_type_filter"),
                         float(payload.get("wrrf_k", 40.0)),
                     )
+                    # Binary reply in the same b64 form: JSON-texting
+                    # a [512, n] float matrix costs tens of ms per
+                    # request on one core — it was the measured E2E
+                    # served-QPS bottleneck, not the device path.
+                    rows = np.ascontiguousarray(rows, np.int32)
+                    scores = np.ascontiguousarray(scores, np.float32)
                     self._reply(200, {
-                        "rows": rows.tolist(),
-                        "scores": scores.tolist(),
+                        "rows_b64":
+                            base64.b64encode(rows.tobytes()).decode(),
+                        "scores_b64":
+                            base64.b64encode(scores.tobytes()).decode(),
+                        "out_shape": list(rows.shape),
                     })
                     return
                 emb = payload.get("query_embedding")

@@ -548,7 +548,9 @@ def test_serve_cli_batched_b64_search(corpus_index):
             "terms_b64": base64.b64encode(terms.tobytes()).decode(),
             "terms_shape": list(terms.shape),
         })
-        rows = np.asarray(out["rows"])
+        rows = np.frombuffer(
+            base64.b64decode(out["rows_b64"]), np.int32
+        ).reshape(out["out_shape"])
         assert rows.shape[0] == 8
         hits = sum(
             c.gold_ids[b] in [idx.meta.ids[r] for r in rows[b] if r >= 0]

@@ -299,3 +299,48 @@ def test_scheduler_over_sharded_retriever():
         got = [idx.meta.ids[j] for j in ids if j >= 0]
         hits += c.gold_ids[i] in got
     assert hits >= 8, hits
+
+
+def test_submit_many_coalesces_with_single_queries(retriever):
+    """A client-batched submission (one queue entry carrying B rows)
+    must return per-row results identical to B single submits, and
+    coalesce into the SAME device batches as concurrent single-query
+    traffic."""
+    c, idx, fr = retriever
+
+    async def run():
+        sched = BatchScheduler(
+            fr, {"voyage-3-large": 5.0, "BM25": 1.0}, max_batch=64,
+            max_wait_ms=5.0, t_max=16,
+        )
+        await sched.start()
+        try:
+            q = c.query_embeddings["voyage-3-large"]
+            terms = np.asarray(idx.pad_term_ids(c.query_tokens, 16))
+
+            async def single(i):
+                return await sched.submit(
+                    {"voyage-3-large": q[i]}, terms[i]
+                )
+
+            block = sched.submit_many(
+                {"voyage-3-large": q[4:12]}, terms[4:12]
+            )
+            singles = asyncio.gather(*(single(i) for i in range(4)))
+            (rows_b, scores_b), singles_out = await asyncio.gather(
+                block, singles
+            )
+            assert rows_b.shape[0] == 8
+            # per-row parity vs single submissions of the same queries
+            for j, i in enumerate(range(4, 12)):
+                r1, s1 = await sched.submit(
+                    {"voyage-3-large": q[i]}, terms[i]
+                )
+                np.testing.assert_array_equal(rows_b[j], r1)
+                np.testing.assert_allclose(scores_b[j], s1, rtol=1e-5)
+            assert sched.queries_served >= 8 + 4
+            return sched
+        finally:
+            await sched.stop()
+
+    asyncio.run(run())

@@ -384,11 +384,9 @@ def _kernel_packed_int8(*refs, k: int, n_tile: int, block_q: int,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    scores = (
-        acc.astype(jnp.float32)
-        * qs_ref[:, 0][:, None]
-        * es_ref[:, 0][None, :]
-    )
+    # Per-row qs deferred to the finalize (order-preserving: qs > 0),
+    # saving a full [Bq, Nt] multiply pass per streamed tile.
+    scores = acc.astype(jnp.float32) * es_ref[:, 0][None, :]
     if has_mask:
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _packed_visit(scores, kvals_ref, idx_ref, run_v, run_i, p_scr,
@@ -442,7 +440,8 @@ def _fold_window_carried(s_ref, col0: int, w: int, off, rv, ri):
 
 
 def _exact2_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full, *,
-                  k: int, n_tile: int, block_q: int, subtiles: int):
+                  k: int, n_tile: int, block_q: int, subtiles: int,
+                  row_scale=None):
     """Direct-store visit over the carried-argmax fold."""
     j = pl.program_id(0)
     i = pl.program_id(1)
@@ -468,7 +467,7 @@ def _exact2_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full, *,
 
     @pl.when(j == n_tiles - 1)
     def _():
-        _finalize_iterate(rv, ri, vals_ref, idx_ref, k)
+        _finalize_iterate(rv, ri, vals_ref, idx_ref, k, row_scale)
 
 
 def _kernel_exact2(*refs, k: int, n_tile: int, block_q: int,
@@ -503,11 +502,9 @@ def _kernel_exact2_int8(*refs, k: int, n_tile: int, block_q: int,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    scores = (
-        acc.astype(jnp.float32)
-        * qs_ref[:, 0][:, None]
-        * es_ref[:, 0][None, :]
-    )
+    # Per-row qs deferred to the finalize (order-preserving: qs > 0),
+    # saving a full [Bq, Nt] multiply pass per streamed tile.
+    scores = acc.astype(jnp.float32) * es_ref[:, 0][None, :]
     if has_mask:
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _exact2_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full,
@@ -559,7 +556,8 @@ def _fold_window_scratch(s_ref, col0: int, w: int, off, rv, ri):
 
 
 def _direct_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full, *,
-                  k: int, n_tile: int, block_q: int, subtiles: int):
+                  k: int, n_tile: int, block_q: int, subtiles: int,
+                  row_scale=None):
     """Direct-store visit: write the tile's scores into the full-width
     scratch once, then fold static subtile windows in place."""
     j = pl.program_id(0)
@@ -586,7 +584,7 @@ def _direct_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full, *,
 
     @pl.when(j == n_tiles - 1)
     def _():
-        _finalize_iterate(rv, ri, vals_ref, idx_ref, k)
+        _finalize_iterate(rv, ri, vals_ref, idx_ref, k, row_scale)
 
 
 def _kernel_direct(*refs, k: int, n_tile: int, block_q: int,
@@ -623,27 +621,34 @@ def _kernel_direct_int8(*refs, k: int, n_tile: int, block_q: int,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    scores = (
-        acc.astype(jnp.float32)
-        * qs_ref[:, 0][:, None]
-        * es_ref[:, 0][None, :]
-    )
+    # Per-row qs deferred to the finalize (order-preserving: qs > 0),
+    # saving a full [Bq, Nt] multiply pass per streamed tile.
+    scores = acc.astype(jnp.float32) * es_ref[:, 0][None, :]
     if has_mask:
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _direct_visit(scores, vals_ref, idx_ref, run_v, run_i, s_full,
                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
 
 
-def _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k: int):
-    """Sort the unsorted running buffer descending and emit outputs."""
+def _finalize_iterate(run_v, run_i, vals_ref, idx_ref, k: int,
+                      row_scale=None):
+    """Sort the unsorted running buffer descending and emit outputs.
+
+    ``row_scale`` [Bq] rescales the emitted VALUES only: the int8
+    kernels fold UNSCALED-by-qs scores (a per-ROW positive factor never
+    changes intra-row order, so folding it per tile was a full wasted
+    VPU multiply pass over every streamed score) and recover the true
+    values here on the tiny [Bq, k] buffer."""
     new_v, new_i = _select_topk(run_v, run_i, k)
-    vals_ref[:] = jnp.where(new_v <= NEG, -jnp.inf, new_v)
+    out_v = new_v if row_scale is None else new_v * row_scale[:, None]
+    vals_ref[:] = jnp.where(new_v <= NEG, -jnp.inf, out_v)
     idx_ref[:] = jnp.where(new_v <= NEG, -1, new_i)
 
 
 def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
                    k: int, n_tile: int, block_q: int, subtiles: int = 1,
-                   row_groups: int = 1, s_scr=None, gated: bool = False):
+                   row_groups: int = 1, s_scr=None, gated: bool = False,
+                   row_scale=None):
     """Shared doc-major visit: fold this (doc tile, query block)'s scores
     into the full-batch running scratch and emit at the last doc tile.
 
@@ -715,7 +720,7 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
             _finalize_iterate(
                 run_v[pl.ds(row0, block_q), :],
                 run_i[pl.ds(row0, block_q), :],
-                vals_ref, idx_ref, k,
+                vals_ref, idx_ref, k, row_scale,
             )
         return
 
@@ -754,7 +759,7 @@ def _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i, *,
 
     @pl.when(j == n_tiles - 1)
     def _():
-        _finalize_iterate(rv, ri, vals_ref, idx_ref, k)
+        _finalize_iterate(rv, ri, vals_ref, idx_ref, k, row_scale)
 
 
 def _kernel_iterate(*refs, k: int, n_tile: int, block_q: int,
@@ -813,16 +818,15 @@ def _kernel_iterate_int8(*refs, k: int, n_tile: int, block_q: int,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    scores = (
-        acc.astype(jnp.float32)
-        * qs_ref[:, 0][:, None]
-        * es_ref[:, 0][None, :]
-    )
+    # Per-row qs deferred to the finalize (order-preserving: qs > 0),
+    # saving a full [Bq, Nt] multiply pass per streamed tile.
+    scores = acc.astype(jnp.float32) * es_ref[:, 0][None, :]
     if has_mask:
         scores = jnp.where(mask_ref[:][None, :], scores, NEG)
     _iterate_visit(scores, vals_ref, idx_ref, run_v, run_i,
                    k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles,
-                   row_groups=row_groups, s_scr=s_scr, gated=gated)
+                   row_groups=row_groups, s_scr=s_scr, gated=gated,
+                   row_scale=qs_ref[:, 0])
 
 
 def _kernel_dbuf(q_ref, e_hbm, vals_ref, idx_ref, run_v, run_i,
@@ -1242,8 +1246,11 @@ def fused_dense_top_k_int8(
         interpret=interpret,
     )(*operands)
     if algo == "packed":
+        # qs was deferred out of the kernel (per-row factor, order-
+        # preserving); recover the true values on the tiny [B, k] here.
         vals = jnp.where(
-            vals <= _PACKED_NEG_SAT, -jnp.inf, unpack_packed_vals(vals)
+            vals <= _PACKED_NEG_SAT, -jnp.inf,
+            unpack_packed_vals(vals) * q_scales[:, None],
         )
     return vals, idx
 

@@ -84,11 +84,9 @@ def _ivf_kernel(tiles_ref, *refs, k: int, tile_n: int,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )
-            scores = (
-                acc.astype(jnp.float32)
-                * qs_ref[:, 0][:, None]
-                * es_ref[:, 0][None, :]
-            )
+            # Per-row qs deferred to the finalize (order-preserving:
+            # qs > 0) — saves a [B, tile_n] multiply per scheduled tile.
+            scores = acc.astype(jnp.float32) * es_ref[:, 0][None, :]
         else:
             scores = jax.lax.dot_general(
                 q_ref[:],
@@ -133,7 +131,8 @@ def _ivf_kernel(tiles_ref, *refs, k: int, tile_n: int,
 
     @pl.when(g == n_steps - 1)
     def _():
-        _finalize_iterate(run_v[:, :], run_i[:, :], vals_ref, idx_ref, k)
+        _finalize_iterate(run_v[:, :], run_i[:, :], vals_ref, idx_ref, k,
+                          qs_ref[:, 0] if int8 else None)
 
 
 @functools.partial(

@@ -115,6 +115,7 @@ def build_state(
     ivf_cache: Optional[str] = None,
     ivf_spill: bool = False,
     embedder=None,
+    pallas_rounded: bool = False,
 ) -> ServeState:
     """``nprobe > 0`` serves the flagship model through the IVF ANN
     route (building the IVF layout at startup if the artifact does not
@@ -214,11 +215,22 @@ def build_state(
         if autotune and jax.default_backend() == "tpu" and m0_mat is not None:
             # Autotune probes the f32/bf16 kernel; int8-quantized
             # matrices serve with the int8 kernel's defaults.
+            # ``pallas_rounded`` additionally tunes the packed fold
+            # (~25% faster maskless; bf16-rounded tie order — see
+            # ops/pallas/autotune.ROUNDED_CANDIDATES).
             from a_nice_rag_tpu.ops.pallas.autotune import tune_fused_blocks
 
             q_probe = jax.numpy.zeros((128, m0_mat.shape[1]), m0_mat.dtype)
-            pallas_config = tune_fused_blocks(m0_mat, q_probe, 25)
+            pallas_config = tune_fused_blocks(
+                m0_mat, q_probe, 25, allow_rounded=pallas_rounded
+            )
             logger.info("serve: autotuned pallas blocks %s", pallas_config)
+        elif pallas_rounded:
+            from a_nice_rag_tpu.ops.pallas.autotune import FusedKernelConfig
+
+            pallas_config = FusedKernelConfig(128, 16384, 1, "packed")
+            logger.info("serve: packed (rounded) fold enabled: %s",
+                        pallas_config)
         retriever = FusedRetriever(
             index, model_names, use_bm25=use_bm25,
             pallas_config=pallas_config, nprobe=nprobe or None,
@@ -529,6 +541,12 @@ def main(argv=None) -> None:
                         "caches over the first N devices "
                         "(parallel/lm.py Megatron layout; streams stay "
                         "bit-identical to single-device)")
+    p.add_argument("--pallas-rounded", action="store_true",
+                   help="serve the dense stage with the packed "
+                        "value+index fold (~25%% faster maskless; "
+                        "top-k ties resolve at bf16 resolution). With "
+                        "--autotune, adds the packed candidates to "
+                        "the tuner instead of forcing a config")
     p.add_argument("--chat-template", default="auto",
                    choices=["auto", "chatml", "plain"],
                    help="chat prompt format for /v1/chat/completions: "
@@ -582,7 +600,7 @@ def main(argv=None) -> None:
         two_tier_common=args.two_tier_common,
         nprobe=args.nprobe, ivf_clusters=args.ivf_clusters,
         ivf_cache=args.ivf_cache, ivf_spill=args.ivf_spill,
-        embedder=embedder,
+        embedder=embedder, pallas_rounded=args.pallas_rounded,
     )
     weights = {m: (5.0 if m == model_names[0] else 1.0)
                for m in model_names}

@@ -559,3 +559,27 @@ def test_serve_cli_batched_b64_search(corpus_index):
         assert hits >= 6, hits
     finally:
         srv.shutdown()
+
+
+def test_serve_cli_pallas_rounded_flag(corpus_index):
+    """--pallas-rounded forces the packed fold config (or adds it to
+    the autotuner); serving results remain correct on CPU because the
+    packed launcher routes to interpret-safe paths in tests."""
+    c, idx = corpus_index
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True,
+                        pallas_rounded=True)
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+
+    assert isinstance(state.retriever, FusedRetriever)
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        out = _search(port, {
+            "query_embedding":
+                c.query_embeddings["voyage-3-large"][0].tolist(),
+            "terms": idx.pad_term_ids(c.query_tokens, 16)[0].tolist(),
+        })
+        assert out["results"][0]["id"] == c.gold_ids[0]
+    finally:
+        srv.shutdown()

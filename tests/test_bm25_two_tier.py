@@ -390,3 +390,41 @@ def test_engine_auto_two_tier_skips_flat_profiles():
         two_tier_common="auto",
     )
     assert r._two_tier is None
+
+
+def test_auto_two_tier_respects_tombstones():
+    """Tombstoned docs must vanish from the auto two-tier BM25 route
+    (the mask flows into bm25_top_k_two_tier) like every other path."""
+    from a_nice_rag_tpu.index.updates import delete_documents
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+
+    rng = np.random.default_rng(88)
+    n_docs, vocab = 400, 200
+    tokens = []
+    for d in range(n_docs):
+        t = [f"c{j}" for j in range(3) if rng.random() < 0.9]
+        t += [f"r{int(x)}" for x in rng.integers(0, vocab, size=6)]
+        tokens.append(t or ["c0"])
+    c = synth_corpus(n_docs=n_docs, dim=16, n_queries=6, seed=5)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=tokens,
+        bm25_dense_max_bytes=0,
+    )
+    model = list(c.embeddings)[0]
+    r = FusedRetriever(
+        idx, (model,), use_bm25=True, similarity_k=10,
+        common_sections_n=10, budget=128, dense_backend="pallas",
+        two_tier_common="auto", t_max_hint=8,
+    )
+    assert r._two_tier is not None
+    q = c.query_embeddings[model][:4]
+    terms = idx.pad_term_ids([["c0", "r1", "r2"]] * 4, 8)
+    ids0, _, _ = r({model: q}, terms, {model: 5.0, "BM25": 1.0})
+    victims = sorted({int(i) for i in np.asarray(ids0).ravel()
+                      if i >= 0})[:5]
+    victim_ids = [idx.meta.ids[v] for v in victims]
+    assert delete_documents(idx, victim_ids) == len(victim_ids)
+    ids1, _, _ = r({model: q}, terms, {model: 5.0, "BM25": 1.0})
+    surviving = {int(i) for i in np.asarray(ids1).ravel() if i >= 0}
+    assert not (surviving & set(victims)), (surviving, victims)

@@ -294,3 +294,42 @@ def test_fused_exact2_masked_and_int8():
     sc = (qv.astype(np.int32) @ vals.astype(np.int32).T)
     ref = np.sort(np.argsort(-sc, axis=1)[:, :8], 1)
     np.testing.assert_array_equal(np.sort(np.asarray(i8), 1), ref)
+
+
+def test_fused_packed_vs_iterate_fuzz():
+    """Packed vs iterate across shapes/k/alignments: value SETS must
+    match within bf16 resolution (ids may swap among one-ulp ties);
+    on bf16-exact integer grids ids must match exactly."""
+    rng = np.random.default_rng(211)
+    for n, d, b, k, bq, bn in [
+        (1536, 32, 8, 4, 8, 512),     # misaligned doc axis (pads)
+        (4096, 64, 24, 16, 8, 1024),
+        (3072, 128, 16, 5, 16, 1024),  # odd k
+    ]:
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        v_i, i_i = fused_dense_top_k(
+            jnp.asarray(emb), jnp.asarray(q), k=k, block_q=bq,
+            block_n=bn, algo="iterate", interpret=INTERPRET,
+        )
+        v_p, i_p = fused_dense_top_k(
+            jnp.asarray(emb), jnp.asarray(q), k=k, block_q=bq,
+            block_n=bn, algo="packed", interpret=INTERPRET,
+        )
+        np.testing.assert_allclose(
+            np.sort(np.asarray(v_p), 1), np.sort(np.asarray(v_i), 1),
+            rtol=8e-3, atol=1e-6, err_msg=str((n, d, b, k)),
+        )
+        # integer grid: exact id parity
+        embi = rng.choice([-1.0, 0.0, 1.0], (n, d)).astype(np.float32)
+        qi = rng.choice([-1.0, 1.0], (b, d)).astype(np.float32)
+        sc = qi @ embi.T
+        _, ii = fused_dense_top_k(
+            jnp.asarray(embi), jnp.asarray(qi), k=k, block_q=bq,
+            block_n=bn, algo="packed", interpret=INTERPRET,
+        )
+        for r in range(b):
+            got = np.sort(sc[r][np.asarray(ii)[r]])[::-1]
+            ref = np.sort(sc[r])[::-1][:k]
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=str((n, d, b, k, r)))

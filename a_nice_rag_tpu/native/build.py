@@ -121,6 +121,86 @@ def load_text_lib() -> Optional[ctypes.CDLL]:
     return _lib
 
 
+_SERVE_SRC = os.path.join(_DIR, "anr_serve.cpp")
+_SERVE_LIB = os.path.join(
+    _DIR, f"_anr_serve_{sys.implementation.cache_tag}.so"
+)
+_serve_lock = threading.Lock()
+_serve_lib: Optional[ctypes.CDLL] = None
+_serve_failed = False
+
+
+def _build_serve() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             _SERVE_SRC, "-o", _SERVE_LIB],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except (OSError, subprocess.SubprocessError) as e:
+        logger.info("native serve lib build failed (%s)", e)
+        return False
+
+
+def load_serve_lib() -> Optional[ctypes.CDLL]:
+    """The native binary serving front (anr_serve.cpp), building it on
+    first use; None when no toolchain is available (callers fall back
+    to the Python HTTP front)."""
+    global _serve_lib, _serve_failed
+    if _serve_lib is not None or _serve_failed:
+        return _serve_lib
+    with _serve_lock:
+        if _serve_lib is not None or _serve_failed:
+            return _serve_lib
+        if (not os.path.exists(_SERVE_LIB)
+                or os.path.getmtime(_SERVE_LIB) < os.path.getmtime(_SERVE_SRC)):
+            if not _build_serve():
+                _serve_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SERVE_LIB)
+            lib.anr_serve_start.argtypes = [
+                ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
+            lib.anr_serve_start.restype = ctypes.c_void_p
+            lib.anr_serve_port.argtypes = [ctypes.c_void_p]
+            lib.anr_serve_port.restype = ctypes.c_int
+            lib.anr_serve_poll.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ]
+            lib.anr_serve_poll.restype = ctypes.c_int
+            lib.anr_serve_queued_rows.argtypes = [ctypes.c_void_p]
+            lib.anr_serve_queued_rows.restype = ctypes.c_int
+            lib.anr_serve_reply.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.anr_serve_reply.restype = ctypes.c_int
+            lib.anr_serve_reply_error.argtypes = [
+                ctypes.c_void_p, ctypes.c_uint64, ctypes.c_char_p,
+            ]
+            lib.anr_serve_reply_error.restype = ctypes.c_int
+            lib.anr_serve_stats.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64),
+                ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ]
+            lib.anr_serve_stats.restype = None
+            lib.anr_serve_stop.argtypes = [ctypes.c_void_p]
+            lib.anr_serve_stop.restype = None
+            _serve_lib = lib
+        except OSError as e:
+            logger.info("native serve lib load failed: %s", e)
+            _serve_failed = True
+    return _serve_lib
+
+
 def native_preprocess(text: str, use_lemmatization: bool) -> Optional[List[str]]:
     """Tokenize via the native library; None when unavailable or when the
     output buffer would overflow (callers fall back to Python)."""

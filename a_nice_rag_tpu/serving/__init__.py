@@ -13,3 +13,7 @@ from a_nice_rag_tpu.serving.scheduler import (  # noqa: F401
     SchedulerPool,
 )
 from a_nice_rag_tpu.serving.feedback import FeedbackLog  # noqa: F401
+from a_nice_rag_tpu.serving.native_front import (  # noqa: F401
+    NativeFrontClient,
+    NativeRetrievalFront,
+)

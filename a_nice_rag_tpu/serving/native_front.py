@@ -1,0 +1,273 @@
+"""Native binary serving front: C++ socket layer + one Python dispatcher.
+
+``NativeRetrievalFront`` starts the native server (native/anr_serve.cpp)
+and a single Python dispatch thread. The native threads own accept /
+frame parsing / batching / reply framing; Python wakes once per BATCH:
+
+    poll (fills preallocated buffers, GIL released while waiting)
+      -> pad to the power-of-two bucket
+      -> FusedRetriever.retrieve_device (ONE fused program launch)
+      -> reply per frame (native code frames + writes the sockets)
+
+This replaces the Python HTTP front's per-request work (HTTP parse,
+JSON, base64 — measured ~2.3-4k QPS on one core, docs/BENCHMARKS.md
+"E2E served throughput") with native parsing, so the host layer stops
+being the ceiling of the serving path. It is the TPU-native analog of
+the reference's serving hop (reference src/app.py:200-229 one query per
+Streamlit callback): batch formation happens at the socket layer.
+
+The front serves the production single-dense-model (+BM25) retrieval
+configuration with fixed weights/filter/wrrf_k — one compiled program
+family per front. Richer knobs stay on the HTTP surface.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import socket
+import struct
+import threading
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_MAGIC_REQ = 0x51524E41  # "ANRQ"
+_MAGIC_REP = 0x50524E41  # "ANRP"
+_MAGIC_ERR = 0x45524E41  # "ANRE"
+
+
+class NativeFrontUnavailable(RuntimeError):
+    """No C++ toolchain: callers should fall back to the HTTP front."""
+
+
+class NativeRetrievalFront:
+    def __init__(
+        self,
+        retriever,
+        weights: Dict[str, float],
+        host: str = "127.0.0.1",
+        port: int = 0,
+        t_max: int = 32,
+        max_batch: int = 512,
+        wait_ms: float = 2.0,
+        filename_type_filter: Optional[str] = None,
+        wrrf_k: float = 40.0,
+        max_frame_rows: int = 2048,
+    ):
+        from a_nice_rag_tpu.native.build import load_serve_lib
+
+        lib = load_serve_lib()
+        if lib is None:
+            raise NativeFrontUnavailable(
+                "native serving front unavailable (no C++ toolchain); "
+                "use the HTTP front (serving.serve_cli)"
+            )
+        if len(retriever.model_names) != 1:
+            raise ValueError(
+                "the native front serves the single-dense-model "
+                f"configuration; got models {retriever.model_names!r}"
+            )
+        self._lib = lib
+        self.retriever = retriever
+        self.model = retriever.model_names[0]
+        self.weights = dict(weights)
+        self.filename_type_filter = filename_type_filter
+        self.wrrf_k = float(wrrf_k)
+        self.t_max = int(t_max)
+        self.max_batch = int(max_batch)
+        self.wait_ms = float(wait_ms)
+        self.dim = int(retriever.index.dense[self.model].shape[1])
+        self._h = lib.anr_serve_start(
+            host.encode(), int(port), self.dim, self.t_max,
+            int(min(max_frame_rows, max_batch)),
+        )
+        if not self._h:
+            raise OSError(f"native front failed to bind {host}:{port}")
+        self.port = int(lib.anr_serve_port(self._h))
+        self.host = host
+        # Preallocated poll buffers; the dispatch thread is the only
+        # writer so one set suffices.
+        self._emb_buf = np.empty((self.max_batch, self.dim), np.float32)
+        self._terms_buf = np.empty((self.max_batch, self.t_max), np.int32)
+        self._max_frames = self.max_batch  # 1-row frames worst case
+        self._tokens = (ctypes.c_uint64 * self._max_frames)()
+        self._counts = (ctypes.c_int32 * self._max_frames)()
+        self.batches_run = 0
+        self.rows_served = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._dispatch_loop, daemon=True, name="native-front"
+        )
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b <<= 1
+        return b
+
+    def _dispatch_loop(self) -> None:
+        lib = self._lib
+        emb_p = self._emb_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        terms_p = self._terms_buf.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int32)
+        )
+        while not self._stop.is_set():
+            n = lib.anr_serve_poll(
+                self._h, self.max_batch, self.wait_ms, emb_p, terms_p,
+                self._tokens, self._counts, self._max_frames,
+            )
+            if n < 0:
+                break
+            if n == 0:
+                continue
+            counts = [int(self._counts[i]) for i in range(n)]
+            tokens = [int(self._tokens[i]) for i in range(n)]
+            try:
+                rows, scores = self._run_batch(sum(counts))
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                logger.exception("native front dispatch failed")
+                msg = str(e)[:200].encode()
+                for tok in tokens:
+                    lib.anr_serve_reply_error(self._h, tok, msg)
+                continue
+            n_out = rows.shape[1]
+            off = 0
+            for tok, c in zip(tokens, counts):
+                r = np.ascontiguousarray(rows[off:off + c], np.int32)
+                s = np.ascontiguousarray(scores[off:off + c], np.float32)
+                lib.anr_serve_reply(
+                    self._h, tok, c, n_out,
+                    r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
+                off += c
+            self.batches_run += 1
+            self.rows_served += off
+
+    def _run_batch(self, rows: int) -> Tuple[np.ndarray, np.ndarray]:
+        b_pad = self._bucket(rows)
+        q = np.zeros((b_pad, self.dim), np.float32)
+        q[:rows] = self._emb_buf[:rows]
+        terms = None
+        if self.retriever.use_bm25:
+            terms = np.full((b_pad, self.t_max), -1, np.int32)
+            terms[:rows] = self._terms_buf[:rows]
+        d_rows, d_scores, _ = self.retriever.retrieve_device(
+            {self.model: q}, terms, self.weights,
+            self.filename_type_filter, self.wrrf_k,
+        )
+        return np.asarray(d_rows), np.asarray(d_scores)
+
+    # ------------------------------------------------------------------
+
+    def stats(self) -> Dict[str, int]:
+        frames = ctypes.c_uint64()
+        rows = ctypes.c_uint64()
+        bad = ctypes.c_uint64()
+        self._lib.anr_serve_stats(
+            self._h, ctypes.byref(frames), ctypes.byref(rows),
+            ctypes.byref(bad),
+        )
+        return {
+            "frames_in": frames.value,
+            "rows_in": rows.value,
+            "bad_frames": bad.value,
+            "batches_run": self.batches_run,
+            "rows_served": self.rows_served,
+        }
+
+    def stop(self) -> None:
+        if self._stop.is_set():
+            return
+        self._stop.set()
+        self._lib.anr_serve_stop(self._h)  # wakes + terminates poll
+        self._thread.join(timeout=10)
+        self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.stop()
+
+
+class NativeFrontClient:
+    """Minimal blocking client for the binary front (tests + bench).
+
+    One TCP connection; ``search`` sends a [B, D] query block (and
+    optional [B, T] term ids) as one frame and blocks for its reply.
+    Thread-safe for one in-flight request per client instance.
+    """
+
+    def __init__(self, host: str, port: int, timeout_s: float = 60.0):
+        self._sock = socket.create_connection((host, port),
+                                              timeout=timeout_s)
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._req_id = 0
+
+    def _recv_all(self, n: int) -> bytes:
+        chunks = []
+        while n > 0:
+            b = self._sock.recv(min(n, 1 << 20))
+            if not b:
+                raise ConnectionError("native front closed the connection")
+            chunks.append(b)
+            n -= len(b)
+        return b"".join(chunks)
+
+    def search(
+        self,
+        q: np.ndarray,
+        terms: Optional[np.ndarray] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        q = np.ascontiguousarray(q, np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        n_rows = q.shape[0]
+        self._req_id += 1
+        flags = 0
+        body = q.tobytes()
+        if terms is not None:
+            t = np.ascontiguousarray(terms, np.int32)
+            if t.ndim == 1:
+                t = t[None, :]
+            flags = 1
+            body += t.tobytes()
+        payload = struct.pack("<IHH", self._req_id, n_rows, flags) + body
+        self._sock.sendall(
+            struct.pack("<II", _MAGIC_REQ, len(payload)) + payload
+        )
+        magic, plen = struct.unpack("<II", self._recv_all(8))
+        payload = self._recv_all(plen)
+        if magic == _MAGIC_ERR:
+            raise RuntimeError(
+                f"native front error: {payload[4:].decode(errors='replace')}"
+            )
+        if magic != _MAGIC_REP:
+            raise ConnectionError(f"bad reply magic {magic:#x}")
+        rid, nr, n_out = struct.unpack("<IHH", payload[:8])
+        if rid != self._req_id:
+            raise ConnectionError("reply req_id mismatch")
+        nbytes = nr * n_out * 4
+        rows = np.frombuffer(payload[8:8 + nbytes], np.int32)
+        scores = np.frombuffer(payload[8 + nbytes:8 + 2 * nbytes], np.float32)
+        return rows.reshape(nr, n_out), scores.reshape(nr, n_out)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

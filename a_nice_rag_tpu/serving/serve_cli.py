@@ -547,6 +547,14 @@ def main(argv=None) -> None:
                         "top-k ties resolve at bf16 resolution). With "
                         "--autotune, adds the packed candidates to "
                         "the tuner instead of forcing a config")
+    p.add_argument("--native-port", type=int, default=None,
+                   help="also serve the binary native (C++) front on "
+                        "this port: length-prefixed raw-f32 frames, "
+                        "socket-layer batching, ~zero Python per "
+                        "request (serving/native_front.py). Single-"
+                        "dense-model configs only; 0 picks a free port")
+    p.add_argument("--native-t-max", type=int, default=32,
+                   help="term-id columns per row on the native front")
     p.add_argument("--chat-template", default="auto",
                    choices=["auto", "chatml", "plain"],
                    help="chat prompt format for /v1/chat/completions: "
@@ -620,7 +628,24 @@ def main(argv=None) -> None:
             retain_prefixes=args.retain_prefixes,
             chat_template=args.chat_template,
         )
-    serve_state(state, weights, host=args.host, port=args.port, api=api)
+    native = None
+    if args.native_port is not None:
+        from a_nice_rag_tpu.serving.native_front import (
+            NativeRetrievalFront,
+        )
+
+        native = NativeRetrievalFront(
+            state.retriever, weights, host=args.host,
+            port=args.native_port, t_max=args.native_t_max,
+        )
+        logger.info("native binary front on %s:%d (dim=%d, t_max=%d)",
+                    args.host, native.port, native.dim, native.t_max)
+    try:
+        serve_state(state, weights, host=args.host, port=args.port,
+                    api=api)
+    finally:
+        if native is not None:
+            native.stop()
 
 
 def build_local_llm_api(index, state, embedder, model_names,

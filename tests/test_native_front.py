@@ -1,0 +1,167 @@
+"""Native (C++) binary serving front: protocol, parity, coalescing.
+
+The front (native/anr_serve.cpp + serving/native_front.py) moves
+accept/parse/batch/reply framing off Python; these tests check the
+full loop — client frame -> native queue -> Python dispatch -> device
+program -> native reply — gives bit-identical results to calling the
+retriever directly, and that concurrent clients coalesce into shared
+device batches.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from a_nice_rag_tpu.index import build_index
+from a_nice_rag_tpu.retrieval import FusedRetriever
+from a_nice_rag_tpu.testing import synth_corpus
+
+pytest.importorskip("ctypes")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from a_nice_rag_tpu.native.build import load_serve_lib
+
+    if load_serve_lib() is None:
+        pytest.skip("no C++ toolchain for the native front")
+    c = synth_corpus(n_docs=300, dim=32, n_queries=64, seed=17)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    fr = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
+        common_sections_n=5, budget=4096,
+    )
+    return c, idx, fr
+
+
+WEIGHTS = {"voyage-3-large": 5.0, "BM25": 1.0}
+
+
+def _front(fr, **kw):
+    from a_nice_rag_tpu.serving.native_front import NativeRetrievalFront
+
+    kw.setdefault("t_max", 16)
+    kw.setdefault("wait_ms", 5.0)
+    return NativeRetrievalFront(fr, WEIGHTS, port=0, **kw)
+
+
+def test_native_front_matches_direct_call(setup):
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    B = 8
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:B], np.float32)
+    terms = np.asarray(idx.pad_term_ids(c.query_tokens[:B], 16), np.int32)
+    with _front(fr) as front:
+        with NativeFrontClient("127.0.0.1", front.port) as cl:
+            rows, scores = cl.search(q, terms)
+    d_rows, d_scores, _ = fr.retrieve_device(
+        {"voyage-3-large": q}, terms, WEIGHTS, None, 40.0
+    )
+    np.testing.assert_array_equal(rows, np.asarray(d_rows))
+    np.testing.assert_allclose(scores, np.asarray(d_scores), rtol=1e-6)
+
+
+def test_native_front_single_row_and_no_terms(setup):
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    q = np.asarray(c.query_embeddings["voyage-3-large"][0], np.float32)
+    with _front(fr) as front:
+        with NativeFrontClient("127.0.0.1", front.port) as cl:
+            rows, scores = cl.search(q)  # 1-row frame, no terms
+            assert rows.shape[0] == 1
+            # Dense-only submission still ranks the gold doc: terms
+            # pad to -1 server-side so BM25 contributes nothing.
+            got = [idx.meta.ids[j] for j in rows[0] if j >= 0]
+            assert c.gold_ids[0] in got
+
+
+def test_native_front_coalesces_concurrent_clients(setup):
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    n_clients, per = 4, 4
+    results = {}
+    errors = []
+    with _front(fr, wait_ms=20.0) as front:
+        barrier = threading.Barrier(n_clients)
+
+        def worker(w):
+            try:
+                with NativeFrontClient("127.0.0.1", front.port) as cl:
+                    barrier.wait()
+                    for j in range(per):
+                        i = w * per + j
+                        q = c.query_embeddings["voyage-3-large"][i]
+                        t = idx.pad_term_ids([c.query_tokens[i]], 16)[0]
+                        results[i] = cl.search(
+                            np.asarray(q, np.float32),
+                            np.asarray(t, np.int32),
+                        )
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=worker, args=(w,))
+            for w in range(n_clients)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats = front.stats()
+    assert not errors, errors
+    assert len(results) == n_clients * per
+    assert stats["rows_in"] == n_clients * per
+    assert stats["bad_frames"] == 0
+    # Concurrent 1-row frames coalesce into shared device batches.
+    assert stats["batches_run"] < n_clients * per
+    hits = sum(
+        c.gold_ids[i] in [idx.meta.ids[j] for j in rows[0] if j >= 0]
+        for i, (rows, _) in results.items()
+    )
+    assert hits >= n_clients * per - 2
+
+
+def test_native_front_rejects_garbage_then_keeps_serving(setup):
+    import socket
+
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    with _front(fr) as front:
+        # A garbage connection is dropped without killing the server.
+        s = socket.create_connection(("127.0.0.1", front.port), timeout=5)
+        s.sendall(b"GET / HTTP/1.1\r\n\r\n")
+        # Server drops the connection on protocol desync: either a
+        # clean FIN (empty read) or an RST if our bytes were unread.
+        try:
+            assert s.recv(64) == b""
+        except ConnectionResetError:
+            pass
+        s.close()
+        q = np.asarray(
+            c.query_embeddings["voyage-3-large"][:2], np.float32
+        )
+        with NativeFrontClient("127.0.0.1", front.port) as cl:
+            rows, scores = cl.search(q)
+            assert rows.shape[0] == 2
+        assert front.stats()["bad_frames"] >= 1
+
+
+def test_native_front_multi_model_rejected(setup):
+    from a_nice_rag_tpu.serving.native_front import NativeRetrievalFront
+
+    c, idx, fr = setup
+
+    class Fake:
+        model_names = ("a", "b")
+        index = idx
+
+    with pytest.raises(ValueError, match="single-dense-model"):
+        NativeRetrievalFront(Fake(), WEIGHTS, port=0)

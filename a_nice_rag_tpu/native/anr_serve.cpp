@@ -255,10 +255,12 @@ int anr_serve_port(void* handle) {
   return handle ? static_cast<Server*>(handle)->port : -1;
 }
 
-// Collect up to max_rows rows of queued frames (whole frames only;
-// waits up to wait_ms for the FIRST frame, then takes whatever is
-// already queued — batch-formation waiting beyond that is the caller's
-// policy). Fills:
+// Collect up to max_rows rows of queued frames (whole frames only).
+// Waits up to wait_ms for the FIRST frame; once one is present, keeps
+// collecting stragglers for up to collect_wait_ms (0 = ship whatever
+// is queued immediately) or until max_rows are waiting — this is the
+// native analog of the Python scheduler's batch-formation window.
+// Fills:
 //   emb_out    [max_rows * dim]  f32, frames back to back
 //   terms_out  [max_rows * t_max] i32, -1-padded for frames w/o terms
 //   tokens_out [max_frames] u64 reply tokens
@@ -266,7 +268,7 @@ int anr_serve_port(void* handle) {
 // Returns the number of frames batched (0 on timeout, -1 if stopped).
 int anr_serve_poll(void* handle, int max_rows, double wait_ms,
                    float* emb_out, int32_t* terms_out, uint64_t* tokens_out,
-                   int32_t* rows_out, int max_frames) {
+                   int32_t* rows_out, int max_frames, double collect_wait_ms) {
   auto* s = static_cast<Server*>(handle);
   std::unique_lock<std::mutex> lk(s->queue_mu);
   if (s->queue.empty()) {
@@ -275,6 +277,19 @@ int anr_serve_poll(void* handle, int max_rows, double wait_ms,
         [s] { return !s->queue.empty() || !s->running.load(); });
   }
   if (!s->running.load()) return -1;
+  if (!s->queue.empty() && collect_wait_ms > 0 &&
+      s->queued_rows < static_cast<size_t>(max_rows)) {
+    auto deadline = std::chrono::steady_clock::now() +
+                    std::chrono::microseconds(
+                        static_cast<int64_t>(collect_wait_ms * 1e3));
+    while (s->running.load() &&
+           s->queued_rows < static_cast<size_t>(max_rows)) {
+      if (s->queue_cv.wait_until(lk, deadline) ==
+          std::cv_status::timeout)
+        break;
+    }
+    if (!s->running.load()) return -1;
+  }
   int n_frames = 0;
   int rows = 0;
   std::vector<Request> batch;
@@ -377,6 +392,10 @@ void anr_serve_stats(void* handle, uint64_t* frames, uint64_t* rows,
   if (bad) *bad = s->bad_frames.load();
 }
 
+// Phase 1: stop accepting/reading and wake every blocked poll. The
+// handle stays valid — callers may still be inside poll/reply on other
+// threads; they see running=false / missing tokens and drain out.
+// Call anr_serve_free only after all caller threads have joined.
 void anr_serve_stop(void* handle) {
   auto* s = static_cast<Server*>(handle);
   s->running.store(false);
@@ -406,8 +425,13 @@ void anr_serve_stop(void* handle) {
   {
     std::lock_guard<std::mutex> lk(s->queue_mu);
     s->queue.clear();
+    s->queued_rows = 0;
   }
-  delete s;
+}
+
+// Phase 2: release the server. No other thread may hold the handle.
+void anr_serve_free(void* handle) {
+  delete static_cast<Server*>(handle);
 }
 
 }  // extern "C"

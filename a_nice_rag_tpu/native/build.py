@@ -174,6 +174,7 @@ def load_serve_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                ctypes.c_double,
             ]
             lib.anr_serve_poll.restype = ctypes.c_int
             lib.anr_serve_queued_rows.argtypes = [ctypes.c_void_p]
@@ -194,6 +195,8 @@ def load_serve_lib() -> Optional[ctypes.CDLL]:
             lib.anr_serve_stats.restype = None
             lib.anr_serve_stop.argtypes = [ctypes.c_void_p]
             lib.anr_serve_stop.restype = None
+            lib.anr_serve_free.argtypes = [ctypes.c_void_p]
+            lib.anr_serve_free.restype = None
             _serve_lib = lib
         except OSError as e:
             logger.info("native serve lib load failed: %s", e)

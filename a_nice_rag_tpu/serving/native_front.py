@@ -56,7 +56,17 @@ class NativeRetrievalFront:
         filename_type_filter: Optional[str] = None,
         wrrf_k: float = 40.0,
         max_frame_rows: int = 2048,
+        inflight: int = 4,
+        collect_ms: float = 2.0,
     ):
+        """``inflight`` dispatch threads pipeline poll -> device ->
+        reply: while one batch's results download (one tunnel RTT on
+        the real chip), the next batch launches. Device execution
+        serializes; the overlap hides host<->device transfer, same as
+        BatchScheduler(max_inflight=). ``collect_ms`` is the native
+        batch-formation window: once a frame arrives, the poll keeps
+        collecting stragglers that long (or until max_batch rows wait)
+        before dispatching — the scheduler's max_wait_ms analog."""
         from a_nice_rag_tpu.native.build import load_serve_lib
 
         lib = load_serve_lib()
@@ -79,6 +89,7 @@ class NativeRetrievalFront:
         self.t_max = int(t_max)
         self.max_batch = int(max_batch)
         self.wait_ms = float(wait_ms)
+        self.collect_ms = float(collect_ms)
         self.dim = int(retriever.index.dense[self.model].shape[1])
         self._h = lib.anr_serve_start(
             host.encode(), int(port), self.dim, self.t_max,
@@ -88,20 +99,20 @@ class NativeRetrievalFront:
             raise OSError(f"native front failed to bind {host}:{port}")
         self.port = int(lib.anr_serve_port(self._h))
         self.host = host
-        # Preallocated poll buffers; the dispatch thread is the only
-        # writer so one set suffices.
-        self._emb_buf = np.empty((self.max_batch, self.dim), np.float32)
-        self._terms_buf = np.empty((self.max_batch, self.t_max), np.int32)
         self._max_frames = self.max_batch  # 1-row frames worst case
-        self._tokens = (ctypes.c_uint64 * self._max_frames)()
-        self._counts = (ctypes.c_int32 * self._max_frames)()
         self.batches_run = 0
         self.rows_served = 0
+        self._count_mu = threading.Lock()
         self._stop = threading.Event()
-        self._thread = threading.Thread(
-            target=self._dispatch_loop, daemon=True, name="native-front"
-        )
-        self._thread.start()
+        self._threads = [
+            threading.Thread(
+                target=self._dispatch_loop, daemon=True,
+                name=f"native-front-{i}",
+            )
+            for i in range(max(1, int(inflight)))
+        ]
+        for t in self._threads:
+            t.start()
 
     # ------------------------------------------------------------------
 
@@ -114,32 +125,38 @@ class NativeRetrievalFront:
 
     def _dispatch_loop(self) -> None:
         lib = self._lib
-        emb_p = self._emb_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
-        terms_p = self._terms_buf.ctypes.data_as(
-            ctypes.POINTER(ctypes.c_int32)
-        )
+        # Per-thread poll buffers: each dispatch thread owns one set,
+        # so polls from different threads never alias.
+        emb_buf = np.empty((self.max_batch, self.dim), np.float32)
+        terms_buf = np.empty((self.max_batch, self.t_max), np.int32)
+        tokens = (ctypes.c_uint64 * self._max_frames)()
+        frame_counts = (ctypes.c_int32 * self._max_frames)()
+        emb_p = emb_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        terms_p = terms_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         while not self._stop.is_set():
             n = lib.anr_serve_poll(
                 self._h, self.max_batch, self.wait_ms, emb_p, terms_p,
-                self._tokens, self._counts, self._max_frames,
+                tokens, frame_counts, self._max_frames, self.collect_ms,
             )
             if n < 0:
                 break
             if n == 0:
                 continue
-            counts = [int(self._counts[i]) for i in range(n)]
-            tokens = [int(self._tokens[i]) for i in range(n)]
+            counts = [int(frame_counts[i]) for i in range(n)]
+            toks = [int(tokens[i]) for i in range(n)]
             try:
-                rows, scores = self._run_batch(sum(counts))
+                rows, scores = self._run_batch(
+                    emb_buf, terms_buf, sum(counts)
+                )
             except Exception as e:  # noqa: BLE001 — serving boundary
                 logger.exception("native front dispatch failed")
                 msg = str(e)[:200].encode()
-                for tok in tokens:
+                for tok in toks:
                     lib.anr_serve_reply_error(self._h, tok, msg)
                 continue
             n_out = rows.shape[1]
             off = 0
-            for tok, c in zip(tokens, counts):
+            for tok, c in zip(toks, counts):
                 r = np.ascontiguousarray(rows[off:off + c], np.int32)
                 s = np.ascontiguousarray(scores[off:off + c], np.float32)
                 lib.anr_serve_reply(
@@ -148,17 +165,20 @@ class NativeRetrievalFront:
                     s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
                 )
                 off += c
-            self.batches_run += 1
-            self.rows_served += off
+            with self._count_mu:
+                self.batches_run += 1
+                self.rows_served += off
 
-    def _run_batch(self, rows: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _run_batch(
+        self, emb_buf: np.ndarray, terms_buf: np.ndarray, rows: int
+    ) -> Tuple[np.ndarray, np.ndarray]:
         b_pad = self._bucket(rows)
         q = np.zeros((b_pad, self.dim), np.float32)
-        q[:rows] = self._emb_buf[:rows]
+        q[:rows] = emb_buf[:rows]
         terms = None
         if self.retriever.use_bm25:
             terms = np.full((b_pad, self.t_max), -1, np.int32)
-            terms[:rows] = self._terms_buf[:rows]
+            terms[:rows] = terms_buf[:rows]
         d_rows, d_scores, _ = self.retriever.retrieve_device(
             {self.model: q}, terms, self.weights,
             self.filename_type_filter, self.wrrf_k,
@@ -168,6 +188,9 @@ class NativeRetrievalFront:
     # ------------------------------------------------------------------
 
     def stats(self) -> Dict[str, int]:
+        if self._h is None:
+            return {"batches_run": self.batches_run,
+                    "rows_served": self.rows_served}
         frames = ctypes.c_uint64()
         rows = ctypes.c_uint64()
         bad = ctypes.c_uint64()
@@ -187,8 +210,14 @@ class NativeRetrievalFront:
         if self._stop.is_set():
             return
         self._stop.set()
-        self._lib.anr_serve_stop(self._h)  # wakes + terminates poll
-        self._thread.join(timeout=10)
+        # Two-phase: stop wakes every blocked poll (handle stays
+        # valid), free releases it once no dispatch thread can be
+        # inside a lib call.
+        self._lib.anr_serve_stop(self._h)
+        for t in self._threads:
+            t.join(timeout=10)
+        if all(not t.is_alive() for t in self._threads):
+            self._lib.anr_serve_free(self._h)
         self._h = None
 
     def __enter__(self):

@@ -24,11 +24,14 @@ class _Pending:
     q_embs: Dict[str, np.ndarray]  # model -> [D] (or [rows, D])
     q_terms: Optional[np.ndarray]  # [T] or None (or [rows, T])
     future: asyncio.Future
-    # rows > 1 marks a CLIENT-BATCHED submission (submit_many): the
+    # batched marks a CLIENT-BATCHED submission (submit_many): the
     # whole row block rides one queue entry and one future — per-row
     # asyncio futures were the measured host bottleneck of the E2E
     # served path (one CPU core: ~0.3 ms/query of event-loop work).
+    # Its result keeps the leading rows axis even at rows == 1 (a
+    # 1-row client batch must NOT squeeze to the submit() 1-D form).
     rows: int = 1
+    batched: bool = False
 
 
 class BatchScheduler:
@@ -122,7 +125,9 @@ class BatchScheduler:
         loop = asyncio.get_running_loop()
         self._last_arrival = loop.time()
         future: asyncio.Future = loop.create_future()
-        await self._queue.put(_Pending(q_embs, q_terms, future, rows))
+        await self._queue.put(
+            _Pending(q_embs, q_terms, future, rows, batched=True)
+        )
         return await future
 
     # ------------------------------------------------------------------
@@ -239,7 +244,7 @@ class BatchScheduler:
         out = []
         i = 0
         for p in batch:
-            if p.rows == 1:
+            if p.rows == 1 and not p.batched:
                 out.append((fids[i], fvals[i]))
             else:
                 out.append((fids[i:i + p.rows], fvals[i:i + p.rows]))

@@ -344,3 +344,35 @@ def test_submit_many_coalesces_with_single_queries(retriever):
             await sched.stop()
 
     asyncio.run(run())
+
+
+def test_submit_many_single_row_keeps_batch_axis(retriever):
+    """A 1-row client batch must come back [1, n]/[1, n] — NOT squeezed
+    to the submit() 1-D form (regression: rows==1 was ambiguous between
+    submit and a 1-row submit_many; the HTTP RPC path then replied a
+    flat array and clients mis-shaped it)."""
+    c, idx, fr = retriever
+
+    async def run():
+        sched = BatchScheduler(
+            fr, {"voyage-3-large": 5.0, "BM25": 1.0}, max_wait_ms=1.0,
+            t_max=16,
+        )
+        await sched.start()
+        try:
+            q = c.query_embeddings["voyage-3-large"][:1]
+            terms = np.asarray(idx.pad_term_ids(c.query_tokens[:1], 16))
+            rows, scores = await sched.submit_many(
+                {"voyage-3-large": q}, terms
+            )
+            assert rows.ndim == 2 and rows.shape[0] == 1
+            assert scores.ndim == 2 and scores.shape[0] == 1
+            r1, s1 = await sched.submit(
+                {"voyage-3-large": q[0]}, terms[0]
+            )
+            assert r1.ndim == 1
+            np.testing.assert_array_equal(rows[0], r1)
+        finally:
+            await sched.stop()
+
+    asyncio.run(run())

@@ -31,6 +31,7 @@
 // symbols loaded through ctypes (GIL released for the whole poll wait).
 
 #include <arpa/inet.h>
+#include <netdb.h>
 #include <netinet/in.h>
 #include <netinet/tcp.h>
 #include <sys/socket.h>
@@ -110,8 +111,10 @@ struct Server {
 
   std::mutex queue_mu;
   std::condition_variable queue_cv;
+  std::condition_variable space_cv;  // readers wait for queue space
   std::deque<Request> queue;
-  size_t queued_rows = 0;  // rows currently waiting (for wait policy)
+  size_t queued_rows = 0;     // rows currently waiting (for wait policy)
+  size_t max_queued_rows = 0; // backpressure cap (0 = unbounded)
 
   std::mutex pending_mu;
   uint64_t next_token = 1;
@@ -182,7 +185,17 @@ struct Server {
       frames_in.fetch_add(1);
       rows_in.fetch_add(n_rows);
       {
-        std::lock_guard<std::mutex> lk(queue_mu);
+        // Backpressure: a client pipelining faster than the device
+        // drains must not grow the queue without bound — block the
+        // reader (the client's TCP window fills in turn) until poll
+        // frees space or the server stops.
+        std::unique_lock<std::mutex> lk(queue_mu);
+        if (max_queued_rows > 0) {
+          space_cv.wait(lk, [this] {
+            return queued_rows < max_queued_rows || !running.load();
+          });
+          if (!running.load()) break;
+        }
         queued_rows += n_rows;
         queue.push_back(std::move(req));
       }
@@ -213,14 +226,19 @@ struct Server {
 
 extern "C" {
 
-// Start a server on host:port (port 0 picks a free port). Returns an
-// opaque handle, or nullptr on bind failure.
+// Start a server on host:port (port 0 picks a free port). host may be
+// a numeric IPv4 literal or a resolvable hostname (getaddrinfo, IPv4).
+// max_queued_rows > 0 bounds the request queue: readers block (TCP
+// backpressure) once that many rows wait. Returns an opaque handle, or
+// nullptr on resolve/bind failure.
 void* anr_serve_start(const char* host, int port, int dim, int t_max,
-                      int max_frame_rows) {
+                      int max_frame_rows, int max_queued_rows) {
   auto* s = new Server();
   s->dim = dim;
   s->t_max = t_max;
   s->max_frame_rows = max_frame_rows > 0 ? max_frame_rows : 4096;
+  s->max_queued_rows =
+      max_queued_rows > 0 ? static_cast<size_t>(max_queued_rows) : 0;
   s->listen_fd = ::socket(AF_INET, SOCK_STREAM, 0);
   if (s->listen_fd < 0) {
     delete s;
@@ -231,11 +249,20 @@ void* anr_serve_start(const char* host, int port, int dim, int t_max,
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons(static_cast<uint16_t>(port));
-  if (::inet_pton(AF_INET, host && *host ? host : "127.0.0.1",
-                  &addr.sin_addr) != 1) {
-    ::close(s->listen_fd);
-    delete s;
-    return nullptr;
+  const char* h = host && *host ? host : "127.0.0.1";
+  if (::inet_pton(AF_INET, h, &addr.sin_addr) != 1) {
+    // Not a numeric literal: resolve (e.g. "localhost").
+    addrinfo hints{};
+    hints.ai_family = AF_INET;
+    hints.ai_socktype = SOCK_STREAM;
+    addrinfo* res = nullptr;
+    if (::getaddrinfo(h, nullptr, &hints, &res) != 0 || res == nullptr) {
+      ::close(s->listen_fd);
+      delete s;
+      return nullptr;
+    }
+    addr.sin_addr = reinterpret_cast<sockaddr_in*>(res->ai_addr)->sin_addr;
+    ::freeaddrinfo(res);
   }
   if (::bind(s->listen_fd, reinterpret_cast<sockaddr*>(&addr),
              sizeof(addr)) != 0 ||
@@ -269,6 +296,7 @@ int anr_serve_port(void* handle) {
 int anr_serve_poll(void* handle, int max_rows, double wait_ms,
                    float* emb_out, int32_t* terms_out, uint64_t* tokens_out,
                    int32_t* rows_out, int max_frames, double collect_wait_ms) {
+  if (!handle) return -1;
   auto* s = static_cast<Server*>(handle);
   std::unique_lock<std::mutex> lk(s->queue_mu);
   if (s->queue.empty()) {
@@ -303,6 +331,7 @@ int anr_serve_poll(void* handle, int max_rows, double wait_ms,
     ++n_frames;
   }
   lk.unlock();
+  if (n_frames > 0) s->space_cv.notify_all();  // wake blocked readers
   if (n_frames == 0) return 0;
   int row_off = 0;
   std::lock_guard<std::mutex> plk(s->pending_mu);
@@ -331,6 +360,7 @@ int anr_serve_poll(void* handle, int max_rows, double wait_ms,
 
 // Rows waiting in the queue right now (for adaptive batching policies).
 int anr_serve_queued_rows(void* handle) {
+  if (!handle) return -1;
   auto* s = static_cast<Server*>(handle);
   std::lock_guard<std::mutex> lk(s->queue_mu);
   return static_cast<int>(s->queued_rows);
@@ -341,6 +371,7 @@ int anr_serve_queued_rows(void* handle) {
 // client connection is gone (reply dropped).
 int anr_serve_reply(void* handle, uint64_t token, int n_rows, int n_out,
                     const int32_t* rows, const float* scores) {
+  if (!handle) return -1;
   auto* s = static_cast<Server*>(handle);
   Request req;
   {
@@ -370,6 +401,7 @@ int anr_serve_reply(void* handle, uint64_t token, int n_rows, int n_out,
 
 // Send an error frame for a token (e.g. device dispatch failed).
 int anr_serve_reply_error(void* handle, uint64_t token, const char* msg) {
+  if (!handle) return -1;
   auto* s = static_cast<Server*>(handle);
   Request req;
   {
@@ -386,6 +418,7 @@ int anr_serve_reply_error(void* handle, uint64_t token, const char* msg) {
 
 void anr_serve_stats(void* handle, uint64_t* frames, uint64_t* rows,
                      uint64_t* bad) {
+  if (!handle) return;
   auto* s = static_cast<Server*>(handle);
   if (frames) *frames = s->frames_in.load();
   if (rows) *rows = s->rows_in.load();
@@ -397,8 +430,10 @@ void anr_serve_stats(void* handle, uint64_t* frames, uint64_t* rows,
 // threads; they see running=false / missing tokens and drain out.
 // Call anr_serve_free only after all caller threads have joined.
 void anr_serve_stop(void* handle) {
+  if (!handle) return;
   auto* s = static_cast<Server*>(handle);
   s->running.store(false);
+  s->space_cv.notify_all();
   // Unblock accept() and every reader by shutting the sockets down.
   ::shutdown(s->listen_fd, SHUT_RDWR);
   ::close(s->listen_fd);

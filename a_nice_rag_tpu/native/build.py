@@ -164,7 +164,7 @@ def load_serve_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SERVE_LIB)
             lib.anr_serve_start.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
             ]
             lib.anr_serve_start.restype = ctypes.c_void_p
             lib.anr_serve_port.argtypes = [ctypes.c_void_p]

@@ -58,6 +58,7 @@ class NativeRetrievalFront:
         max_frame_rows: int = 2048,
         inflight: int = 4,
         collect_ms: float = 2.0,
+        max_queued_rows: Optional[int] = None,
     ):
         """``inflight`` dispatch threads pipeline poll -> device ->
         reply: while one batch's results download (one tunnel RTT on
@@ -66,7 +67,11 @@ class NativeRetrievalFront:
         BatchScheduler(max_inflight=). ``collect_ms`` is the native
         batch-formation window: once a frame arrives, the poll keeps
         collecting stragglers that long (or until max_batch rows wait)
-        before dispatching — the scheduler's max_wait_ms analog."""
+        before dispatching — the scheduler's max_wait_ms analog.
+        ``max_queued_rows`` caps the native request queue (default
+        8 x max_batch); past it readers block, so a client pipelining
+        faster than the device drains hits TCP backpressure instead of
+        growing server memory without bound."""
         from a_nice_rag_tpu.native.build import load_serve_lib
 
         lib = load_serve_lib()
@@ -90,10 +95,24 @@ class NativeRetrievalFront:
         self.max_batch = int(max_batch)
         self.wait_ms = float(wait_ms)
         self.collect_ms = float(collect_ms)
-        self.dim = int(retriever.index.dense[self.model].shape[1])
+        # Scoring-operand dim, covering every retriever flavor: a
+        # FusedRetriever's model lives in index.dense OR (int8) in
+        # index.dense_q (dense_matrix handles both; QuantizedDense
+        # carries [N, D] .values); a ShardedRetriever holds a
+        # ShardedIndex at .sidx instead of .index.
+        sidx = getattr(retriever, "sidx", None)
+        if sidx is not None:
+            mat = sidx.dense[self.model]
+            self._dp = int(sidx.mesh.shape[sidx.data_axis])
+        else:
+            mat = retriever.index.dense_matrix(self.model)
+            self._dp = 1
+        self.dim = int(getattr(mat, "values", mat).shape[-1])
         self._h = lib.anr_serve_start(
             host.encode(), int(port), self.dim, self.t_max,
             int(min(max_frame_rows, max_batch)),
+            int(max_queued_rows if max_queued_rows is not None
+                else 8 * self.max_batch),
         )
         if not self._h:
             raise OSError(f"native front failed to bind {host}:{port}")
@@ -116,11 +135,16 @@ class NativeRetrievalFront:
 
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _bucket(n: int) -> int:
+    def _bucket(self, n: int) -> int:
         b = 1
         while b < n:
             b <<= 1
+        # Sharded retrievers need batches divisible by the mesh's dp
+        # axis; lift the power-of-two bucket to a dp multiple.
+        if self._dp > 1:
+            b = max(b, self._dp)
+            if b % self._dp:
+                b = (b // self._dp + 1) * self._dp
         return b
 
     def _dispatch_loop(self) -> None:
@@ -212,12 +236,23 @@ class NativeRetrievalFront:
         self._stop.set()
         # Two-phase: stop wakes every blocked poll (handle stays
         # valid), free releases it once no dispatch thread can be
-        # inside a lib call.
+        # inside a lib call. The handle stays NON-None while any
+        # dispatch thread is alive — a thread stuck in a long device
+        # dispatch (first tunnel compile: 20-60 s) will still call
+        # anr_serve_reply afterwards, which must see a live handle
+        # (the C entry points also null-guard as a second line).
         self._lib.anr_serve_stop(self._h)
         for t in self._threads:
-            t.join(timeout=10)
-        if all(not t.is_alive() for t in self._threads):
-            self._lib.anr_serve_free(self._h)
+            t.join(timeout=30)
+        alive = [t for t in self._threads if t.is_alive()]
+        if alive:
+            logger.warning(
+                "native front: %d dispatch thread(s) still in flight "
+                "at stop(); leaking the server handle rather than "
+                "freeing under them", len(alive),
+            )
+            return
+        self._lib.anr_serve_free(self._h)
         self._h = None
 
     def __enter__(self):

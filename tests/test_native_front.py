@@ -165,3 +165,120 @@ def test_native_front_multi_model_rejected(setup):
 
     with pytest.raises(ValueError, match="single-dense-model"):
         NativeRetrievalFront(Fake(), WEIGHTS, port=0)
+
+
+def test_native_front_hostname_binds(setup):
+    """--host localhost (a hostname, not an IPv4 literal) must bind:
+    anr_serve_start falls back to getaddrinfo resolution."""
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:2], np.float32)
+    with _front(fr, host="localhost") as front:
+        with NativeFrontClient("localhost", front.port) as cl:
+            rows, _ = cl.search(q)
+            assert rows.shape[0] == 2
+
+
+def test_native_front_quantized_index(setup):
+    """An int8-quantized index keeps its model in index.dense_q: the
+    front must derive dim via dense_matrix() instead of index.dense."""
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    q_idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+        quantize_dense=True,
+    )
+    assert "voyage-3-large" not in q_idx.dense  # lives in dense_q
+    qfr = FusedRetriever(
+        q_idx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
+        common_sections_n=5, budget=4096,
+    )
+    B = 4
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:B], np.float32)
+    terms = np.asarray(q_idx.pad_term_ids(c.query_tokens[:B], 16), np.int32)
+    with _front(qfr) as front:
+        assert front.dim == q.shape[1]
+        with NativeFrontClient("127.0.0.1", front.port) as cl:
+            rows, scores = cl.search(q, terms)
+    d_rows, d_scores, _ = qfr.retrieve_device(
+        {"voyage-3-large": q}, terms, WEIGHTS, None, 40.0
+    )
+    np.testing.assert_array_equal(rows, np.asarray(d_rows))
+    np.testing.assert_allclose(scores, np.asarray(d_scores), rtol=1e-6)
+
+
+def test_native_front_sharded_retriever(setup):
+    """A ShardedRetriever has .sidx (no .index): the front must derive
+    dim from the sharded matrices and pad batches to a dp multiple."""
+    from a_nice_rag_tpu.parallel import make_mesh, shard_index
+    from a_nice_rag_tpu.parallel.sharded import ShardedRetriever
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    mesh = make_mesh(shape=(2, 4), axis_names=("dp", "corpus"))
+    sidx = shard_index(idx, mesh)
+    sr = ShardedRetriever(
+        sidx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
+        common_sections_n=5, budget=4096,
+    )
+    B = 8
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:B], np.float32)
+    terms = np.asarray(idx.pad_term_ids(c.query_tokens[:B], 16), np.int32)
+    with _front(sr) as front:
+        assert front.dim == q.shape[1]
+        with NativeFrontClient("127.0.0.1", front.port) as cl:
+            rows, scores = cl.search(q, terms)
+    d_rows, d_scores, _ = sr.retrieve_device(
+        {"voyage-3-large": q}, terms, WEIGHTS, None, 40.0
+    )
+    np.testing.assert_array_equal(rows, np.asarray(d_rows))
+    np.testing.assert_allclose(scores, np.asarray(d_scores), rtol=1e-6)
+
+
+def test_native_front_backpressure_cap(setup):
+    """With a tiny max_queued_rows cap, a client that pipelines frames
+    far ahead of the device hits reader backpressure (blocked reads,
+    bounded server memory) but still gets every reply (order across
+    batches is not guaranteed with inflight>1; req_id pairs them)."""
+    import socket
+    import struct
+
+    c, idx, fr = setup
+    n_frames = 24
+    q = np.asarray(c.query_embeddings["voyage-3-large"][0], np.float32)
+    with _front(fr, max_queued_rows=4, wait_ms=5.0) as front:
+        s = socket.create_connection(("127.0.0.1", front.port), timeout=30)
+        s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        body = q.tobytes()
+        blob = b"".join(
+            struct.pack("<IIIHH", 0x51524E41, 8 + len(body), rid, 1, 0)
+            + body
+            for rid in range(1, n_frames + 1)
+        )
+        # One bulk send: the socket buffer + blocked reader absorb it.
+        sender = __import__("threading").Thread(
+            target=s.sendall, args=(blob,)
+        )
+        sender.start()
+
+        def recv_all(n):
+            out = b""
+            while len(out) < n:
+                b = s.recv(n - len(out))
+                assert b, "connection closed early"
+                out += b
+            return out
+
+        got = []
+        for _ in range(n_frames):
+            magic, plen = struct.unpack("<II", recv_all(8))
+            assert magic == 0x50524E41
+            payload = recv_all(plen)
+            rid = struct.unpack("<I", payload[:4])[0]
+            got.append(rid)
+        sender.join()
+        s.close()
+        assert sorted(got) == list(range(1, n_frames + 1))

@@ -137,6 +137,8 @@ class FusedRetriever:
         pallas_config=None,
         nprobe: Optional[int] = None,
         ivf_max_tiles: Optional[int] = None,
+        ivf_route: str = "auto",
+        ivf_max_batch: int = 32,
         two_tier_common="auto",
         two_tier_dtype: str = "bfloat16",
         t_max_hint: int = 16,
@@ -153,6 +155,17 @@ class FusedRetriever:
         exact scan, preserving reference filter semantics exactly.
         ``ivf_max_tiles`` caps the per-batch scheduled tile table
         (default: worst-case, no truncation).
+
+        ``ivf_route`` picks WHEN the ANN route applies once ``nprobe``
+        is set: "auto" (default) probes only for batches of at most
+        ``ivf_max_batch`` rows and takes the exact scan above it —
+        the exact stream's cost is one corpus pass per BATCH, so its
+        per-query price collapses as the batch widens, while the IVF
+        tile table grows with batch x nprobe until it covers most of
+        the corpus (measured crossover in
+        results/ivf_batch_crossover.csv). "always" probes at every
+        batch size (the pre-round-5 behavior); the routing is per
+        compiled batch bucket (batch size is static under jit).
 
         Backend semantics note: on the Pallas route a CSR-only BM25 list
         reports -1 for zero-score slots (docs with no matching term are
@@ -233,6 +246,12 @@ class FusedRetriever:
         if interpret:
             pallas_kwargs = dict(pallas_kwargs, interpret=True)
         self.nprobe = nprobe
+        if ivf_route not in ("auto", "always"):
+            raise ValueError(
+                f"ivf_route must be 'auto' or 'always', got {ivf_route!r}"
+            )
+        self.ivf_route = ivf_route
+        self.ivf_max_batch = int(ivf_max_batch)
         self._ivf_structs = tuple(
             (index.ivf or {}).get(m) if nprobe else None
             for m in self.model_names
@@ -245,12 +264,18 @@ class FusedRetriever:
             if ivf_structs is None:
                 ivf_structs = (None,) * len(q_embs)
             for mat, q, iv in zip(dense_mats, q_embs, ivf_structs):
-                if iv is not None and mask is None:
+                probe_this_batch = iv is not None and mask is None and (
+                    self.ivf_route == "always"
+                    or q.shape[0] <= self.ivf_max_batch
+                )
+                if probe_this_batch:
                     # IVF ANN route: probe nprobe clusters, scan only
                     # their covering tiles. Only when no mask is active
                     # (the IVF kernel has no mask operand; filtered
                     # calls trace with mask != None and take the exact
-                    # branch below).
+                    # branch below) and, under ivf_route="auto", only
+                    # for batches narrow enough that the probed scan
+                    # beats the batch-amortized exact stream.
                     from a_nice_rag_tpu.index.ivf import build_tile_table
                     from a_nice_rag_tpu.ops.pallas.ivf_topk import (
                         ivf_dense_top_k,

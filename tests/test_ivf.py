@@ -571,3 +571,61 @@ def test_tune_nprobe_picks_smallest_meeting_target(clustered):
         candidates=(12,), interpret=True,
     )
     assert full_report[12] == 1.0
+
+
+def test_engine_ivf_route_auto_batches(monkeypatch):
+    """ivf_route="auto" (the default) probes only batches of at most
+    ivf_max_batch rows; wider batches take the exact stream (whose
+    per-query cost is amortized over the batch). "always" restores the
+    unconditional probe. The route is decided at trace time, so a
+    counting wrapper on the tile-table builder observes it."""
+    import a_nice_rag_tpu.index.ivf as ivf_mod
+    from a_nice_rag_tpu.index import build_index
+    from a_nice_rag_tpu.index.ivf import attach_ivf
+    from a_nice_rag_tpu.retrieval import FusedRetriever
+    from a_nice_rag_tpu.testing import synth_corpus
+
+    c = synth_corpus(n_docs=128, dim=32, n_queries=8, seed=7)
+    idx = build_index(
+        ids=c.ids, sources=c.sources, contents=c.contents,
+        embeddings=c.embeddings, token_lists=c.tokens,
+    )
+    attach_ivf(idx, "voyage-3-large", n_clusters=8, tile_n=32, n_iters=6)
+    q8 = {"voyage-3-large": c.query_embeddings["voyage-3-large"]}
+    q2 = {"voyage-3-large": c.query_embeddings["voyage-3-large"][:2]}
+    terms8 = idx.pad_term_ids(c.query_tokens, 8)
+    w = {"voyage-3-large": 5.0, "BM25": 1.0}
+
+    calls = []
+    real = ivf_mod.build_tile_table
+    monkeypatch.setattr(
+        ivf_mod, "build_tile_table",
+        lambda *a, **k: calls.append(1) or real(*a, **k),
+    )
+
+    def fresh(**kw):
+        return FusedRetriever(
+            idx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
+            common_sections_n=10, budget=1024, nprobe=8, **kw,
+        )
+
+    # auto + wide batch: exact stream, no probe; equals the exact engine.
+    r = fresh(ivf_max_batch=4)
+    got, _, _ = r(q8, terms8, w, None, 40.0)
+    assert not calls
+    exact = FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
+        common_sections_n=10, budget=1024,
+    )
+    want, _, _ = exact(q8, terms8, w, None, 40.0)
+    np.testing.assert_array_equal(got, want)
+    # auto + narrow batch: probes.
+    fresh(ivf_max_batch=4)(q2, terms8[:2], w, None, 40.0)
+    assert calls
+    # always + wide batch: probes regardless.
+    calls.clear()
+    fresh(ivf_route="always", ivf_max_batch=4)(q8, terms8, w, None, 40.0)
+    assert calls
+    # invalid route rejected eagerly.
+    with pytest.raises(ValueError):
+        fresh(ivf_route="sometimes")

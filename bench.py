@@ -770,15 +770,22 @@ def gen_serving_metrics() -> dict:
 
 
 def served_qps_metrics() -> dict:
-    """E2E served throughput through the REAL serving stack: HTTP
-    loopback -> serve_cli handler -> SchedulerPool micro-batching ->
-    FusedRetriever device program, batch-formation latency included
-    (round-3 verdict weak #6: the 100k+ QPS headline is the jitted
-    program rate; this stage is what a client actually sees). Clients
-    POST 256-query batches in the base64 RPC form; every row enters
-    the scheduler individually, so batches re-form server-side.
-    Replaces the reference's Streamlit-to-engine hop
-    (src/app.py:200-229) with a measured, floor-guarded service path.
+    """E2E served throughput through the REAL serving stack, both
+    fronts on the same corpus/session so the layers attribute cleanly:
+
+    - native (headline): C++ socket front (native/anr_serve.cpp) ->
+      one Python wake per batch -> FusedRetriever device program.
+    - HTTP (comparison): HTTP loopback -> serve_cli handler ->
+      SchedulerPool micro-batching -> same device program. Per-request
+      Python work (HTTP parse, JSON, base64) is the measured ceiling
+      of this path (docs/BENCHMARKS.md "E2E served throughput").
+
+    Batch-formation latency included (round-3 verdict weak #6: the
+    100k+ QPS headline is the jitted program rate; this stage is what
+    a client actually sees). Clients send 512-query frames; rows
+    re-batch server-side. Replaces the reference's Streamlit-to-engine
+    hop (src/app.py:200-229) with a measured, floor-guarded service
+    path.
     """
     import base64
     import http.client
@@ -883,13 +890,87 @@ def served_qps_metrics() -> dict:
         f"served QPS through HTTP+scheduler {served_qps:.0f} below "
         f"floor 1500 (p50 {p50:.1f} ms/batch-of-{B})"
     )
-    return {
+    out = {
         "served_qps": round(served_qps, 1),
         "served_p50_batch_ms": round(p50, 2),
         "served_batch": B,
         "served_clients": n_threads,
         "served_requests": len(lat),
         "served_avg_device_batch": round(served / max(batches, 1), 1),
+    }
+    out.update(_served_native(state, weights, q, terms, n_threads, per))
+    return out
+
+
+def _served_native(state, weights, q, terms, n_threads: int,
+                   per: int) -> dict:
+    """Same traffic shape through the native C++ front (round-4
+    flagship, measured here on the same session/corpus as the HTTP
+    number so the host-layer delta is attributable)."""
+    import threading
+    import time as _time
+
+    try:
+        from a_nice_rag_tpu.serving.native_front import (
+            NativeFrontClient,
+            NativeRetrievalFront,
+        )
+        front = NativeRetrievalFront(
+            state.retriever, weights, port=0, t_max=T_MAX,
+            max_batch=512, wait_ms=2.0,
+        )
+    except Exception as e:  # noqa: BLE001 — no toolchain / bind fail
+        return {"served_native_error": str(e)[:160]}
+    B = q.shape[0]
+    lat: list = []
+    errs: list = []
+
+    def client(n_req: int):
+        try:
+            with NativeFrontClient("127.0.0.1", front.port) as cl:
+                for _ in range(n_req):
+                    t0 = _time.perf_counter()
+                    rows, _ = cl.search(q, terms)
+                    assert rows.shape[0] == B
+                    lat.append(_time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001
+            errs.append(str(e)[:200])
+
+    try:
+        # Warm with the measured concurrency pattern: coalesced batch
+        # sizes vary with arrival timing and each power-of-two bucket
+        # compiles its own program.
+        warm = [threading.Thread(target=client, args=(2,))
+                for _ in range(n_threads)]
+        for t in warm:
+            t.start()
+        for t in warm:
+            t.join()
+        if errs:
+            return {"served_native_error": errs[0][:160]}
+        lat.clear()
+        threads = [threading.Thread(target=client, args=(per,))
+                   for _ in range(n_threads)]
+        t0 = _time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = _time.perf_counter() - t0
+    finally:
+        front.stop()
+    if errs:
+        return {"served_native_error": errs[0][:160]}
+    native_qps = len(lat) * B / wall
+    p50 = float(np.median(lat) * 1e3)
+    assert native_qps >= 1500, (
+        f"served QPS through the native front {native_qps:.0f} below "
+        f"floor 1500 (p50 {p50:.1f} ms/batch-of-{B})"
+    )
+    return {
+        "served_qps_native": round(native_qps, 1),
+        "served_native_p50_batch_ms": round(p50, 2),
+        "served_native_batches": front.batches_run,
     }
 
 

@@ -381,5 +381,16 @@ def test_local_client_truncation_preserves_chatml_ids(tmp_path):
     ids = captured["ids"]
     assert len(ids) <= 24
     im_s = hf.token_to_id("<|im_start|>")
-    # The tail-kept window still carries the open assistant turn.
+    im_e = hf.token_to_id("<|im_end|>")
+    # The tail-kept window still carries the open assistant turn:
+    # the final <|im_start|> survives AND comes after any <|im_end|>.
     assert im_s in ids
+    last_s = len(ids) - 1 - ids[::-1].index(im_s)
+    assert im_e not in ids or last_s > len(ids) - 1 - ids[::-1].index(im_e)
+    # Round-trip: the window is EXACTLY the tail of the full encoding —
+    # id-level truncation, no decode/re-encode drift (a re-encode strips
+    # the specials, so equality here is the regression being pinned).
+    from a_nice_rag_tpu.models.hf_tokenizer import render_chatml
+
+    full = hf.encode(render_chatml(msgs))
+    assert ids == full[-len(ids):]

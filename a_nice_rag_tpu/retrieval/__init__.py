@@ -19,5 +19,6 @@ from a_nice_rag_tpu.retrieval.embed import (  # noqa: F401
 from a_nice_rag_tpu.retrieval.rerank import (  # noqa: F401
     Reranker,
     IdentityReranker,
+    MultiModelReranker,
     VoyageReranker,
 )

@@ -71,6 +71,33 @@ class VoyageReranker:
         return reranked
 
 
+class MultiModelReranker:
+    """Dispatch on the ``model`` argument to per-tier rerankers.
+
+    The reference's rerank hop is one API with a quality-tier model
+    parameter (rerank-2 vs rerank-2-lite,
+    src/search_engine.py:161-203); locally each tier is its own
+    trained cross-encoder (models/rerank_train.py at different
+    capacities), so the tiers measurably separate the way the
+    reference's do (results/retrieval_evaluation_results.csv rows
+    9-10: R@1 0.810 vs 0.779)."""
+
+    def __init__(self, rerankers: Dict[str, Reranker],
+                 default: Optional[str] = None):
+        if not rerankers:
+            raise ValueError("rerankers must be non-empty")
+        self.rerankers = dict(rerankers)
+        self.default = default or next(iter(rerankers))
+        if self.default not in self.rerankers:
+            raise ValueError(f"default {self.default!r} not among "
+                             f"{sorted(self.rerankers)}")
+
+    def rerank(self, query_text, documents, model="rerank-2",
+               top_k=None):
+        r = self.rerankers.get(model) or self.rerankers[self.default]
+        return r.rerank(query_text, documents, model, top_k)
+
+
 def apply_rerank(
     reranker: Optional[Reranker],
     query_text: str,

@@ -7,6 +7,7 @@ from a_nice_rag_tpu.testing.golden import (  # noqa: F401
 )
 from a_nice_rag_tpu.testing.synth import (  # noqa: F401
     REFERENCE_QUALITY_NOISE,
+    add_hard_distractors,
     calibrated_quality_corpus,
     calibrated_sample_queries,
     sample_queries,

@@ -172,6 +172,87 @@ def synth_corpus(
     )
 
 
+def add_hard_distractors(
+    corpus: SynthCorpus,
+    n_per_gold: int = 2,
+    emb_cos: float = 0.93,
+    token_overlap: float = 0.75,
+    seed: int = 7001,
+) -> SynthCorpus:
+    """Append near-duplicate distractor documents for every eval gold.
+
+    Each distractor of a gold document g gets an embedding at cosine
+    ~``emb_cos`` to g's (per model) and a token list sharing
+    ``token_overlap`` of its draws with g — so BOTH retrieval channels
+    rank it next to g and rank fusion cannot separate them; only a
+    stage that reads the texts (the cross-encoder reranker) can. This
+    de-saturates the synthetic rerank benchmark: without distractors
+    the trained reranker hits R@1 ~0.99 and the rerank-2 vs
+    rerank-2-lite tiers are indistinguishable, unlike the reference
+    where they separate (results/retrieval_evaluation_results.csv
+    rows 9-10: R@1 0.810 vs 0.779).
+
+    Returns a NEW corpus; the base docs, queries, and golds are
+    byte-identical to the input (distractors are appended after), so
+    seeded floors on the base corpus stay valid.
+    """
+    rng = np.random.default_rng(seed)
+    row_of = {d: i for i, d in enumerate(corpus.ids)}
+    gold_rows = sorted({row_of[g] for g in corpus.gold_ids})
+    n_base = len(corpus.ids)
+    ids = list(corpus.ids)
+    sources = list(corpus.sources)
+    contents = list(corpus.contents)
+    urls = list(corpus.urls)
+    tokens = [list(t) for t in corpus.tokens]
+    new_rows = []  # (victim_row,)
+    i = n_base
+    for g in gold_rows:
+        for _ in range(n_per_gold):
+            src = f"{corpus.sources[g]}D"
+            ids.append(f"{src}_Section {i}")
+            sources.append(src)
+            urls.append(corpus.urls[g])
+            gt = corpus.tokens[g]
+            keep = rng.random(len(gt)) < token_overlap
+            # Replacements are drawn from OTHER documents' vocabulary
+            # usage (uniform over the corpus's token stream) so the
+            # distractor stays in-distribution.
+            donor = corpus.tokens[int(rng.integers(0, n_base))]
+            toks = [
+                t if k else donor[int(rng.integers(0, len(donor)))]
+                for t, k in zip(gt, keep)
+            ]
+            tokens.append(toks)
+            contents.append(" ".join(toks))
+            new_rows.append(g)
+            i += 1
+    embeddings = {}
+    for m, emb in corpus.embeddings.items():
+        g_emb = emb[np.asarray(new_rows)]
+        noise = rng.standard_normal(g_emb.shape).astype(np.float32)
+        # Orthogonalize the noise against the gold direction, then mix
+        # at the exact target cosine.
+        noise -= (noise * g_emb).sum(-1, keepdims=True) * g_emb
+        noise = _unit(noise)
+        d_emb = emb_cos * g_emb + np.sqrt(1.0 - emb_cos**2) * noise
+        embeddings[m] = np.concatenate(
+            [emb, _unit(d_emb).astype(np.float32)]
+        )
+    return SynthCorpus(
+        ids=ids,
+        sources=sources,
+        contents=contents,
+        urls=urls,
+        tokens=tokens,
+        embeddings=embeddings,
+        query_tokens=corpus.query_tokens,
+        query_embeddings=corpus.query_embeddings,
+        gold_ids=corpus.gold_ids,
+        query_texts=corpus.query_texts,
+    )
+
+
 # Per-model query-noise scales calibrated (scripts history, round 3) so a
 # 9.7k-doc sweep reproduces the reference's qualitative §6.1 structure:
 # dense MRR spread Voyage-3-Large > Voyage-3.5 > Qwen3 > TE3L, every

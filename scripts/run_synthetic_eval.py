@@ -8,12 +8,16 @@ harness end-to-end on a calibrated synthetic corpus with the same shape
 (~9.7k docs, four dense models, BM25) and the same nine configurations
 (src/retrieval_eval.py:131-255 parity), seed-42 split, CSV append.
 
-The two reranker configurations run through the on-TPU cross-encoder
-(models/reranker.py), listwise-trained on a disjoint draw of queries
-from the same corpus with hard negatives mined from the hybrid
+The corpus is augmented with HARD DISTRACTORS (two near-duplicates per
+eval gold at embedding cosine ~0.9 / ~65% token overlap,
+testing.add_hard_distractors) so rank fusion cannot saturate the task,
+and the two reranker configurations run through on-TPU cross-encoders
+of DIFFERENT capacity (models/reranker.py), listwise-trained on a
+disjoint draw of queries with hard negatives mined from the hybrid
 retriever's own top-k (models/rerank_train.py) — mirroring the
 reference's structure where reranking lifts R@1 over unreranked hybrid
-(reference CSV rows 9-10: 0.699 -> 0.810).
+and the tiers separate (reference CSV rows 9-10: hybrid 0.699 ->
+lite 0.779 -> full 0.810).
 
 Writes results/retrieval_evaluation_results_synthetic.csv.
 """
@@ -28,11 +32,15 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def train_reranker(c, idx, engine, n_train=3072, epochs=3, seed=1234):
-    """Train the cross-encoder on mined hard negatives (fresh query draw)."""
+def train_rerank_tiers(c, idx, engine, n_train=3072, seed=1234):
+    """Train BOTH cross-encoder tiers on mined hard negatives (one
+    fresh disjoint query draw, shared candidate lists)."""
+    from a_nice_rag_tpu.models.encoder import EncoderConfig
     from a_nice_rag_tpu.models.rerank_train import (
         mine_candidates, train_cross_encoder_reranker,
     )
+    from a_nice_rag_tpu.models.tokenizer import HashingTokenizer
+    from a_nice_rag_tpu.retrieval import MultiModelReranker
     from a_nice_rag_tpu.testing import calibrated_sample_queries
 
     tr_gold, tr_toks, tr_qe, tr_texts = calibrated_sample_queries(
@@ -53,14 +61,33 @@ def train_reranker(c, idx, engine, n_train=3072, epochs=3, seed=1234):
             ranked[i, j] = row_of.get(d, -1)
     qs, cands = mine_candidates(tr_texts, list(tr_gold), ranked,
                                 c.contents, n_negatives=7, seed=0)
-    res = train_cross_encoder_reranker(qs, cands, epochs=epochs,
-                                       batch_size=32, seed=0)
-    print(f"reranker holdout gold-first acc: {res.holdout_accuracy:.3f}")
-    return res.reranker
+    # Capacities calibrated at CPU scale
+    # (scripts/calibrate_rerank_distractors.py): the lite tier at half
+    # the width/window lands between unreranked hybrid and the full
+    # tier, the reference's row 9-10 structure.
+    full_cfg = EncoderConfig(n_layers=2, dim=128, n_heads=4, max_len=96)
+    lite_cfg = EncoderConfig(n_layers=1, dim=64, n_heads=2, max_len=64)
+    tiers = {}
+    for name, cfg, epochs in (("rerank-2", full_cfg, 3),
+                              ("rerank-2-lite", lite_cfg, 2)):
+        res = train_cross_encoder_reranker(
+            qs, cands, cfg=cfg, epochs=epochs, batch_size=32, seed=0,
+            tokenizer=HashingTokenizer(vocab_size=cfg.vocab_size,
+                                       max_len=cfg.max_len),
+        )
+        print(f"{name} holdout gold-first acc: "
+              f"{res.holdout_accuracy:.3f}")
+        tiers[name] = res.reranker
+    return MultiModelReranker(tiers, default="rerank-2")
 
 
 def main() -> None:
     import jax
+
+    # Quality numbers are platform-independent; --cpu avoids wedging on
+    # a dead TPU tunnel (compute hangs indefinitely — CLAUDE.md).
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
 
     from a_nice_rag_tpu.evals.retrieval_eval import (
         STANDARD_CONFIGURATIONS,
@@ -80,15 +107,22 @@ def main() -> None:
     # quality structure (dense spread, dense > BM25, fusion lifts,
     # rerank lifts R@1) — see testing.synth.REFERENCE_QUALITY_NOISE and
     # tests/test_quality_gate.py.
-    c = calibrated_quality_corpus(
+    from a_nice_rag_tpu.testing import add_hard_distractors
+
+    base = calibrated_quality_corpus(
         n_docs=9728, dim=256, n_queries=2048, vocab_size=20000, seed=42,
     )
+    c = add_hard_distractors(
+        base, n_per_gold=2, emb_cos=0.90, token_overlap=0.65,
+    )
+    print(f"corpus: {len(base.ids)} base + "
+          f"{len(c.ids) - len(base.ids)} distractor docs")
     idx = build_index(
         ids=c.ids, sources=c.sources, contents=c.contents,
         embeddings=c.embeddings, token_lists=c.tokens,
     )
     mine_engine = SearchEngine(idx, reranker=IdentityReranker())
-    reranker = train_reranker(c, idx, mine_engine)
+    reranker = train_rerank_tiers(c, idx, mine_engine)
     ev = RetrievalEvaluator(idx, SearchEngine(idx, reranker=reranker))
     # The reference evaluates the LARGER seed-42 partition
     # (src/retrieval_eval.py:273-274, :338).

@@ -1,15 +1,21 @@
-"""The rerank stage must IMPROVE retrieval, not just run.
+"""The rerank stage must IMPROVE retrieval — with headroom and tiers.
 
 The reference's headline configuration is hybrid retrieval + rerank-2,
-lifting Recall@1 from 0.699 to 0.810 (reference
-src/retrieval_eval.py:131-255; results/retrieval_evaluation_results.csv
-rows 9-10). This test pins the local analog end-to-end at CPU scale:
-mine hard negatives with the unreranked hybrid retriever, listwise-train
-the on-TPU cross-encoder on a disjoint query draw, and assert the
-reranked configuration strictly beats unreranked hybrid on R@1 on the
-evaluation queries — the synthetic sweep
-(scripts/run_synthetic_eval.py) demonstrates the same lift at reference
-scale (results/retrieval_evaluation_results_synthetic.csv).
+lifting Recall@1 from 0.699 to 0.810 with the lite tier in between at
+0.779 (reference src/retrieval_eval.py:131-255;
+results/retrieval_evaluation_results.csv rows 9-10). This test pins the
+local analog end-to-end at CPU scale on a corpus with HARD DISTRACTORS
+(testing.add_hard_distractors: near-duplicate docs at embedding cosine
+~0.9 to each gold with ~65% token overlap) so rank fusion cannot
+trivially solve the task: mine hard negatives with the unreranked
+hybrid retriever, listwise-train two cross-encoder tiers of different
+capacity on a disjoint query draw, and assert the reference's ordering
+hybrid < lite < full with the full tier still below saturation — a
+gate that keeps actual discrimination headroom (round-4 verdict weak
+#4: the pre-distractor gate saturated at R@1 0.914 for both tiers and
+could not detect rerank-quality regressions). The synthetic sweep
+(scripts/run_synthetic_eval.py) demonstrates the same structure at
+reference scale (results/retrieval_evaluation_results_synthetic.csv).
 """
 
 import numpy as np
@@ -26,21 +32,32 @@ from a_nice_rag_tpu.models.rerank_train import (
     train_cross_encoder_reranker,
 )
 from a_nice_rag_tpu.models.tokenizer import HashingTokenizer
-from a_nice_rag_tpu.retrieval import SearchEngine
+from a_nice_rag_tpu.retrieval import MultiModelReranker, SearchEngine
 from a_nice_rag_tpu.retrieval.rerank import IdentityReranker
 from a_nice_rag_tpu.testing import (
+    add_hard_distractors,
     calibrated_quality_corpus,
     calibrated_sample_queries,
 )
 
 HYBRID = STANDARD_CONFIGURATIONS[5]  # Voyage-3-Large + BM25
-RERANKED = STANDARD_CONFIGURATIONS[8]  # same retrieval + Reranker 2
+LITE = STANDARD_CONFIGURATIONS[7]  # same retrieval + Reranker 2 Lite
+FULL = STANDARD_CONFIGURATIONS[8]  # same retrieval + Reranker 2
+
+# Tier capacities (calibrated scripts/calibrate_rerank_distractors.py):
+# full holdout ~0.98 / R@1 ~0.88, lite holdout ~0.98 at less than half
+# the width and window / R@1 ~0.79, unreranked hybrid ~0.72.
+FULL_CFG = EncoderConfig(n_layers=2, dim=128, n_heads=4, max_len=96)
+LITE_CFG = EncoderConfig(n_layers=1, dim=64, n_heads=2, max_len=64)
 
 
 @pytest.fixture(scope="module")
 def corpus_and_index():
-    c = calibrated_quality_corpus(
+    base = calibrated_quality_corpus(
         n_docs=1024, dim=128, n_queries=192, vocab_size=6000, seed=42
+    )
+    c = add_hard_distractors(
+        base, n_per_gold=2, emb_cos=0.90, token_overlap=0.65
     )
     idx = build_index(
         ids=c.ids,
@@ -52,7 +69,7 @@ def corpus_and_index():
     return c, idx
 
 
-def _trained_reranker(c, idx, n_train=288, seed=99):
+def _train_tier(c, idx, cfg, epochs, max_len, n_train=288, seed=99):
     """Mine hard negatives with the unreranked hybrid, train listwise."""
     gold, toks, q_emb, texts = calibrated_sample_queries(
         c, n_train, vocab_size=6000, seed=seed
@@ -78,43 +95,76 @@ def _trained_reranker(c, idx, n_train=288, seed=99):
     qs, cands = mine_candidates(
         texts, list(gold), ranked, c.contents, n_negatives=5, seed=0
     )
-    # max_len=96 keeps most of each document inside the cross-encoder's
-    # window — at 64 the truncation starves the match features and the
-    # reranker HURTS (measured R@1 0.927 -> 0.891); at 96 it lifts to
-    # 0.984 with holdout gold-first accuracy 1.0.
-    cfg = EncoderConfig(n_layers=2, dim=128, n_heads=4, max_len=96)
-    res = train_cross_encoder_reranker(
+    return train_cross_encoder_reranker(
         qs,
         cands,
         cfg=cfg,
-        epochs=2,
+        epochs=epochs,
         batch_size=32,
         seed=0,
-        tokenizer=HashingTokenizer(vocab_size=cfg.vocab_size, max_len=96),
+        tokenizer=HashingTokenizer(vocab_size=cfg.vocab_size,
+                                   max_len=max_len),
     )
-    return res
 
 
 @pytest.mark.slow
-def test_trained_reranker_lifts_recall_at_1(corpus_and_index):
+def test_rerank_tiers_lift_with_headroom(corpus_and_index):
     c, idx = corpus_and_index
-    res = _trained_reranker(c, idx)
-    # The cross-encoder must generalize (match features, not list
+    full = _train_tier(c, idx, FULL_CFG, epochs=2, max_len=96)
+    lite = _train_tier(c, idx, LITE_CFG, epochs=2, max_len=64)
+    # The cross-encoders must generalize (match features, not list
     # memorization) before the end-to-end claim means anything.
-    assert res.holdout_accuracy >= 0.85, res.holdout_accuracy
+    assert full.holdout_accuracy >= 0.85, full.holdout_accuracy
+    assert lite.holdout_accuracy >= 0.80, lite.holdout_accuracy
 
+    rr = MultiModelReranker({
+        "rerank-2": full.reranker,
+        "rerank-2-lite": lite.reranker,
+    })
     ev_base = RetrievalEvaluator(
         idx, SearchEngine(idx, reranker=IdentityReranker())
     )
-    ev_rr = RetrievalEvaluator(idx, SearchEngine(idx, reranker=res.reranker))
+    ev_rr = RetrievalEvaluator(idx, SearchEngine(idx, reranker=rr))
     texts = c.texts()
-    m_h = ev_base.evaluate_config(
-        HYBRID, c.query_embeddings, c.gold_ids, c.query_tokens, texts, None
+    args = (c.query_embeddings, c.gold_ids, c.query_tokens, texts, None)
+    m_h = ev_base.evaluate_config(HYBRID, *args)
+    m_l = ev_rr.evaluate_config(LITE, *args)
+    m_f = ev_rr.evaluate_config(FULL, *args)
+
+    # The distractors keep the task unsaturated: fusion alone lands
+    # mid-range, and even the full tier stays below ceiling.
+    assert m_h["recall@1"] <= 0.85, m_h
+    assert m_f["recall@1"] <= 0.97, m_f
+    # Reference tier ordering with real gaps (0.699 < 0.779 < 0.810).
+    assert m_l["recall@1"] >= m_h["recall@1"] + 0.02, (m_l, m_h)
+    assert m_f["recall@1"] >= m_l["recall@1"] + 0.02, (m_f, m_l)
+    assert m_f["mrr"] > m_h["mrr"], (m_f, m_h)
+
+
+@pytest.mark.slow
+def test_multimodel_reranker_dispatch(corpus_and_index):
+    """MultiModelReranker routes by model name and falls back to the
+    default tier for unknown names."""
+    c, idx = corpus_and_index
+    lite = _train_tier(c, idx, LITE_CFG, epochs=1, max_len=64,
+                       n_train=96)
+
+    class Tagger:
+        def rerank(self, query_text, documents, model="x", top_k=None):
+            return [{**d, "tag": model} for d in documents[:top_k or 5]]
+
+    rr = MultiModelReranker(
+        {"rerank-2": Tagger(), "rerank-2-lite": lite.reranker},
+        default="rerank-2",
     )
-    m_r = ev_rr.evaluate_config(
-        RERANKED, c.query_embeddings, c.gold_ids, c.query_tokens, texts, None
-    )
-    # Reference pattern: rerank strictly lifts R@1 over unreranked
-    # hybrid while keeping the pool recall.
-    assert m_r["recall@1"] > m_h["recall@1"], (m_r, m_h)
-    assert m_r["mrr"] > m_h["mrr"], (m_r, m_h)
+    docs = [{"document": t} for t in c.contents[:8]]
+    out = rr.rerank("q", docs, model="rerank-2", top_k=3)
+    assert [d["tag"] for d in out] == ["rerank-2"] * 3
+    out2 = rr.rerank("q", docs, model="rerank-2-lite", top_k=3)
+    assert all("rerank_score" in d for d in out2)
+    out3 = rr.rerank("q", docs, model="nonexistent", top_k=2)
+    assert [d["tag"] for d in out3] == ["nonexistent"] * 2
+    with pytest.raises(ValueError):
+        MultiModelReranker({})
+    with pytest.raises(ValueError):
+        MultiModelReranker({"a": Tagger()}, default="b")

@@ -114,6 +114,7 @@ class FaithfulnesswithHHEM(Faithfulness):
         llm=None,
         nli_scorer: Callable[[str, str], float] = None,
         threshold: float = 0.5,
+        per_context: bool = True,
     ):
         super().__init__(llm=llm)
         if nli_scorer is None:
@@ -124,6 +125,13 @@ class FaithfulnesswithHHEM(Faithfulness):
             )
         self.nli_scorer = nli_scorer
         self.threshold = threshold
+        # per_context (default): a statement is supported iff SOME
+        # retrieved chunk entails it (max over per-chunk scores). The
+        # joined-premise form truncates at the local scorer's window —
+        # chunks past ~2 vanish and their statements read as
+        # hallucinated — and shifts off the scorer's single-document
+        # training distribution (models/nli.synth_nli_pairs).
+        self.per_context = per_context
 
     async def _single_turn_ascore(self, sample: SingleTurnSample) -> float:
         statements = (
@@ -136,10 +144,16 @@ class FaithfulnesswithHHEM(Faithfulness):
         ).statements
         if not statements:
             return float("nan")
-        premise = "\n".join(sample.retrieved_contexts)
+        contexts = sample.retrieved_contexts or [""]
+        if self.per_context:
+            def support(s):
+                return max(self.nli_scorer(c, s) for c in contexts)
+        else:
+            premise = "\n".join(contexts)
+
+            def support(s):
+                return self.nli_scorer(premise, s)
         supported = sum(
-            1
-            for s in statements
-            if self.nli_scorer(premise, s) >= self.threshold
+            1 for s in statements if support(s) >= self.threshold
         )
         return supported / len(statements)

@@ -112,7 +112,14 @@ class NliScorer:
     def score_batch(
         self, premises: Sequence[str], hypotheses: Sequence[str]
     ) -> np.ndarray:
-        ids = self.tokenizer.encode_pairs(list(premises), list(hypotheses))
+        # Hypothesis rides the QUERY slot: encode_pairs caps the query
+        # segment at max_len//3, so putting the (long) premise there
+        # silently truncated it to ~64 pieces and every entailed
+        # sentence from the rest of the document read as hallucinated
+        # (measured: AUC capped ~0.75 on a corpus whose containment
+        # oracle is AUC 1.0). The document slot keeps the remainder of
+        # the window — size max_len so whole premises fit.
+        ids = self.tokenizer.encode_pairs(list(hypotheses), list(premises))
         logits = self._logits(self.params, jnp.asarray(ids))
         return np.asarray(jax.nn.sigmoid(logits))
 
@@ -144,18 +151,28 @@ def train_nli_scorer(
     seed: int = 0,
     holdout_fraction: float = 0.15,
     tokenizer: Optional[HashingTokenizer] = None,
+    use_match_features: bool = True,
 ) -> NliTrainResult:
-    """Binary cross-entropy fine-tune of the cross-encoder on NLI pairs."""
+    """Binary cross-entropy fine-tune of the cross-encoder on NLI pairs.
+
+    ``use_match_features`` (default on) feeds the cross-segment lexical
+    interaction features — entailment-as-containment is exactly the
+    signal they encode, and without them a small from-scratch
+    transformer cannot learn token-identity copy detection (measured:
+    holdout AUC 0.55 on a separable corpus whose lexical-containment
+    oracle is AUC 1.0)."""
     cfg = cfg or EncoderConfig(n_layers=2)
     tok = tokenizer or HashingTokenizer(vocab_size=cfg.vocab_size)
-    model = CrossEncoderReranker(cfg)
+    model = CrossEncoderReranker(cfg, use_match_features=use_match_features)
     rng = np.random.default_rng(seed)
     n = len(premises)
     perm = rng.permutation(n)
     n_hold = max(1, int(n * holdout_fraction))
     hold, train = perm[:n_hold], perm[n_hold:]
 
-    ids = tok.encode_pairs(list(premises), list(hypotheses))
+    # Hypothesis in the query slot, premise in the (long) document slot
+    # — see NliScorer.score_batch; train and serve must agree.
+    ids = tok.encode_pairs(list(hypotheses), list(premises))
     ids = jnp.asarray(ids)
     y = jnp.asarray(labels, jnp.float32)
 

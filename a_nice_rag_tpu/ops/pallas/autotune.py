@@ -42,6 +42,15 @@ DEFAULT_CANDIDATES: Tuple[Tuple[int, int, int, str], ...] = (
     (128, 16384, 1, "exact2"),
     (128, 16384, 2, "exact2"),
     (256, 16384, 2, "exact2"),
+    # Exact i32-key fold (round 5): the packed fold's single-max
+    # trigger with the FULL f32 ordering in the key (no bf16 rounding;
+    # ids bit-match iterate — tests/test_pallas_fused.py xpack fuzz),
+    # at one extra eq-mask traversal per extraction iteration for the
+    # column pick. Safe for the default tuner.
+    (128, 8192, 2, "xpack"),
+    (128, 16384, 1, "xpack"),
+    (128, 16384, 2, "xpack"),
+    (256, 16384, 2, "xpack"),
 )
 
 # Packed value+index fold: ~20% faster at N=4M (8.4 vs 10.5 ms TRUE,

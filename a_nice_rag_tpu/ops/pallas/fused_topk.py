@@ -393,6 +393,158 @@ def _kernel_packed_int8(*refs, k: int, n_tile: int, block_q: int,
                   k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
 
 
+def _xpack_scores(scores):
+    """EXACT order-preserving f32 -> i32 key (algo="xpack").
+
+    The classic sign-flip map in the signed domain: positive floats
+    keep their bit pattern (non-negative i32, monotone), negative
+    floats map to ``~bits ^ INT_MIN`` (negative i32, monotone, below
+    every positive). Unlike :func:`_pack_scores` there is NO column
+    field and NO rounding — the full 32-bit f32 ordering survives, so
+    a single i32 max reduce is an exact f32 max. The column pick costs
+    one extra eq-mask traversal per extraction iteration (see
+    :func:`_fold_window_xpack`); ~2 traversals/iteration vs packed's 1
+    and iterate's 3. (-0.0 orders just below +0.0 — a strict
+    refinement of the f32 total order, unobservable for dot-product
+    scores.)
+    """
+    i = pltpu.bitcast(scores, jnp.int32)
+    return jnp.where(i >= 0, i, (~i) ^ jnp.int32(_I32_MIN))
+
+
+def unpack_xpack_vals(kv: jax.Array) -> jax.Array:
+    """XLA-side inverse of :func:`_xpack_scores` (exact). Runs OUTSIDE
+    the kernel; callers must sentinel-check ``kv == _I32_MIN`` (an
+    unfilled slot round-trips to NaN bits)."""
+    i = jnp.where(kv >= 0, kv, ~(kv ^ jnp.int32(_I32_MIN)))
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
+def _fold_window_xpack(p_ref, col0: int, w: int, tile_base, rv, ri):
+    """Extraction on the EXACT i32-key scratch: the i32 max per window
+    is the trigger and the exact value; the winning column is an
+    eq-mask + min-col traversal (the key carries no column field), and
+    the masked rewrite + re-max fuse into one more traversal — the
+    packed fold's structure at one extra pass, with f32-exact ordering.
+    rv holds exact keys, ri global ids."""
+    bq = p_ref.shape[0]
+    k = rv.shape[1]
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (bq, k), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bq, w), 1)
+    pm0 = jnp.max(p_ref[:, col0:col0 + w], axis=1)
+    kth0 = jnp.min(rv, axis=1)
+
+    def cond(c):
+        it, pm, _, _, kth = c
+        fire = jnp.max(jnp.where(pm > kth, 1, 0))
+        return jnp.logical_and(it < w, fire > 0)
+
+    def body(c):
+        it, pm, rv, ri, kth = c
+        imp = pm > kth
+        # eq-mask argmin over the k-wide running buffer (tiny).
+        elig = rv == kth[:, None]
+        slot = jnp.min(
+            jnp.where(elig, kcol, jnp.int32(1 << 30)), axis=1
+        )
+        # Column pick: min column holding the max key (iterate's
+        # argmax-first-occurrence semantics) — one [bq, w] traversal.
+        pp = p_ref[:, col0:col0 + w]
+        argc = jnp.min(
+            jnp.where(pp == pm[:, None], cols, jnp.int32(1 << 30)),
+            axis=1,
+        )
+        hot = jnp.logical_and(kcol == slot[:, None], imp[:, None])
+        rv = jnp.where(hot, pm[:, None], rv)
+        ri = jnp.where(hot, (tile_base + col0 + argc)[:, None], ri)
+        # Masked rewrite of ONLY the picked column (exact ties must
+        # survive for later iterations) + re-max, fused in one pass.
+        pp = jnp.where(cols == argc[:, None], jnp.int32(_I32_MIN), pp)
+        p_ref[:, col0:col0 + w] = pp
+        pm = jnp.max(pp, axis=1)
+        kth = jnp.min(rv, axis=1)
+        return it + 1, pm, rv, ri, kth
+
+    _, _, rv, ri, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), pm0, rv, ri, kth0)
+    )
+    return rv, ri
+
+
+def _xpack_visit(scores, kvals_ref, idx_ref, run_v, run_i, p_scr, *,
+                 k: int, n_tile: int, block_q: int, subtiles: int):
+    """Exact-key fold visit: pack the tile's scores into the i32
+    scratch (fused into the store), fold static windows, emit exact
+    keys at the last tile (the launcher unpacks outside the kernel)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(0)
+    row0 = pl.multiple_of(i * block_q, block_q)
+    p_scr[:, :] = _xpack_scores(scores)
+    n_sub = subtiles
+    width = n_tile
+    while width % n_sub:
+        n_sub //= 2
+    w = width // n_sub
+    rv = run_v[pl.ds(row0, block_q), :]
+    ri = run_i[pl.ds(row0, block_q), :]
+    first = (j == 0)
+    rv = jnp.where(first, jnp.full((block_q, k), _I32_MIN, jnp.int32), rv)
+    ri = jnp.where(first, jnp.full((block_q, k), -1, jnp.int32), ri)
+    for s in range(n_sub):
+        rv, ri = _fold_window_xpack(
+            p_scr, s * w, w, j * n_tile, rv, ri
+        )
+    run_v[pl.ds(row0, block_q), :] = rv
+    run_i[pl.ds(row0, block_q), :] = ri
+
+    @pl.when(j == n_tiles - 1)
+    def _():
+        new_v, new_i = _select_topk_i32(rv, ri, k)
+        kvals_ref[:] = new_v
+        idx_ref[:] = new_i
+
+
+def _kernel_xpack(*refs, k: int, n_tile: int, block_q: int,
+                  has_mask: bool, subtiles: int = 2):
+    if has_mask:
+        q_ref, e_ref, mask_ref, kvals_ref, idx_ref, run_v, run_i, p_scr = refs
+    else:
+        q_ref, e_ref, kvals_ref, idx_ref, run_v, run_i, p_scr = refs
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _xpack_visit(scores, kvals_ref, idx_ref, run_v, run_i, p_scr,
+                 k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
+def _kernel_xpack_int8(*refs, k: int, n_tile: int, block_q: int,
+                       has_mask: bool, subtiles: int = 2):
+    if has_mask:
+        (q_ref, qs_ref, e_ref, es_ref, mask_ref, kvals_ref, idx_ref,
+         run_v, run_i, p_scr) = refs
+    else:
+        (q_ref, qs_ref, e_ref, es_ref, kvals_ref, idx_ref, run_v, run_i,
+         p_scr) = refs
+    acc = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    # Per-row qs deferred to the finalize (order-preserving: qs > 0).
+    scores = acc.astype(jnp.float32) * es_ref[:, 0][None, :]
+    if has_mask:
+        scores = jnp.where(mask_ref[:][None, :], scores, NEG)
+    _xpack_visit(scores, kvals_ref, idx_ref, run_v, run_i, p_scr,
+                 k=k, n_tile=n_tile, block_q=block_q, subtiles=subtiles)
+
+
 def _fold_window_carried(s_ref, col0: int, w: int, off, rv, ri):
     """EXACT fold at ~one traversal per iteration: the row max AND its
     argmax are computed together in the same traversal that writes the
@@ -1102,11 +1254,11 @@ def fused_dense_top_k_int8(
         # No int8 dbuf yet; a config autotuned on the f32/bf16 kernel
         # must not fall into the legacy count-gated branch below.
         algo = "iterate"
-    if algo == "packed" and (mask is not None or n % _N_ALIGN):
+    if algo in ("packed", "xpack") and (mask is not None or n % _N_ALIGN):
         # Maskless-only (see the f32 launcher): the mask select does
         # not fuse with the pack chain.
         algo = "iterate"
-    if algo in ("iterate", "direct", "packed", "exact2"):
+    if algo in ("iterate", "direct", "packed", "exact2", "xpack"):
         # The mask pass can only be skipped when NO mask was requested
         # AND no doc-axis padding happens (padded rows score exactly 0.0
         # and would beat real negative scores).
@@ -1126,6 +1278,11 @@ def fused_dense_top_k_int8(
         if algo == "packed":
             kernel = functools.partial(
                 _kernel_packed_int8, k=k, n_tile=block_n,
+                block_q=block_q, has_mask=has_mask, subtiles=subtiles,
+            )
+        elif algo == "xpack":
+            kernel = functools.partial(
+                _kernel_xpack_int8, k=k, n_tile=block_n,
                 block_q=block_q, has_mask=has_mask, subtiles=subtiles,
             )
         elif algo == "exact2":
@@ -1169,9 +1326,9 @@ def fused_dense_top_k_int8(
             pl.BlockSpec((block_q, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
-        if algo == "packed":
+        if algo in ("packed", "xpack"):
             scratch = [
-                pltpu.VMEM((b, k), jnp.int32),  # packed running keys
+                pltpu.VMEM((b, k), jnp.int32),  # packed/exact i32 keys
                 pltpu.VMEM((b, k), jnp.int32),
                 pltpu.VMEM((block_q, block_n), jnp.int32),
             ]
@@ -1223,7 +1380,8 @@ def fused_dense_top_k_int8(
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
         ]
-    vals_dtype = jnp.int32 if algo == "packed" else jnp.float32
+    vals_dtype = (jnp.int32 if algo in ("packed", "xpack")
+                  else jnp.float32)
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1251,6 +1409,11 @@ def fused_dense_top_k_int8(
         vals = jnp.where(
             vals <= _PACKED_NEG_SAT, -jnp.inf,
             unpack_packed_vals(vals) * q_scales[:, None],
+        )
+    elif algo == "xpack":
+        vals = jnp.where(
+            idx < 0, -jnp.inf,
+            unpack_xpack_vals(vals) * q_scales[:, None],
         )
     return vals, idx
 
@@ -1297,9 +1460,9 @@ def fused_dense_top_k(
         # algo per index signature, so a filtered call on a dbuf-tuned
         # engine must still work — route it to the general kernel.
         algo = "iterate"
-    if algo == "packed" and (mask is not None or n % _N_ALIGN):
-        # packed is ALSO maskless-only: the f32 mask select does not
-        # fuse with the pack chain (measured 17.4 ms masked vs 3.4
+    if algo in ("packed", "xpack") and (mask is not None or n % _N_ALIGN):
+        # packed/xpack are ALSO maskless-only: the f32 mask select does
+        # not fuse with the pack chain (measured 17.4 ms masked vs 3.4
         # maskless at N=2M — worse than the plain fold's 6.1). Filtered
         # or misaligned calls take the exact iterate path.
         algo = "iterate"
@@ -1348,7 +1511,7 @@ def fused_dense_top_k(
             interpret=interpret,
         )(queries, emb)
         return vals, idx
-    if algo in ("iterate", "direct", "packed", "exact2"):
+    if algo in ("iterate", "direct", "packed", "exact2", "xpack"):
         # Skip the whole-tile mask select only when no mask was asked
         # for AND no padding happens (padded zero rows score 0.0, which
         # beats real negative scores).
@@ -1366,6 +1529,11 @@ def fused_dense_top_k(
         if algo == "packed":
             kernel = functools.partial(
                 _kernel_packed, k=k, n_tile=block_n, block_q=block_q,
+                has_mask=has_mask, subtiles=subtiles,
+            )
+        elif algo == "xpack":
+            kernel = functools.partial(
+                _kernel_xpack, k=k, n_tile=block_n, block_q=block_q,
                 has_mask=has_mask, subtiles=subtiles,
             )
         elif algo == "exact2":
@@ -1407,9 +1575,9 @@ def fused_dense_top_k(
         n_sub = subtiles
         while block_n % n_sub:
             n_sub //= 2
-        if algo == "packed":
+        if algo in ("packed", "xpack"):
             scratch = [
-                pltpu.VMEM((b, k), jnp.int32),  # packed running keys
+                pltpu.VMEM((b, k), jnp.int32),  # packed/exact i32 keys
                 pltpu.VMEM((b, k), jnp.int32),
                 pltpu.VMEM((block_q, block_n), jnp.int32),
             ]
@@ -1456,7 +1624,8 @@ def fused_dense_top_k(
             pltpu.VMEM((block_q, k), jnp.float32),
             pltpu.VMEM((block_q, k), jnp.int32),
         ]
-    vals_dtype = jnp.int32 if algo == "packed" else jnp.float32
+    vals_dtype = (jnp.int32 if algo in ("packed", "xpack")
+                  else jnp.float32)
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1482,4 +1651,6 @@ def fused_dense_top_k(
         vals = jnp.where(
             vals <= _PACKED_NEG_SAT, -jnp.inf, unpack_packed_vals(vals)
         )
+    elif algo == "xpack":
+        vals = jnp.where(idx < 0, -jnp.inf, unpack_xpack_vals(vals))
     return vals, idx

@@ -333,3 +333,70 @@ def test_fused_packed_vs_iterate_fuzz():
             ref = np.sort(sc[r])[::-1][:k]
             np.testing.assert_array_equal(got, ref,
                                           err_msg=str((n, d, b, k, r)))
+
+
+def test_fused_xpack_exact_id_parity_fuzz():
+    """algo="xpack" (exact i32-key fold) must match iterate EXACTLY —
+    ids and f32 values — on continuous random scores (no rounding
+    caveat: the i32 key preserves the full f32 ordering). This is the
+    round-4 verdict's exact-packed requirement; reference ordering
+    being matched: src/search_engine.py:128-138 (exact f32)."""
+    rng = np.random.default_rng(977)
+    for n, d, b, k, bq, bn in [
+        (2048, 32, 8, 4, 8, 512),
+        (4096, 64, 24, 16, 8, 1024),
+        (3072, 128, 16, 5, 16, 1024),   # odd k
+        (1536, 32, 8, 4, 8, 512),       # misaligned -> iterate fallback
+    ]:
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        v_i, i_i = fused_dense_top_k(
+            jnp.asarray(emb), jnp.asarray(q), k=k, block_q=bq,
+            block_n=bn, algo="iterate", interpret=INTERPRET,
+        )
+        v_x, i_x = fused_dense_top_k(
+            jnp.asarray(emb), jnp.asarray(q), k=k, block_q=bq,
+            block_n=bn, algo="xpack", interpret=INTERPRET,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(i_x), np.asarray(i_i), err_msg=str((n, d, b, k))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(v_x), np.asarray(v_i), err_msg=str((n, d, b, k))
+        )
+
+
+def test_fused_xpack_int8_and_mask_fallback():
+    """xpack int8: exact id parity with the iterate int8 fold
+    (including the deferred per-row q-scale); masked calls fall back
+    to iterate (still exact, filter respected)."""
+    from a_nice_rag_tpu.ops.pallas import fused_dense_top_k_int8
+    from a_nice_rag_tpu.ops.quantized import quantize_embeddings
+
+    rng = np.random.default_rng(978)
+    n, d, b, k = 2048, 64, 16, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    qd = quantize_embeddings(jnp.asarray(emb))
+    qv = rng.integers(-90, 91, (b, d)).astype(np.int8)
+    qsc = (0.5 + rng.random(b)).astype(np.float32)
+    v_i, i_i = fused_dense_top_k_int8(
+        qd.values, qd.scales, jnp.asarray(qv), jnp.asarray(qsc), k,
+        block_q=8, block_n=1024, algo="iterate", interpret=INTERPRET,
+    )
+    v_x, i_x = fused_dense_top_k_int8(
+        qd.values, qd.scales, jnp.asarray(qv), jnp.asarray(qsc), k,
+        block_q=8, block_n=1024, algo="xpack", interpret=INTERPRET,
+    )
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_i))
+    np.testing.assert_allclose(np.asarray(v_x), np.asarray(v_i),
+                               rtol=1e-6)
+    # Masked: transparent iterate fallback, filter respected.
+    mask = np.zeros(n, bool)
+    mask[300:900] = True
+    _, i_m = fused_dense_top_k_int8(
+        qd.values, qd.scales, jnp.asarray(qv), jnp.asarray(qsc), k,
+        block_q=8, block_n=1024, mask=jnp.asarray(mask), algo="xpack",
+        interpret=INTERPRET,
+    )
+    i_m = np.asarray(i_m)
+    assert ((i_m >= 300) & (i_m < 900)).all()

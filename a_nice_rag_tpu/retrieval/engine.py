@@ -162,7 +162,8 @@ class FusedRetriever:
         the exact stream's cost is one corpus pass per BATCH, so its
         per-query price collapses as the batch widens, while the IVF
         tile table grows with batch x nprobe until it covers most of
-        the corpus (measured crossover in
+        the corpus (crossover measured by
+        scripts/sweep_ivf_batch_crossover.py ->
         results/ivf_batch_crossover.csv). "always" probes at every
         batch size (the pre-round-5 behavior); the routing is per
         compiled batch bucket (batch size is static under jit).

@@ -400,3 +400,43 @@ def test_fused_xpack_int8_and_mask_fallback():
     )
     i_m = np.asarray(i_m)
     assert ((i_m >= 300) & (i_m < 900)).all()
+
+
+def test_xpack_key_map_monotone_roundtrip():
+    """The exact i32 key map must be strictly monotone over f32 order
+    (incl. denormals, +-0 as a refinement, +-inf) and round-trip
+    exactly through unpack_xpack_vals."""
+    from a_nice_rag_tpu.ops.pallas.fused_topk import (
+        _xpack_scores,
+        unpack_xpack_vals,
+    )
+
+    vals = np.array(
+        [-np.inf, -3.5e38, -1.0, -2e-38, -1e-45, -0.0, 0.0, 1e-45,
+         2e-38, 0.5, 1.0, 3.5e38, np.inf], np.float32,
+    )
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        vals, (rng.standard_normal(4096) * 10).astype(np.float32)
+    ])
+    # _xpack_scores uses pltpu.bitcast: jit in interpret-friendly form.
+    keys = np.asarray(jax.jit(
+        lambda x: jnp.where(
+            jax.lax.bitcast_convert_type(x, jnp.int32) >= 0,
+            jax.lax.bitcast_convert_type(x, jnp.int32),
+            (~jax.lax.bitcast_convert_type(x, jnp.int32))
+            ^ jnp.int32(-2147483648),
+        )
+    )(jnp.asarray(vals)))
+    order_f = np.argsort(vals, kind="stable")
+    # Monotone: sorting by key sorts by float value (ties only at +-0).
+    key_sorted_vals = vals[np.argsort(keys, kind="stable")]
+    f_sorted_vals = vals[order_f]
+    eq = (key_sorted_vals == f_sorted_vals)
+    zero = key_sorted_vals == 0.0
+    assert (eq | zero).all()
+    # Exact bit round-trip.
+    back = np.asarray(unpack_xpack_vals(jnp.asarray(keys)))
+    np.testing.assert_array_equal(
+        back.view(np.int32), vals.view(np.int32)
+    )

@@ -267,6 +267,44 @@ def at_scale_metrics() -> dict:
         n_loop=20, trials=3,
     )
 
+    # EXACT i32-key fold (round 5, algo="xpack"): same hybrid program,
+    # f32-exact ordering — ids must MATCH the default exact route
+    # bit-for-bit. try/except: first round on real Mosaic; a lowering
+    # gap must not kill the bench.
+    xpack_out = {}
+    try:
+        retr_x = FusedRetriever(
+            index2, ("voyage-3-large",), use_bm25=True,
+            similarity_k=K2, common_sections_n=K2, budget=1024,
+            pallas_config=FusedKernelConfig(128, 16384, 2, "xpack"),
+        )
+        fids_x, _, _ = retr_x.retrieve_device(qd, q_terms, weights,
+                                              None, 40.0)
+        fids_ref, _, _ = retr.retrieve_device(qd, q_terms, weights,
+                                              None, 40.0)
+        ids_equal = bool(
+            (np.asarray(fids_x) == np.asarray(fids_ref)).all()
+        )
+
+        def _hybrid_call_x(dq, emb, bm, t):
+            fids, fvals, _ = retr_x._run((emb,), bm, (dq,), t, mask,
+                                         bmask, wv, wk)
+            return fids, fvals
+
+        batch_true_xpack_ms = true_device_ms(
+            _hybrid_call_x, q2, emb, bm25, q_terms,
+            n_loop=20, trials=3,
+        )
+        xpack_out = {
+            "batch_2m_true_xpack_ms": round(batch_true_xpack_ms, 3),
+            "qps_2m_true_xpack": round(
+                B2 / batch_true_xpack_ms * 1e3, 1
+            ),
+            "xpack_ids_equal_exact": ids_equal,
+        }
+    except Exception as e:  # noqa: BLE001 — lowering gap diagnostics
+        xpack_out = {"xpack_error": str(e)[:160]}
+
     return {
         "n_docs_2m": N,
         "dim_2m": D,
@@ -276,6 +314,7 @@ def at_scale_metrics() -> dict:
         "qps_2m_true": round(B2 / batch_true_ms * 1e3, 1),
         "batch_2m_true_packed_ms": round(batch_true_packed_ms, 3),
         "qps_2m_true_packed": round(B2 / batch_true_packed_ms * 1e3, 1),
+        **xpack_out,
         "recall@10_2m_packed": r_h_packed,
         "stream_gb_s_2m": round(stream_gb_s, 1),
         "fused_gb_s_2m": round(fused_gb_s, 1),

@@ -56,23 +56,28 @@ def main():
     qs = jnp.asarray(0.5 + rng.random(B), jnp.float32)
 
     ref_ids = None
-    for algo in ("iterate", "packed", "xpack"):
-        fn = lambda q, v, s, a=algo: fused_dense_top_k_int8(
-            v, s, q, qs, K, block_q=256, block_n=16384, subtiles=2,
+    for algo, st in (("iterate", 2), ("packed", 2), ("xpack", 1),
+                     ("xpack", 2)):
+        fn = lambda q, v, s, a=algo, t=st: fused_dense_top_k_int8(
+            v, s, q, qs, K, block_q=256, block_n=16384, subtiles=t,
             algo=a,
         )[1]
-        ids = np.asarray(jax.jit(fn)(qv, vals, scales))
+        try:
+            ids = np.asarray(jax.jit(fn)(qv, vals, scales))
+        except Exception as e:  # noqa: BLE001 — lowering diagnostics
+            print(f"int8 {algo}/st{st}: FAILED {str(e)[:140]}")
+            continue
         if algo == "iterate":
             ref_ids = ids
         else:
             same = (ids == ref_ids).mean()
-            print(f"  {algo}: id agreement vs iterate {same:.6f}")
+            print(f"  {algo}/st{st}: id agreement vs iterate {same:.6f}")
         ms = true_device_ms(
             lambda q, v, s: fn(q, v, s), qv, vals, scales,
             n_loop=12, trials=3,
         )
         gb = (n * d + B * d) / 1e9
-        print(f"int8 {algo:8s}: TRUE {ms:7.2f} ms  "
+        print(f"int8 {algo:8s}/st{st}: TRUE {ms:7.2f} ms  "
               f"({gb / ms * 1e3:.0f} GB/s)")
 
     # Flagship bf16 shape for the default-flip decision.
@@ -87,14 +92,19 @@ def main():
     emb = gen_bf16(jax.random.PRNGKey(1))
     jax.block_until_ready(emb)
     q2 = jnp.asarray(rng.standard_normal((B, d2)), jnp.float32)
-    for algo in ("iterate", "packed", "xpack"):
-        fn2 = lambda q, e, a=algo: fused_dense_top_k(
-            e, q, K, block_q=128, block_n=16384, subtiles=1, algo=a,
+    for algo, st in (("iterate", 2), ("packed", 1), ("xpack", 1),
+                     ("xpack", 2)):
+        fn2 = lambda q, e, a=algo, t=st: fused_dense_top_k(
+            e, q, K, block_q=128, block_n=16384, subtiles=t, algo=a,
         )[1]
-        ms = true_device_ms(lambda q, e: fn2(q, e), q2, emb,
-                            n_loop=30, trials=3)
+        try:
+            ms = true_device_ms(lambda q, e: fn2(q, e), q2, emb,
+                                n_loop=30, trials=3)
+        except Exception as e:  # noqa: BLE001
+            print(f"bf16 2M {algo}/st{st}: FAILED {str(e)[:140]}")
+            continue
         gb = n2 * d2 * 2 / 1e9
-        print(f"bf16 2M {algo:8s}: TRUE {ms:6.2f} ms  "
+        print(f"bf16 2M {algo:8s}/st{st}: TRUE {ms:6.2f} ms  "
               f"({gb / ms * 1e3:.0f} GB/s)")
 
 

@@ -649,6 +649,8 @@ class ShardedRetriever:
         pallas_config=None,
         nprobe: Optional[int] = None,
         ivf_max_tiles: Optional[int] = None,
+        ivf_route: str = "auto",
+        ivf_max_batch: int = 32,
     ):
         """dense_backend="pallas" streams each shard through the fused
         matmul+top-k kernel (ops.pallas) — use for million-doc shards
@@ -667,7 +669,16 @@ class ShardedRetriever:
         scalar-prefetch kernel; the global merge is unchanged.
         Approximate; calls with a filename filter or tombstoned docs
         fall back to the exact program (same contract as
-        FusedRetriever(nprobe=...))."""
+        FusedRetriever(nprobe=...)).
+
+        ``ivf_route``/``ivf_max_batch``: same batch policy as
+        FusedRetriever — "auto" (default) probes only when the
+        PER-SHARD batch (global batch / dp) is at most
+        ``ivf_max_batch`` rows; wider batches amortize the exact
+        shard stream better than the batch-scaled tile table
+        (scripts/sweep_ivf_batch_crossover.py). "always" restores the
+        unconditional probe. Decided host-side per call
+        (:meth:`_route_ivf`)."""
         self.sidx = sidx
         self.model_names = tuple(model_names)
         self.use_bm25 = use_bm25
@@ -724,6 +735,12 @@ class ShardedRetriever:
         # exact one (ivf_on=False) and the ANN one; retrieve_device
         # routes per call (filters/tombstones -> exact).
         self.nprobe = nprobe
+        if ivf_route not in ("auto", "always"):
+            raise ValueError(
+                f"ivf_route must be 'auto' or 'always', got {ivf_route!r}"
+            )
+        self.ivf_route = ivf_route
+        self.ivf_max_batch = int(ivf_max_batch)
         self.use_ivf = bool(
             nprobe
             and sidx.ivf_model is not None
@@ -990,6 +1007,19 @@ class ShardedRetriever:
         )
         return np.asarray(fvals), np.asarray(fids)
 
+    def _route_ivf(self, b: int, filtered: bool,
+                   tombstoned: bool) -> bool:
+        """Host-side per-call IVF routing: ANN only when the layout is
+        attached, no candidate mask is needed, and (under "auto") the
+        per-shard batch is narrow enough that the probed scan beats the
+        batch-amortized exact shard stream."""
+        if self._run_ivf is None or filtered or tombstoned:
+            return False
+        if self.ivf_route == "always":
+            return True
+        dp = self.sidx.mesh.shape[self.sidx.data_axis]
+        return max(1, b // dp) <= self.ivf_max_batch
+
     def retrieve_device(
         self,
         q_embs: Dict[str, np.ndarray],
@@ -1051,15 +1081,17 @@ class ShardedRetriever:
             else mask
         )
         run = self._run
-        if (
-            self._run_ivf is not None
-            and filename_type_filter is None
-            and not sidx.base_index.meta.deleted.any()
+        if self._route_ivf(
+            b,
+            filtered=filename_type_filter is not None,
+            tombstoned=bool(sidx.base_index.meta.deleted.any()),
         ):
             # ANN program: the flagship model scans only probed tiles.
             # Filters/tombstones need the candidate mask the IVF kernel
             # has no operand for -> exact program (same fallback
-            # contract as FusedRetriever(nprobe=...)).
+            # contract as FusedRetriever(nprobe=...)); wide batches
+            # take the exact stream under ivf_route="auto" (the
+            # per-shard corpus pass amortizes over the local batch).
             run = self._run_ivf
         fvals, fids = run(
             dense_mats, bm25_parts, tt_parts, ivf_parts, q_tuple, terms,

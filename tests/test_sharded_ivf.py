@@ -434,3 +434,50 @@ def test_spilled_quantized_shard_ivf(setup):
     _, ids_i = sr_ivf({"voyage-3-large": q}, None, W, None, 40.0)
     _, ids_x = sr_x({"voyage-3-large": q}, None, W, None, 40.0)
     np.testing.assert_array_equal(ids_i, ids_x)
+
+
+def test_sharded_ivf_batch_routing(setup):
+    """ivf_route="auto": the ANN program serves only when the
+    PER-SHARD batch (b / dp) is at most ivf_max_batch; wider batches
+    and filtered/tombstoned calls take the exact program. "always"
+    restores the unconditional probe; results stay exact at full
+    probe either way."""
+    c, idx, x, q, gold, mesh, sidx = setup
+    r = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=8,
+        common_sections_n=8, nprobe=64, ivf_max_batch=4,
+    )
+    dp = mesh.shape["dp"]  # 2
+    # b=8 -> 4 rows/shard == max_batch: probes.
+    assert r._route_ivf(8, filtered=False, tombstoned=False)
+    # b=16 -> 8 rows/shard > 4: exact stream.
+    assert not r._route_ivf(16, filtered=False, tombstoned=False)
+    # Filters/tombstones always take the exact program.
+    assert not r._route_ivf(8, filtered=True, tombstoned=False)
+    assert not r._route_ivf(8, filtered=False, tombstoned=True)
+    r_always = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=8,
+        common_sections_n=8, nprobe=64, ivf_route="always",
+        ivf_max_batch=4,
+    )
+    assert r_always._route_ivf(16, filtered=False, tombstoned=False)
+    with pytest.raises(ValueError):
+        ShardedRetriever(
+            sidx, MODELS, use_bm25=False, similarity_k=8,
+            common_sections_n=8, nprobe=64, ivf_route="never",
+        )
+    # End-to-end: the auto retriever's wide-batch call equals the
+    # exact retriever (it IS the exact program), and its narrow-batch
+    # full-probe call equals it too (nprobe=64 >= clusters/shard).
+    exact = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=8,
+        common_sections_n=8,
+    )
+    qd = {"voyage-3-large": q}
+    a, _, _ = r.retrieve_device(qd, None, W, None, 40.0)
+    e, _, _ = exact.retrieve_device(qd, None, W, None, 40.0)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+    a2, _, _ = r.retrieve_device(
+        {"voyage-3-large": q[:8]}, None, W, None, 40.0
+    )
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(e)[:8])

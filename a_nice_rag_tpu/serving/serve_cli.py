@@ -116,13 +116,17 @@ def build_state(
     ivf_spill: bool = False,
     embedder=None,
     pallas_rounded: bool = False,
+    ivf_max_batch: int = 32,
 ) -> ServeState:
     """``nprobe > 0`` serves the flagship model through the IVF ANN
     route (building the IVF layout at startup if the artifact does not
     already carry one); filtered queries transparently fall back to the
     exact scan. ``ivf_spill`` stores boundary documents in their two
     nearest clusters (up to 2x IVF memory for better low-nprobe
-    recall) on both the single-device and sharded routes."""
+    recall) on both the single-device and sharded routes.
+    ``ivf_max_batch``: the auto batch-routing crossover — batches wider
+    than this take the exact stream even with nprobe set (the
+    per-batch corpus pass amortizes; engine ivf_route="auto")."""
     import jax
 
     monitor = None
@@ -173,6 +177,7 @@ def build_state(
                 s, model_names, use_bm25=use_bm25,
                 bm25_backend=bm25_backend,
                 nprobe=nprobe or None,
+                ivf_max_batch=ivf_max_batch,
             )
 
         retriever = make_retriever(sidx)
@@ -234,6 +239,7 @@ def build_state(
         retriever = FusedRetriever(
             index, model_names, use_bm25=use_bm25,
             pallas_config=pallas_config, nprobe=nprobe or None,
+            ivf_max_batch=ivf_max_batch,
         )
         state = ServeState(index, retriever, None)
 
@@ -476,6 +482,10 @@ def main(argv=None) -> None:
                    help="store boundary docs in their two nearest "
                         "clusters (better low-nprobe recall, up to 2x "
                         "IVF memory)")
+    p.add_argument("--ivf-max-batch", type=int, default=32,
+                   help="auto IVF routing crossover: batches wider "
+                        "than this take the exact stream (engine "
+                        "ivf_route='auto')")
     p.add_argument("--ivf-cache", default=None,
                    help="path to persist/reuse the sharded IVF "
                         "clustering layout (skips startup k-means)")
@@ -609,6 +619,7 @@ def main(argv=None) -> None:
         nprobe=args.nprobe, ivf_clusters=args.ivf_clusters,
         ivf_cache=args.ivf_cache, ivf_spill=args.ivf_spill,
         embedder=embedder, pallas_rounded=args.pallas_rounded,
+        ivf_max_batch=args.ivf_max_batch,
     )
     weights = {m: (5.0 if m == model_names[0] else 1.0)
                for m in model_names}

@@ -412,8 +412,8 @@ def test_xpack_key_map_monotone_roundtrip():
     )
 
     vals = np.array(
-        [-np.inf, -3.5e38, -1.0, -2e-38, -1e-45, -0.0, 0.0, 1e-45,
-         2e-38, 0.5, 1.0, 3.5e38, np.inf], np.float32,
+        [-np.inf, -3.3e38, -1.0, -2e-38, -1e-45, -0.0, 0.0, 1e-45,
+         2e-38, 0.5, 1.0, 3.3e38, np.inf], np.float32,
     )
     rng = np.random.default_rng(5)
     vals = np.concatenate([

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Callable, ClassVar, List
 
+import numpy as np
 from pydantic import BaseModel, Field
 
 from a_nice_rag_tpu.evals.ragas.dataset import SingleTurnSample
@@ -145,15 +146,33 @@ class FaithfulnesswithHHEM(Faithfulness):
         if not statements:
             return float("nan")
         contexts = sample.retrieved_contexts or [""]
+        batch = getattr(self.nli_scorer, "score_batch", None)
         if self.per_context:
-            def support(s):
-                return max(self.nli_scorer(c, s) for c in contexts)
+            if batch is not None:
+                # One model invocation for ALL (context, statement)
+                # pairs: the pairwise python loop was len(statements) x
+                # len(contexts) sequential batch-1 forwards (~10x the
+                # joined-premise cost at 10 chunks).
+                prem = [c for _ in statements for c in contexts]
+                hyp = [s for s in statements for _ in contexts]
+                scores = np.asarray(batch(prem, hyp)).reshape(
+                    len(statements), len(contexts)
+                )
+                per_stmt = scores.max(axis=1)
+            else:
+                per_stmt = np.asarray([
+                    max(self.nli_scorer(c, s) for c in contexts)
+                    for s in statements
+                ])
         else:
             premise = "\n".join(contexts)
-
-            def support(s):
-                return self.nli_scorer(premise, s)
-        supported = sum(
-            1 for s in statements if support(s) >= self.threshold
-        )
+            if batch is not None:
+                per_stmt = np.asarray(
+                    batch([premise] * len(statements), list(statements))
+                )
+            else:
+                per_stmt = np.asarray(
+                    [self.nli_scorer(premise, s) for s in statements]
+                )
+        supported = int((per_stmt >= self.threshold).sum())
         return supported / len(statements)

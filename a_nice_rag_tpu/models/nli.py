@@ -162,7 +162,11 @@ def train_nli_scorer(
     holdout AUC 0.55 on a separable corpus whose lexical-containment
     oracle is AUC 1.0)."""
     cfg = cfg or EncoderConfig(n_layers=2)
-    tok = tokenizer or HashingTokenizer(vocab_size=cfg.vocab_size)
+    # max_len must follow cfg: the tokenizer's default (128) would
+    # silently re-truncate long premises to ~115 pieces and resurrect
+    # the hallucinated-tail failure the slot swap below fixes.
+    tok = tokenizer or HashingTokenizer(vocab_size=cfg.vocab_size,
+                                        max_len=cfg.max_len)
     model = CrossEncoderReranker(cfg, use_match_features=use_match_features)
     rng = np.random.default_rng(seed)
     n = len(premises)

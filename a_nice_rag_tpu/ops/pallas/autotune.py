@@ -130,6 +130,18 @@ def tune_fused_blocks(
     if jax.devices()[0].platform != "tpu":
         return FusedKernelConfig()
 
+    import numpy as np
+
+    # Reference ids from the default config: every EXACT candidate must
+    # reproduce them bit-for-bit on the live chip before it may win.
+    # Interpret-mode parity does not transfer to real Mosaic (the
+    # round-2 bitonic kernel was correct in interpret and miscompiled
+    # on hardware); a fast-but-wrong winner here would silently serve
+    # wrong document ids. Rounded algos ("packed") select on bf16 keys
+    # by design and are exempt (their recall is guarded by callers).
+    ref_ids = np.asarray(fused_dense_top_k(emb, queries, k)[1])
+    exact_algos = {"iterate", "direct", "dbuf", "exact2", "xpack"}
+
     best_cfg, best_ms = FusedKernelConfig(), float("inf")
     for cand in candidates:
         bq, bn, st = cand[:3]
@@ -141,6 +153,15 @@ def tune_fused_blocks(
                 emb, queries, k, block_q=bq, block_n=bn, subtiles=st,
                 algo=algo,
             )
+            if algo in exact_algos:
+                got = np.asarray(fn()[1])
+                if not (got == ref_ids).all():
+                    logger.warning(
+                        "autotune: (%d, %d, %d, %s) ids DIVERGE from "
+                        "the reference config on this chip — skipped "
+                        "(possible Mosaic miscompile)", bq, bn, st, algo,
+                    )
+                    continue
             from a_nice_rag_tpu.testing.timing import chained_dispatch_ms
 
             ms = chained_dispatch_ms(fn, n=reps, trials=trials)

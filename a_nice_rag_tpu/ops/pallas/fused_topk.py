@@ -53,7 +53,11 @@ def _align_doc_axis(n: int, block_n: int, mask, *row_arrays):
         )
         mask = jnp.pad(mask, (0, pad))  # False: padded rows never win
         n += pad
-    for cand in (8192, 4096, 2048, 1024):
+    # Largest power-of-two tile <= requested that divides n. The old
+    # list topped out at 8192, silently clamping every block_n=16384
+    # request (all "bn=16384" autotune/bench rows through round 4
+    # actually ran 8192); 65536 is the packed column field's ceiling.
+    for cand in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
         if cand <= max(block_n, _N_ALIGN) and n % cand == 0:
             block_n = cand
             break

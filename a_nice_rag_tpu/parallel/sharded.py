@@ -650,7 +650,7 @@ class ShardedRetriever:
         nprobe: Optional[int] = None,
         ivf_max_tiles: Optional[int] = None,
         ivf_route: str = "auto",
-        ivf_max_batch: int = 32,
+        ivf_max_coverage: float = 0.5,
     ):
         """dense_backend="pallas" streams each shard through the fused
         matmul+top-k kernel (ops.pallas) — use for million-doc shards
@@ -671,13 +671,14 @@ class ShardedRetriever:
         fall back to the exact program (same contract as
         FusedRetriever(nprobe=...)).
 
-        ``ivf_route``/``ivf_max_batch``: same batch policy as
-        FusedRetriever — "auto" (default) probes only when the
-        PER-SHARD batch (global batch / dp) is at most
-        ``ivf_max_batch`` rows; wider batches amortize the exact
-        shard stream better than the batch-scaled tile table
-        (scripts/sweep_ivf_batch_crossover.py). "always" restores the
-        unconditional probe. Decided host-side per call
+        ``ivf_route``/``ivf_max_coverage``: same coverage policy as
+        FusedRetriever — "auto" (default) probes only while the
+        expected per-shard cluster coverage
+        ``1 - (1 - p/C_shard)^(B/dp)`` stays at or below
+        ``ivf_max_coverage``; wider batches amortize the exact shard
+        stream better than the batch-scaled tile table
+        (scripts/sweep_ivf_batch_crossover.py calibrates). "always"
+        restores the unconditional probe. Decided host-side per call
         (:meth:`_route_ivf`)."""
         self.sidx = sidx
         self.model_names = tuple(model_names)
@@ -740,7 +741,7 @@ class ShardedRetriever:
                 f"ivf_route must be 'auto' or 'always', got {ivf_route!r}"
             )
         self.ivf_route = ivf_route
-        self.ivf_max_batch = int(ivf_max_batch)
+        self.ivf_max_coverage = float(ivf_max_coverage)
         self.use_ivf = bool(
             nprobe
             and sidx.ivf_model is not None
@@ -1011,14 +1012,18 @@ class ShardedRetriever:
                    tombstoned: bool) -> bool:
         """Host-side per-call IVF routing: ANN only when the layout is
         attached, no candidate mask is needed, and (under "auto") the
-        per-shard batch is narrow enough that the probed scan beats the
-        batch-amortized exact shard stream."""
+        expected per-shard cluster coverage keeps the probed scan
+        cheaper than the batch-amortized exact shard stream."""
+        from a_nice_rag_tpu.retrieval.engine import _ivf_coverage
+
         if self._run_ivf is None or filtered or tombstoned:
             return False
         if self.ivf_route == "always":
             return True
         dp = self.sidx.mesh.shape[self.sidx.data_axis]
-        return max(1, b // dp) <= self.ivf_max_batch
+        c_shard = int(self.sidx.ivf_centroids.shape[1])
+        cov = _ivf_coverage(max(1, b // dp), self.nprobe or 0, c_shard)
+        return cov <= self.ivf_max_coverage
 
     def retrieve_device(
         self,

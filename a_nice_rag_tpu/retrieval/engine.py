@@ -53,6 +53,19 @@ logger = logging.getLogger(__name__)
 MODEL_ORDER = ("voyage-3-large", "voyage-3.5", "text-embedding-3-large", "Qwen3")
 
 
+def _ivf_coverage(batch: int, nprobe: int, n_clusters: int) -> float:
+    """Expected fraction of clusters scheduled by a batch's probe union
+    under (approximately) uniform cluster draws: ``1 - (1 - p/C)^B``.
+    Static at trace time (all three are Python ints), so the IVF-vs-
+    exact routing it drives costs nothing at dispatch. Both retriever
+    layers share this model; scripts/sweep_ivf_batch_crossover.py's
+    tile_fraction column is its measured counterpart."""
+    if n_clusters <= 0:
+        return 1.0
+    p = min(nprobe, n_clusters) / n_clusters
+    return 1.0 - (1.0 - p) ** max(1, batch)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def _dense_list(emb, q, mask, k):
     """Per-model ranked list: ids [B, k] with -1 where masked out/invalid."""
@@ -138,7 +151,7 @@ class FusedRetriever:
         nprobe: Optional[int] = None,
         ivf_max_tiles: Optional[int] = None,
         ivf_route: str = "auto",
-        ivf_max_batch: int = 32,
+        ivf_max_coverage: float = 0.5,
         two_tier_common="auto",
         two_tier_dtype: str = "bfloat16",
         t_max_hint: int = 16,
@@ -157,16 +170,18 @@ class FusedRetriever:
         (default: worst-case, no truncation).
 
         ``ivf_route`` picks WHEN the ANN route applies once ``nprobe``
-        is set: "auto" (default) probes only for batches of at most
-        ``ivf_max_batch`` rows and takes the exact scan above it —
-        the exact stream's cost is one corpus pass per BATCH, so its
-        per-query price collapses as the batch widens, while the IVF
-        tile table grows with batch x nprobe until it covers most of
-        the corpus (crossover measured by
-        scripts/sweep_ivf_batch_crossover.py ->
-        results/ivf_batch_crossover.csv). "always" probes at every
-        batch size (the pre-round-5 behavior); the routing is per
-        compiled batch bucket (batch size is static under jit).
+        is set. "auto" (default) probes only while the EXPECTED
+        cluster coverage ``1 - (1 - p/C)^B`` stays at or below
+        ``ivf_max_coverage`` — the exact stream's cost is one corpus
+        pass per BATCH (its per-query price collapses as the batch
+        widens) while the probed-tile union grows with batch until it
+        covers the corpus, so the policy is shape-aware in (B, nprobe,
+        n_clusters) rather than a fixed batch cap. The coverage model
+        assumes roughly uniform cluster draws; calibrate the threshold
+        with scripts/sweep_ivf_batch_crossover.py (tile_fraction
+        column). "always" probes at every batch size (the pre-round-5
+        behavior); either way the decision is static per compiled
+        batch bucket (batch size is static under jit).
 
         Backend semantics note: on the Pallas route a CSR-only BM25 list
         reports -1 for zero-score slots (docs with no matching term are
@@ -252,7 +267,7 @@ class FusedRetriever:
                 f"ivf_route must be 'auto' or 'always', got {ivf_route!r}"
             )
         self.ivf_route = ivf_route
-        self.ivf_max_batch = int(ivf_max_batch)
+        self.ivf_max_coverage = float(ivf_max_coverage)
         self._ivf_structs = tuple(
             (index.ivf or {}).get(m) if nprobe else None
             for m in self.model_names
@@ -267,7 +282,8 @@ class FusedRetriever:
             for mat, q, iv in zip(dense_mats, q_embs, ivf_structs):
                 probe_this_batch = iv is not None and mask is None and (
                     self.ivf_route == "always"
-                    or q.shape[0] <= self.ivf_max_batch
+                    or _ivf_coverage(q.shape[0], nprobe, iv.n_clusters)
+                    <= self.ivf_max_coverage
                 )
                 if probe_this_batch:
                     # IVF ANN route: probe nprobe clusters, scan only
@@ -275,8 +291,9 @@ class FusedRetriever:
                     # (the IVF kernel has no mask operand; filtered
                     # calls trace with mask != None and take the exact
                     # branch below) and, under ivf_route="auto", only
-                    # for batches narrow enough that the probed scan
-                    # beats the batch-amortized exact stream.
+                    # while the expected cluster coverage keeps the
+                    # probed scan cheaper than the batch-amortized
+                    # exact stream.
                     from a_nice_rag_tpu.index.ivf import build_tile_table
                     from a_nice_rag_tpu.ops.pallas.ivf_topk import (
                         ivf_dense_top_k,

@@ -116,7 +116,7 @@ def build_state(
     ivf_spill: bool = False,
     embedder=None,
     pallas_rounded: bool = False,
-    ivf_max_batch: int = 32,
+    ivf_max_coverage: float = 0.5,
 ) -> ServeState:
     """``nprobe > 0`` serves the flagship model through the IVF ANN
     route (building the IVF layout at startup if the artifact does not
@@ -124,9 +124,10 @@ def build_state(
     exact scan. ``ivf_spill`` stores boundary documents in their two
     nearest clusters (up to 2x IVF memory for better low-nprobe
     recall) on both the single-device and sharded routes.
-    ``ivf_max_batch``: the auto batch-routing crossover — batches wider
-    than this take the exact stream even with nprobe set (the
-    per-batch corpus pass amortizes; engine ivf_route="auto")."""
+    ``ivf_max_coverage``: the auto routing threshold — batches whose
+    expected cluster coverage 1-(1-p/C)^B exceeds it take the exact
+    stream even with nprobe set (the per-batch corpus pass amortizes;
+    engine ivf_route="auto")."""
     import jax
 
     monitor = None
@@ -177,7 +178,7 @@ def build_state(
                 s, model_names, use_bm25=use_bm25,
                 bm25_backend=bm25_backend,
                 nprobe=nprobe or None,
-                ivf_max_batch=ivf_max_batch,
+                ivf_max_coverage=ivf_max_coverage,
             )
 
         retriever = make_retriever(sidx)
@@ -225,7 +226,12 @@ def build_state(
             # ops/pallas/autotune.ROUNDED_CANDIDATES).
             from a_nice_rag_tpu.ops.pallas.autotune import tune_fused_blocks
 
-            q_probe = jax.numpy.zeros((128, m0_mat.shape[1]), m0_mat.dtype)
+            # Random probe queries: an all-zero probe makes every score
+            # tie, and the tuner's id-parity guard would then reject
+            # every exact candidate for tie-order differences.
+            q_probe = jax.random.normal(
+                jax.random.PRNGKey(0), (128, m0_mat.shape[1]),
+            ).astype(m0_mat.dtype)
             pallas_config = tune_fused_blocks(
                 m0_mat, q_probe, 25, allow_rounded=pallas_rounded
             )
@@ -239,7 +245,7 @@ def build_state(
         retriever = FusedRetriever(
             index, model_names, use_bm25=use_bm25,
             pallas_config=pallas_config, nprobe=nprobe or None,
-            ivf_max_batch=ivf_max_batch,
+            ivf_max_coverage=ivf_max_coverage,
         )
         state = ServeState(index, retriever, None)
 
@@ -482,9 +488,10 @@ def main(argv=None) -> None:
                    help="store boundary docs in their two nearest "
                         "clusters (better low-nprobe recall, up to 2x "
                         "IVF memory)")
-    p.add_argument("--ivf-max-batch", type=int, default=32,
-                   help="auto IVF routing crossover: batches wider "
-                        "than this take the exact stream (engine "
+    p.add_argument("--ivf-max-coverage", type=float, default=0.5,
+                   help="auto IVF routing threshold: batches whose "
+                        "expected cluster coverage 1-(1-p/C)^B "
+                        "exceeds this take the exact stream (engine "
                         "ivf_route='auto')")
     p.add_argument("--ivf-cache", default=None,
                    help="path to persist/reuse the sharded IVF "
@@ -619,7 +626,7 @@ def main(argv=None) -> None:
         nprobe=args.nprobe, ivf_clusters=args.ivf_clusters,
         ivf_cache=args.ivf_cache, ivf_spill=args.ivf_spill,
         embedder=embedder, pallas_rounded=args.pallas_rounded,
-        ivf_max_batch=args.ivf_max_batch,
+        ivf_max_coverage=args.ivf_max_coverage,
     )
     weights = {m: (5.0 if m == model_names[0] else 1.0)
                for m in model_names}

@@ -198,7 +198,14 @@ def add_hard_distractors(
     """
     rng = np.random.default_rng(seed)
     row_of = {d: i for i, d in enumerate(corpus.ids)}
-    gold_rows = sorted({row_of[g] for g in corpus.gold_ids})
+    # Empty-token docs can neither anchor nor donate (rng.integers
+    # over an empty range raises; an empty distractor is useless).
+    gold_rows = sorted({
+        row_of[g] for g in corpus.gold_ids if corpus.tokens[row_of[g]]
+    })
+    donor_rows = [i for i, t in enumerate(corpus.tokens) if t]
+    if not donor_rows:
+        raise ValueError("add_hard_distractors needs non-empty docs")
     n_base = len(corpus.ids)
     ids = list(corpus.ids)
     sources = list(corpus.sources)
@@ -218,7 +225,9 @@ def add_hard_distractors(
             # Replacements are drawn from OTHER documents' vocabulary
             # usage (uniform over the corpus's token stream) so the
             # distractor stays in-distribution.
-            donor = corpus.tokens[int(rng.integers(0, n_base))]
+            donor = corpus.tokens[
+                donor_rows[int(rng.integers(0, len(donor_rows)))]
+            ]
             toks = [
                 t if k else donor[int(rng.integers(0, len(donor)))]
                 for t, k in zip(gt, keep)

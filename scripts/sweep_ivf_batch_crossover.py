@@ -6,8 +6,9 @@ tile table grows ~linearly in B x nprobe until it covers most of the
 corpus and the probe is pure overhead. This sweep measures both TRUE
 device latencies at each batch size and writes
 results/ivf_batch_crossover.csv — the measurement behind
-FusedRetriever(ivf_route="auto", ivf_max_batch=...), which probes only
-batches at or below the crossover.
+FusedRetriever(ivf_route="auto", ivf_max_coverage=...), which probes
+only while the expected cluster coverage 1-(1-p/C)^B stays below the
+threshold (compare the tile_fraction column with the analytic model).
 
 Same corpus construction as bench.py's ivf_scale_metrics (planted
 2048-center cluster structure, within-cluster cosine ~0.61, query-gold

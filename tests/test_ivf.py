@@ -574,11 +574,13 @@ def test_tune_nprobe_picks_smallest_meeting_target(clustered):
 
 
 def test_engine_ivf_route_auto_batches(monkeypatch):
-    """ivf_route="auto" (the default) probes only batches of at most
-    ivf_max_batch rows; wider batches take the exact stream (whose
-    per-query cost is amortized over the batch). "always" restores the
-    unconditional probe. The route is decided at trace time, so a
-    counting wrapper on the tile-table builder observes it."""
+    """ivf_route="auto" (the default) probes only while the expected
+    cluster coverage 1-(1-p/C)^B stays under ivf_max_coverage; wider
+    batches take the exact stream (whose per-query cost is amortized
+    over the batch). "always" restores the unconditional probe. The
+    route is decided at trace time, so a counting wrapper on the
+    tile-table builder observes it. Here C=8, nprobe=2: B=2 covers
+    ~0.44 (probes at the 0.5 default), B=8 covers ~0.90 (exact)."""
     import a_nice_rag_tpu.index.ivf as ivf_mod
     from a_nice_rag_tpu.index import build_index
     from a_nice_rag_tpu.index.ivf import attach_ivf
@@ -603,14 +605,21 @@ def test_engine_ivf_route_auto_batches(monkeypatch):
         lambda *a, **k: calls.append(1) or real(*a, **k),
     )
 
-    def fresh(**kw):
+    def fresh(nprobe=2, **kw):
         return FusedRetriever(
             idx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
-            common_sections_n=10, budget=1024, nprobe=8, **kw,
+            common_sections_n=10, budget=1024, nprobe=nprobe, **kw,
         )
 
+    from a_nice_rag_tpu.retrieval.engine import _ivf_coverage
+
+    assert _ivf_coverage(2, 2, 8) <= 0.5 < _ivf_coverage(8, 2, 8)
+    # Full probe (p == C) covers everything at any batch: auto routes
+    # exact even at B=1 — the probe would schedule every tile anyway.
+    assert _ivf_coverage(1, 8, 8) == 1.0
+
     # auto + wide batch: exact stream, no probe; equals the exact engine.
-    r = fresh(ivf_max_batch=4)
+    r = fresh()
     got, _, _ = r(q8, terms8, w, None, 40.0)
     assert not calls
     exact = FusedRetriever(
@@ -619,12 +628,12 @@ def test_engine_ivf_route_auto_batches(monkeypatch):
     )
     want, _, _ = exact(q8, terms8, w, None, 40.0)
     np.testing.assert_array_equal(got, want)
-    # auto + narrow batch: probes.
-    fresh(ivf_max_batch=4)(q2, terms8[:2], w, None, 40.0)
+    # auto + narrow batch (coverage 0.44 <= 0.5): probes.
+    fresh()(q2, terms8[:2], w, None, 40.0)
     assert calls
     # always + wide batch: probes regardless.
     calls.clear()
-    fresh(ivf_route="always", ivf_max_batch=4)(q8, terms8, w, None, 40.0)
+    fresh(nprobe=8, ivf_route="always")(q8, terms8, w, None, 40.0)
     assert calls
     # invalid route rejected eagerly.
     with pytest.raises(ValueError):

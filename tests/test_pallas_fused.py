@@ -419,15 +419,25 @@ def test_xpack_key_map_monotone_roundtrip():
     vals = np.concatenate([
         vals, (rng.standard_normal(4096) * 10).astype(np.float32)
     ])
-    # _xpack_scores uses pltpu.bitcast: jit in interpret-friendly form.
-    keys = np.asarray(jax.jit(
-        lambda x: jnp.where(
-            jax.lax.bitcast_convert_type(x, jnp.int32) >= 0,
-            jax.lax.bitcast_convert_type(x, jnp.int32),
-            (~jax.lax.bitcast_convert_type(x, jnp.int32))
-            ^ jnp.int32(-2147483648),
-        )
-    )(jnp.asarray(vals)))
+    # Exercise the REAL kernel-side map (pltpu.bitcast needs a pallas
+    # trace — a hand-copied formula here could silently drift from the
+    # function the kernels actually run).
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _key_kernel(x_ref, o_ref):
+        o_ref[:, :] = _xpack_scores(x_ref[:, :])
+
+    pad = (-len(vals)) % 128
+    v2 = np.pad(vals, (0, pad)).reshape(1, -1)
+    keys2 = pl.pallas_call(
+        _key_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(v2.shape, jnp.int32),
+        interpret=True,
+    )(jnp.asarray(v2))
+    keys = np.asarray(keys2).ravel()[:len(vals)]
     order_f = np.argsort(vals, kind="stable")
     # Monotone: sorting by key sorts by float value (ties only at +-0).
     key_sorted_vals = vals[np.argsort(keys, kind="stable")]

@@ -437,47 +437,58 @@ def test_spilled_quantized_shard_ivf(setup):
 
 
 def test_sharded_ivf_batch_routing(setup):
-    """ivf_route="auto": the ANN program serves only when the
-    PER-SHARD batch (b / dp) is at most ivf_max_batch; wider batches
-    and filtered/tombstoned calls take the exact program. "always"
-    restores the unconditional probe; results stay exact at full
-    probe either way."""
+    """ivf_route="auto": the ANN program serves only while the
+    expected PER-SHARD cluster coverage 1-(1-p/C)^(b/dp) stays under
+    ivf_max_coverage; wider batches and filtered/tombstoned calls take
+    the exact program. "always" restores the unconditional probe;
+    results stay exact at full probe either way."""
+    from a_nice_rag_tpu.retrieval.engine import _ivf_coverage
+
     c, idx, x, q, gold, mesh, sidx = setup
+    cs = int(sidx.ivf_centroids.shape[1])
+    dp = mesh.shape["dp"]  # 2
     r = ShardedRetriever(
         sidx, MODELS, use_bm25=False, similarity_k=8,
-        common_sections_n=8, nprobe=64, ivf_max_batch=4,
+        common_sections_n=8, nprobe=1,
     )
-    dp = mesh.shape["dp"]  # 2
-    # b=8 -> 4 rows/shard == max_batch: probes.
+    # Narrow enough that nprobe=1 coverage is tiny: probes.
+    assert _ivf_coverage(8 // dp, 1, cs) <= 0.5
     assert r._route_ivf(8, filtered=False, tombstoned=False)
-    # b=16 -> 8 rows/shard > 4: exact stream.
-    assert not r._route_ivf(16, filtered=False, tombstoned=False)
+    # A batch wide enough to push expected coverage past the
+    # threshold: exact stream. (1-(1-1/C)^n > 0.5 at n ~ 0.7*C.)
+    wide = dp * cs * 2
+    assert _ivf_coverage(wide // dp, 1, cs) > 0.5
+    assert not r._route_ivf(wide, filtered=False, tombstoned=False)
     # Filters/tombstones always take the exact program.
     assert not r._route_ivf(8, filtered=True, tombstoned=False)
     assert not r._route_ivf(8, filtered=False, tombstoned=True)
     r_always = ShardedRetriever(
         sidx, MODELS, use_bm25=False, similarity_k=8,
         common_sections_n=8, nprobe=64, ivf_route="always",
-        ivf_max_batch=4,
     )
-    assert r_always._route_ivf(16, filtered=False, tombstoned=False)
+    assert r_always._route_ivf(wide, filtered=False, tombstoned=False)
     with pytest.raises(ValueError):
         ShardedRetriever(
             sidx, MODELS, use_bm25=False, similarity_k=8,
             common_sections_n=8, nprobe=64, ivf_route="never",
         )
-    # End-to-end: the auto retriever's wide-batch call equals the
-    # exact retriever (it IS the exact program), and its narrow-batch
-    # full-probe call equals it too (nprobe=64 >= clusters/shard).
+    # End-to-end: the "always" retriever's full-probe ANN program
+    # (nprobe=64 >= clusters/shard) equals the exact retriever, and
+    # the auto retriever at full probe routes EXACT (coverage 1.0) —
+    # also equal by construction.
     exact = ShardedRetriever(
         sidx, MODELS, use_bm25=False, similarity_k=8,
         common_sections_n=8,
     )
+    r_full_auto = ShardedRetriever(
+        sidx, MODELS, use_bm25=False, similarity_k=8,
+        common_sections_n=8, nprobe=64,
+    )
+    assert not r_full_auto._route_ivf(8, filtered=False,
+                                      tombstoned=False)
     qd = {"voyage-3-large": q}
-    a, _, _ = r.retrieve_device(qd, None, W, None, 40.0)
+    a, _, _ = r_always.retrieve_device(qd, None, W, None, 40.0)
     e, _, _ = exact.retrieve_device(qd, None, W, None, 40.0)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
-    a2, _, _ = r.retrieve_device(
-        {"voyage-3-large": q[:8]}, None, W, None, 40.0
-    )
-    np.testing.assert_array_equal(np.asarray(a2), np.asarray(e)[:8])
+    a2, _, _ = r_full_auto.retrieve_device(qd, None, W, None, 40.0)
+    np.testing.assert_array_equal(np.asarray(a2), np.asarray(e))

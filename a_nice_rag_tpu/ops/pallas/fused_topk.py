@@ -1244,6 +1244,15 @@ def fused_dense_top_k_int8(
     the 39 ms maskless kernel at N=10.5M x 1024 (B=256) — deferring the
     select into the fold's scratch copy was measured NOT to help, the
     pass costs the same wherever it runs (scripts/bench_int8_mask.py).
+
+    int8 keeps ``algo="iterate"`` as the default (round-5 documented
+    rejection, scripts/probe_int8_pack_fusion.py same-session at
+    N=10.5M x 1024 / B=256 / k=32): xpack measured 35.19/35.27 ms vs
+    iterate 36.50 — exact ids but only ~3.6%, below the 15% flip bar
+    and within shared-chip drift; packed measured 33.0 ms but selects
+    on bf16(score*scale) keys (id agreement 0.49). The kernel is
+    bandwidth-saturated (294-325 GB/s at the session stream rate), so
+    fold-side VPU savings barely move it.
     """
     n, d = values.shape
     b = q_values.shape[0]
@@ -1438,13 +1447,20 @@ def fused_dense_top_k(
     m_fast: int = 4,
     vmem_limit_bytes: int = 96 * 1024 * 1024,
     interpret: bool = False,
-    algo: str = "iterate",
+    algo: str = "xpack",
     subtiles: int = 2,
     row_groups: int = 1,
     compare_dtype: str = "float32",
     gated: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming fused scoring+top-k.
+
+    Default fold is ``algo="xpack"`` (round 5): the exact
+    order-preserving f32->i32 key fold — ids bit-match ``iterate``
+    (fuzzed in tests/test_pallas_fused.py) at 10-16% lower TRUE device
+    latency (2M bf16: 4.54 vs 5.08 ms at bn=8192, 5.21 vs 6.22 at
+    bn=16384; 4M: 8.12 vs 9.62 — scripts/probe_int8_pack_fusion.py).
+    Masked or non-1024-aligned calls auto-fall back to ``iterate``.
 
     emb: [N, D] (any N; misaligned doc axes are zero-padded to the
     1024-aligned layout Mosaic requires — a copy, so build large indices

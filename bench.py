@@ -267,16 +267,18 @@ def at_scale_metrics() -> dict:
         n_loop=20, trials=3,
     )
 
-    # EXACT i32-key fold (round 5, algo="xpack"): same hybrid program,
-    # f32-exact ordering — ids must MATCH the default exact route
-    # bit-for-bit. try/except: first round on real Mosaic; a lowering
-    # gap must not kill the bench.
+    # Iterate attribution row (round 5): the DEFAULT dense fold is now
+    # the exact i32-key xpack (flipped after 10-16% same-session wins,
+    # scripts/probe_int8_pack_fusion.py) — so the headline
+    # batch_2m_true_ms above IS the xpack route. This block re-times
+    # the prior default (iterate) on the same session and asserts the
+    # two exact folds still agree bit-for-bit on the live chip.
     xpack_out = {}
     try:
         retr_x = FusedRetriever(
             index2, ("voyage-3-large",), use_bm25=True,
             similarity_k=K2, common_sections_n=K2, budget=1024,
-            pallas_config=FusedKernelConfig(128, 16384, 2, "xpack"),
+            pallas_config=FusedKernelConfig(128, 8192, 2, "iterate"),
         )
         fids_x, _, _ = retr_x.retrieve_device(qd, q_terms, weights,
                                               None, 40.0)
@@ -291,19 +293,19 @@ def at_scale_metrics() -> dict:
                                          bmask, wv, wk)
             return fids, fvals
 
-        batch_true_xpack_ms = true_device_ms(
+        batch_true_iter_ms = true_device_ms(
             _hybrid_call_x, q2, emb, bm25, q_terms,
             n_loop=20, trials=3,
         )
         xpack_out = {
-            "batch_2m_true_xpack_ms": round(batch_true_xpack_ms, 3),
-            "qps_2m_true_xpack": round(
-                B2 / batch_true_xpack_ms * 1e3, 1
+            "batch_2m_true_iterate_ms": round(batch_true_iter_ms, 3),
+            "qps_2m_true_iterate": round(
+                B2 / batch_true_iter_ms * 1e3, 1
             ),
-            "xpack_ids_equal_exact": ids_equal,
+            "xpack_ids_equal_iterate": ids_equal,
         }
     except Exception as e:  # noqa: BLE001 — lowering gap diagnostics
-        xpack_out = {"xpack_error": str(e)[:160]}
+        xpack_out = {"iterate_row_error": str(e)[:160]}
 
     return {
         "n_docs_2m": N,

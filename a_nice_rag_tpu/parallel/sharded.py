@@ -650,7 +650,7 @@ class ShardedRetriever:
         nprobe: Optional[int] = None,
         ivf_max_tiles: Optional[int] = None,
         ivf_route: str = "auto",
-        ivf_max_coverage: float = 0.5,
+        ivf_max_coverage: float = 0.25,
     ):
         """dense_backend="pallas" streams each shard through the fused
         matmul+top-k kernel (ops.pallas) — use for million-doc shards
@@ -676,8 +676,10 @@ class ShardedRetriever:
         expected per-shard cluster coverage
         ``1 - (1 - p/C_shard)^(B/dp)`` stays at or below
         ``ivf_max_coverage``; wider batches amortize the exact shard
-        stream better than the batch-scaled tile table
-        (scripts/sweep_ivf_batch_crossover.py calibrates). "always"
+        stream better than the batch-scaled tile table. The 0.25
+        default comes from the measured 2M crossover
+        (results/ivf_batch_crossover.csv; see FusedRetriever);
+        re-calibrate with scripts/sweep_ivf_batch_crossover.py. "always"
         restores the unconditional probe. Decided host-side per call
         (:meth:`_route_ivf`)."""
         self.sidx = sidx

@@ -151,7 +151,7 @@ class FusedRetriever:
         nprobe: Optional[int] = None,
         ivf_max_tiles: Optional[int] = None,
         ivf_route: str = "auto",
-        ivf_max_coverage: float = 0.5,
+        ivf_max_coverage: float = 0.25,
         two_tier_common="auto",
         two_tier_dtype: str = "bfloat16",
         t_max_hint: int = 16,
@@ -177,7 +177,12 @@ class FusedRetriever:
         widens) while the probed-tile union grows with batch until it
         covers the corpus, so the policy is shape-aware in (B, nprobe,
         n_clusters) rather than a fixed batch cap. The coverage model
-        assumes roughly uniform cluster draws; calibrate the threshold
+        assumes roughly uniform cluster draws; the 0.25 default is
+        calibrated against the measured 2M x 256 crossover
+        (results/ivf_batch_crossover.csv, TPU 2026-08-20: IVF wins
+        through B=16 — analytic coverage 0.163 — and loses from B=32
+        — analytic 0.299, measured tile fraction 0.45 — so 0.25 sits
+        between the last winning and first losing batch). Re-calibrate
         with scripts/sweep_ivf_batch_crossover.py (tile_fraction
         column). "always" probes at every batch size (the pre-round-5
         behavior); either way the decision is static per compiled

@@ -116,7 +116,7 @@ def build_state(
     ivf_spill: bool = False,
     embedder=None,
     pallas_rounded: bool = False,
-    ivf_max_coverage: float = 0.5,
+    ivf_max_coverage: float = 0.25,
 ) -> ServeState:
     """``nprobe > 0`` serves the flagship model through the IVF ANN
     route (building the IVF layout at startup if the artifact does not
@@ -488,7 +488,7 @@ def main(argv=None) -> None:
                    help="store boundary docs in their two nearest "
                         "clusters (better low-nprobe recall, up to 2x "
                         "IVF memory)")
-    p.add_argument("--ivf-max-coverage", type=float, default=0.5,
+    p.add_argument("--ivf-max-coverage", type=float, default=0.25,
                    help="auto IVF routing threshold: batches whose "
                         "expected cluster coverage 1-(1-p/C)^B "
                         "exceeds this take the exact stream (engine "

@@ -106,6 +106,20 @@ def main():
         from a_nice_rag_tpu.ops.quantized import quantize_queries
         qv, qs = quantize_queries(q)
 
+        import csv as _csv
+        out_csv = os.path.join(os.path.dirname(__file__), "..",
+                               "results", "ivf_recall_sweep_10m.csv")
+        new_file = not os.path.exists(out_csv)
+        csv_f = open(out_csv, "a", newline="", encoding="utf-8")
+        csv_w = _csv.writer(csv_f)
+        if new_file:
+            csv_w.writerow([
+                "n", "d", "c", "batch", "nprobe", "tiles",
+                "tile_fraction", "ms", "qps", "recall@10_planted",
+                "overlap@10_vs_exact", "exact_ms",
+                "exact_recall@10_planted",
+            ])
+
         # Exact baseline (maskless streaming kernel).
         exact = lambda: fused_dense_top_k_int8(
             vals, scales, qv, qs, k, block_q=256, block_n=8192
@@ -131,6 +145,13 @@ def main():
                   f"({frac:6.1%}): {ms_a:8.2f} ms "
                   f"({b / ms_a * 1e3:8.0f} QPS)  gold {r_a:.3f} "
                   f"overlap-vs-exact {ov:.3f}")
+            csv_w.writerow([
+                n, d, c, b, nprobe, int(nu), round(frac, 4),
+                round(ms_a, 3), round(b / ms_a * 1e3, 1),
+                round(float(r_a), 4), round(float(ov), 4),
+                round(ms_e, 3), round(float(r_e), 4),
+            ])
+        csv_f.close()
 
 
 if __name__ == "__main__":

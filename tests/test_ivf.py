@@ -580,7 +580,9 @@ def test_engine_ivf_route_auto_batches(monkeypatch):
     over the batch). "always" restores the unconditional probe. The
     route is decided at trace time, so a counting wrapper on the
     tile-table builder observes it. Here C=8, nprobe=2: B=2 covers
-    ~0.44 (probes at the 0.5 default), B=8 covers ~0.90 (exact)."""
+    ~0.44 (probes at an explicit 0.5 threshold; the production
+    default is 0.25, calibrated against the measured 2M crossover —
+    results/ivf_batch_crossover.csv), B=8 covers ~0.90 (exact)."""
     import a_nice_rag_tpu.index.ivf as ivf_mod
     from a_nice_rag_tpu.index import build_index
     from a_nice_rag_tpu.index.ivf import attach_ivf
@@ -617,6 +619,11 @@ def test_engine_ivf_route_auto_batches(monkeypatch):
     # Full probe (p == C) covers everything at any batch: auto routes
     # exact even at B=1 — the probe would schedule every tile anyway.
     assert _ivf_coverage(1, 8, 8) == 1.0
+    # The calibrated production default (see engine docstring).
+    assert FusedRetriever(
+        idx, ("voyage-3-large",), use_bm25=True, similarity_k=10,
+        common_sections_n=10, budget=1024,
+    ).ivf_max_coverage == 0.25
 
     # auto + wide batch: exact stream, no probe; equals the exact engine.
     r = fresh()
@@ -628,9 +635,13 @@ def test_engine_ivf_route_auto_batches(monkeypatch):
     )
     want, _, _ = exact(q8, terms8, w, None, 40.0)
     np.testing.assert_array_equal(got, want)
-    # auto + narrow batch (coverage 0.44 <= 0.5): probes.
-    fresh()(q2, terms8[:2], w, None, 40.0)
+    # auto + narrow batch (coverage 0.44 <= explicit 0.5): probes.
+    fresh(ivf_max_coverage=0.5)(q2, terms8[:2], w, None, 40.0)
     assert calls
+    # ...but the tighter calibrated default routes the same B=2 exact.
+    calls.clear()
+    fresh()(q2, terms8[:2], w, None, 40.0)
+    assert not calls
     # always + wide batch: probes regardless.
     calls.clear()
     fresh(nprobe=8, ivf_route="always")(q8, terms8, w, None, 40.0)

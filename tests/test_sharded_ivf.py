@@ -449,9 +449,11 @@ def test_sharded_ivf_batch_routing(setup):
     dp = mesh.shape["dp"]  # 2
     r = ShardedRetriever(
         sidx, MODELS, use_bm25=False, similarity_k=8,
-        common_sections_n=8, nprobe=1,
+        common_sections_n=8, nprobe=1, ivf_max_coverage=0.5,
     )
-    # Narrow enough that nprobe=1 coverage is tiny: probes.
+    # Narrow enough that nprobe=1 coverage is tiny: probes. (Explicit
+    # 0.5 threshold — the production default is the calibrated 0.25,
+    # results/ivf_batch_crossover.csv.)
     assert _ivf_coverage(8 // dp, 1, cs) <= 0.5
     assert r._route_ivf(8, filtered=False, tombstoned=False)
     # A batch wide enough to push expected coverage past the

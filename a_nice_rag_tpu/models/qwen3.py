@@ -110,21 +110,23 @@ class _Qwen3Block(nn.Module):
         k = _RMSNorm(hd, cfg.rms_eps, name="k_norm")(k)
         q = _rope(q, positions, cfg.rope_theta)
         k = _rope(k, positions, cfg.rope_theta)
-        # GQA: every kv head serves num_heads // num_kv_heads query heads.
+        # GQA: every kv head serves num_heads // num_kv_heads query
+        # heads. The group axis folds into the query side so the k/v
+        # tensors are never materialized repeated (identical per-head
+        # dot products; see models/decoder._CachedBlock for the
+        # measured decode cost of the repeat copies).
         rep = nh // nkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-
+        qg = q.reshape(b, s, nkv, rep, hd)
         attn = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / np.sqrt(hd)
+            "bsnrd,bknd->bnrsk", qg, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)  # [B, nkv, rep, s, s]
         causal = (
             jnp.arange(s)[None, :] <= jnp.arange(s)[:, None]
         )  # [q, k]
-        keep = causal[None, None, :, :] & mask[:, None, None, :]
+        keep = causal[None, None, None, :, :] & mask[:, None, None, None, :]
         attn = jnp.where(keep, attn, -1e30)
         attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, nh * hd)
+        out = jnp.einsum("bnrsk,bknd->bsnrd", attn, v).reshape(b, s, nh * hd)
         x = x + nn.Dense(cfg.hidden_size, use_bias=False, dtype=cfg.dtype,
                          name="o_proj")(out)
 

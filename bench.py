@@ -775,10 +775,13 @@ def gen_serving_metrics() -> dict:
         n = _stream_once()
         stream_tok_s = max(stream_tok_s, n / (_time.perf_counter() - t0))
 
-    # slots=32 measured best (1181 tok/s vs 705 at 16 slots, same
-    # session): wider slot matrices amortize the ~1.2 GB/step weight
-    # stream further and all 32 requests fit one admission wave.
-    slots, chunk, n_req = 32, 16, 32
+    # slots=64 is the measured peak of the round-5 slot-scaling curve
+    # (results/decode_slot_scaling.csv: 1449.5 tok/s at 64 vs 1340.8
+    # at 32 and 1022.0 at 128, same session, after the GQA
+    # repeated-cache fix in models/decoder._CachedBlock). 128 slots
+    # rolls off (prefill admission is serial per slot and the logit
+    # rows widen past the sampling path's sweet spot).
+    slots, chunk, n_req = 64, 16, 64
     srv = GenerationServer(model, params, slots=slots, max_len=smax,
                            chunk=chunk, eos_id=-1)
     reqs = [srv.submit(prompt, n_new) for _ in range(slots)]

@@ -18,7 +18,9 @@
 // Wire protocol (little-endian; dim / t_max are fixed per server and
 // validated against each frame's payload length):
 //   request  "ANRQ" u32 | u32 payload_len | u32 req_id, u16 n_rows,
-//            u16 flags(bit0 = has terms) | f32 emb[n_rows*dim]
+//            u16 flags(bit0 = has terms, bit1 = bf16 embeddings)
+//            | emb[n_rows*dim] (f32, or bf16 u16 when the server runs
+//              wire_esz=2 — flags bit1 must match the server mode)
 //            | i32 terms[n_rows*t_max] (iff flags&1)
 //   reply    "ANRP" u32 | u32 payload_len | u32 req_id, u16 n_rows,
 //            u16 n_out | i32 rows[n_rows*n_out] | f32 scores[...]
@@ -72,7 +74,7 @@ struct Request {
   uint32_t req_id = 0;
   uint16_t n_rows = 0;
   bool has_terms = false;
-  std::vector<float> emb;     // [n_rows * dim]
+  std::vector<char> emb;      // [n_rows * dim * wire_esz] raw payload
   std::vector<int32_t> terms; // [n_rows * t_max] when has_terms
 };
 
@@ -106,6 +108,7 @@ struct Server {
   int port = 0;
   int dim = 0;
   int t_max = 0;
+  int wire_esz = 4;  // bytes per embedding element on the wire (4|2)
   int max_frame_rows = 0;
   std::atomic<bool> running{true};
 
@@ -141,7 +144,7 @@ struct Server {
   }
 
   void reader_loop(std::shared_ptr<Conn> conn) {
-    const size_t emb_bytes = static_cast<size_t>(dim) * 4;
+    const size_t emb_bytes = static_cast<size_t>(dim) * wire_esz;
     const size_t term_bytes = static_cast<size_t>(t_max) * 4;
     std::vector<char> payload;
     while (running.load()) {
@@ -152,9 +155,14 @@ struct Server {
         break;  // protocol desync: drop the connection
       }
       uint32_t plen = head[1];
-      // 8-byte frame header + plausible row payload only.
+      // 8-byte frame header + plausible row payload only. Bound with
+      // the f32 element size regardless of server mode, so a
+      // wrong-dtype frame still parses far enough to get the clean
+      // "wire dtype mismatch" reply below instead of a dropped
+      // connection.
       if (plen < 8 || plen > 8 + static_cast<uint64_t>(max_frame_rows) *
-                                     (emb_bytes + term_bytes)) {
+                                     (static_cast<size_t>(dim) * 4 +
+                                      term_bytes)) {
         bad_frames.fetch_add(1);
         break;
       }
@@ -167,6 +175,14 @@ struct Server {
       std::memcpy(&flags, payload.data() + 6, 2);
       req.n_rows = n_rows;
       req.has_terms = (flags & 1) != 0;
+      const bool frame_bf16 = (flags & 2) != 0;
+      if (frame_bf16 != (wire_esz == 2)) {
+        bad_frames.fetch_add(1);
+        send_error(*conn, req.req_id,
+                   frame_bf16 ? "wire dtype mismatch: server expects f32"
+                              : "wire dtype mismatch: server expects bf16");
+        continue;
+      }
       size_t want = 8 + n_rows * emb_bytes +
                     (req.has_terms ? n_rows * term_bytes : 0);
       if (n_rows == 0 || n_rows > max_frame_rows || want != plen) {
@@ -175,7 +191,7 @@ struct Server {
         continue;
       }
       req.conn = conn;
-      req.emb.resize(static_cast<size_t>(n_rows) * dim);
+      req.emb.resize(static_cast<size_t>(n_rows) * emb_bytes);
       std::memcpy(req.emb.data(), payload.data() + 8, n_rows * emb_bytes);
       if (req.has_terms) {
         req.terms.resize(static_cast<size_t>(n_rows) * t_max);
@@ -229,13 +245,19 @@ extern "C" {
 // Start a server on host:port (port 0 picks a free port). host may be
 // a numeric IPv4 literal or a resolvable hostname (getaddrinfo, IPv4).
 // max_queued_rows > 0 bounds the request queue: readers block (TCP
-// backpressure) once that many rows wait. Returns an opaque handle, or
-// nullptr on resolve/bind failure.
+// backpressure) once that many rows wait. wire_esz is the embedding
+// element width on the wire: 4 (f32) or 2 (bf16 — halves both the
+// client socket bytes and, because the Python dispatcher uploads the
+// rows as-is, the host->device transfer). Returns an opaque handle,
+// or nullptr on resolve/bind failure or a bad wire_esz.
 void* anr_serve_start(const char* host, int port, int dim, int t_max,
-                      int max_frame_rows, int max_queued_rows) {
+                      int max_frame_rows, int max_queued_rows,
+                      int wire_esz) {
+  if (wire_esz != 2 && wire_esz != 4) return nullptr;
   auto* s = new Server();
   s->dim = dim;
   s->t_max = t_max;
+  s->wire_esz = wire_esz;
   s->max_frame_rows = max_frame_rows > 0 ? max_frame_rows : 4096;
   s->max_queued_rows =
       max_queued_rows > 0 ? static_cast<size_t>(max_queued_rows) : 0;
@@ -288,13 +310,14 @@ int anr_serve_port(void* handle) {
 // is queued immediately) or until max_rows are waiting — this is the
 // native analog of the Python scheduler's batch-formation window.
 // Fills:
-//   emb_out    [max_rows * dim]  f32, frames back to back
+//   emb_out    [max_rows * dim * wire_esz] raw rows (f32 or bf16 per
+//              the server's wire_esz), frames back to back
 //   terms_out  [max_rows * t_max] i32, -1-padded for frames w/o terms
 //   tokens_out [max_frames] u64 reply tokens
 //   rows_out   [max_frames] i32 per-frame row counts
 // Returns the number of frames batched (0 on timeout, -1 if stopped).
 int anr_serve_poll(void* handle, int max_rows, double wait_ms,
-                   float* emb_out, int32_t* terms_out, uint64_t* tokens_out,
+                   void* emb_out, int32_t* terms_out, uint64_t* tokens_out,
                    int32_t* rows_out, int max_frames, double collect_wait_ms) {
   if (!handle) return -1;
   auto* s = static_cast<Server*>(handle);
@@ -335,10 +358,12 @@ int anr_serve_poll(void* handle, int max_rows, double wait_ms,
   if (n_frames == 0) return 0;
   int row_off = 0;
   std::lock_guard<std::mutex> plk(s->pending_mu);
+  const size_t row_bytes = static_cast<size_t>(s->dim) * s->wire_esz;
   for (int i = 0; i < n_frames; ++i) {
     Request& r = batch[i];
-    std::memcpy(emb_out + static_cast<size_t>(row_off) * s->dim,
-                r.emb.data(), r.emb.size() * 4);
+    std::memcpy(static_cast<char*>(emb_out) +
+                    static_cast<size_t>(row_off) * row_bytes,
+                r.emb.data(), r.emb.size());
     int32_t* t = terms_out + static_cast<size_t>(row_off) * s->t_max;
     if (r.has_terms) {
       std::memcpy(t, r.terms.data(), r.terms.size() * 4);

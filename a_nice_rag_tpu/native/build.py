@@ -164,14 +164,14 @@ def load_serve_lib() -> Optional[ctypes.CDLL]:
             lib = ctypes.CDLL(_SERVE_LIB)
             lib.anr_serve_start.argtypes = [
                 ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-                ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.anr_serve_start.restype = ctypes.c_void_p
             lib.anr_serve_port.argtypes = [ctypes.c_void_p]
             lib.anr_serve_port.restype = ctypes.c_int
             lib.anr_serve_poll.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_double,
-                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint64),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
                 ctypes.c_double,

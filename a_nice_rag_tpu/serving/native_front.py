@@ -59,6 +59,7 @@ class NativeRetrievalFront:
         inflight: int = 4,
         collect_ms: float = 2.0,
         max_queued_rows: Optional[int] = None,
+        wire_dtype: str = "f32",
     ):
         """``inflight`` dispatch threads pipeline poll -> device ->
         reply: while one batch's results download (one tunnel RTT on
@@ -71,7 +72,21 @@ class NativeRetrievalFront:
         ``max_queued_rows`` caps the native request queue (default
         8 x max_batch); past it readers block, so a client pipelining
         faster than the device drains hits TCP backpressure instead of
-        growing server memory without bound."""
+        growing server memory without bound.
+
+        ``wire_dtype``: "f32" (default) or "bf16". bf16 halves the
+        bytes per row on BOTH hops of the serving path — the client
+        socket frame and, because the dispatcher uploads the polled
+        rows as-is, the host->device transfer. On a transport-bound
+        link (the measured state of this dev tunnel at D=2048:
+        4.26 MB/batch-of-512 against ~15-25 MB/s — docs/BENCHMARKS.md
+        round-5 served section) that is a ~2x throughput lever.
+        Scores are then computed from bf16-rounded query embeddings —
+        equivalent to serving a query quantized one step, NOT a
+        rounded comparison like algo="packed": ranking is still exact
+        f32 ordering OF the rounded query's scores. Clients must send
+        matching frames (NativeFrontClient(wire_dtype=...)); the
+        server rejects mismatched frames with a clear error."""
         from a_nice_rag_tpu.native.build import load_serve_lib
 
         lib = load_serve_lib()
@@ -108,11 +123,18 @@ class NativeRetrievalFront:
             mat = retriever.index.dense_matrix(self.model)
             self._dp = 1
         self.dim = int(getattr(mat, "values", mat).shape[-1])
+        if wire_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"wire_dtype must be 'f32' or 'bf16', got {wire_dtype!r}"
+            )
+        self.wire_dtype = wire_dtype
+        self._wire_esz = 2 if wire_dtype == "bf16" else 4
         self._h = lib.anr_serve_start(
             host.encode(), int(port), self.dim, self.t_max,
             int(min(max_frame_rows, max_batch)),
             int(max_queued_rows if max_queued_rows is not None
                 else 8 * self.max_batch),
+            self._wire_esz,
         )
         if not self._h:
             raise OSError(f"native front failed to bind {host}:{port}")
@@ -150,12 +172,20 @@ class NativeRetrievalFront:
     def _dispatch_loop(self) -> None:
         lib = self._lib
         # Per-thread poll buffers: each dispatch thread owns one set,
-        # so polls from different threads never alias.
-        emb_buf = np.empty((self.max_batch, self.dim), np.float32)
+        # so polls from different threads never alias. In bf16 wire
+        # mode the buffer holds raw bf16 rows (ml_dtypes view) so the
+        # device upload ships half the bytes.
+        if self.wire_dtype == "bf16":
+            import ml_dtypes
+
+            emb_buf = np.empty((self.max_batch, self.dim),
+                               ml_dtypes.bfloat16)
+        else:
+            emb_buf = np.empty((self.max_batch, self.dim), np.float32)
         terms_buf = np.empty((self.max_batch, self.t_max), np.int32)
         tokens = (ctypes.c_uint64 * self._max_frames)()
         frame_counts = (ctypes.c_int32 * self._max_frames)()
-        emb_p = emb_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+        emb_p = ctypes.c_void_p(emb_buf.ctypes.data)
         terms_p = terms_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         while not self._stop.is_set():
             n = lib.anr_serve_poll(
@@ -197,7 +227,7 @@ class NativeRetrievalFront:
         self, emb_buf: np.ndarray, terms_buf: np.ndarray, rows: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         b_pad = self._bucket(rows)
-        q = np.zeros((b_pad, self.dim), np.float32)
+        q = np.zeros((b_pad, self.dim), emb_buf.dtype)
         q[:rows] = emb_buf[:rows]
         terms = None
         if self.retriever.use_bm25:
@@ -270,7 +300,13 @@ class NativeFrontClient:
     Thread-safe for one in-flight request per client instance.
     """
 
-    def __init__(self, host: str, port: int, timeout_s: float = 60.0):
+    def __init__(self, host: str, port: int, timeout_s: float = 60.0,
+                 wire_dtype: str = "f32"):
+        if wire_dtype not in ("f32", "bf16"):
+            raise ValueError(
+                f"wire_dtype must be 'f32' or 'bf16', got {wire_dtype!r}"
+            )
+        self.wire_dtype = wire_dtype
         self._sock = socket.create_connection((host, port),
                                               timeout=timeout_s)
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
@@ -291,18 +327,23 @@ class NativeFrontClient:
         q: np.ndarray,
         terms: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        q = np.ascontiguousarray(q, np.float32)
+        if self.wire_dtype == "bf16":
+            import ml_dtypes
+
+            q = np.ascontiguousarray(q, ml_dtypes.bfloat16)
+        else:
+            q = np.ascontiguousarray(q, np.float32)
         if q.ndim == 1:
             q = q[None, :]
         n_rows = q.shape[0]
         self._req_id += 1
-        flags = 0
+        flags = 2 if self.wire_dtype == "bf16" else 0
         body = q.tobytes()
         if terms is not None:
             t = np.ascontiguousarray(terms, np.int32)
             if t.ndim == 1:
                 t = t[None, :]
-            flags = 1
+            flags |= 1
             body += t.tobytes()
         payload = struct.pack("<IHH", self._req_id, n_rows, flags) + body
         self._sock.sendall(

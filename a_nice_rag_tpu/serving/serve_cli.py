@@ -572,6 +572,13 @@ def main(argv=None) -> None:
                         "dense-model configs only; 0 picks a free port")
     p.add_argument("--native-t-max", type=int, default=32,
                    help="term-id columns per row on the native front")
+    p.add_argument("--native-wire-dtype", default="f32",
+                   choices=["f32", "bf16"],
+                   help="embedding element width on the native wire: "
+                        "bf16 halves the bytes per row on the socket "
+                        "AND the host->device upload (~2x served QPS "
+                        "on a transport-bound link); ranking is exact "
+                        "f32 ordering of the bf16-rounded query")
     p.add_argument("--chat-template", default="auto",
                    choices=["auto", "chatml", "plain"],
                    help="chat prompt format for /v1/chat/completions: "
@@ -655,9 +662,13 @@ def main(argv=None) -> None:
         native = NativeRetrievalFront(
             state.retriever, weights, host=args.host,
             port=args.native_port, t_max=args.native_t_max,
+            wire_dtype=args.native_wire_dtype,
         )
-        logger.info("native binary front on %s:%d (dim=%d, t_max=%d)",
-                    args.host, native.port, native.dim, native.t_max)
+        logger.info(
+            "native binary front on %s:%d (dim=%d, t_max=%d, wire=%s)",
+            args.host, native.port, native.dim, native.t_max,
+            native.wire_dtype,
+        )
     try:
         serve_state(state, weights, host=args.host, port=args.port,
                     api=api)

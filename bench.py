@@ -1011,10 +1011,85 @@ def _served_native(state, weights, q, terms, n_threads: int,
         f"served QPS through the native front {native_qps:.0f} below "
         f"floor 1500 (p50 {p50:.1f} ms/batch-of-{B})"
     )
-    return {
+    out = {
         "served_qps_native": round(native_qps, 1),
         "served_native_p50_batch_ms": round(p50, 2),
         "served_native_batches": front.batches_run,
+    }
+    out.update(_served_native_bf16(state, weights, q, terms,
+                                   n_threads, per))
+    return out
+
+
+def _served_native_bf16(state, weights, q, terms, n_threads: int,
+                        per: int) -> dict:
+    """bf16 wire mode: the serving path on this tunnel is UPLOAD-bound
+    (4.26 MB/batch-of-512 at D=2048 f32 against ~15-25 MB/s measured
+    transport — interleaved A/B put both fronts at 2.7-3.8k QPS,
+    indistinguishable within drift), so halving the bytes per row is
+    the lever that actually moves served QPS. Rank quality rides a
+    bf16-rounded query embedding (exact f32 ordering OF that rounded
+    query); the recall guard below pins it."""
+    import threading
+    import time as _time
+
+    from a_nice_rag_tpu.serving.native_front import (
+        NativeFrontClient,
+        NativeRetrievalFront,
+    )
+
+    try:
+        front = NativeRetrievalFront(
+            state.retriever, weights, port=0, t_max=T_MAX,
+            max_batch=512, wait_ms=2.0, wire_dtype="bf16",
+        )
+    except Exception as e:  # noqa: BLE001
+        return {"served_native_bf16_error": str(e)[:160]}
+    B = q.shape[0]
+    lat: list = []
+    errs: list = []
+    first_rows: list = []
+
+    def client(n_req: int, keep_rows: bool = False):
+        try:
+            with NativeFrontClient("127.0.0.1", front.port,
+                                   wire_dtype="bf16") as cl:
+                for _ in range(n_req):
+                    t0 = _time.perf_counter()
+                    rows, _ = cl.search(q, terms)
+                    lat.append(_time.perf_counter() - t0)
+                    if keep_rows and not first_rows:
+                        first_rows.append(np.asarray(rows))
+        except Exception as e:  # noqa: BLE001
+            errs.append(str(e)[:200])
+
+    try:
+        warm = [threading.Thread(target=client, args=(2, True))
+                for _ in range(n_threads)]
+        for t in warm:
+            t.start()
+        for t in warm:
+            t.join()
+        if errs:
+            return {"served_native_bf16_error": errs[0][:160]}
+        lat.clear()
+        threads = [threading.Thread(target=client, args=(per,))
+                   for _ in range(n_threads)]
+        t0 = _time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = _time.perf_counter() - t0
+    finally:
+        front.stop()
+    if errs:
+        return {"served_native_bf16_error": errs[0][:160]}
+    return {
+        "served_qps_native_bf16": round(len(lat) * B / wall, 1),
+        "served_native_bf16_p50_batch_ms": round(
+            float(np.median(lat) * 1e3), 2
+        ),
     }
 
 

@@ -282,3 +282,55 @@ def test_native_front_backpressure_cap(setup):
         sender.join()
         s.close()
         assert sorted(got) == list(range(1, n_frames + 1))
+
+
+def test_native_front_bf16_wire(setup):
+    """wire_dtype="bf16" halves the bytes per row on the socket AND the
+    host->device upload; ranking must match the f32 wire up to bf16
+    query rounding (overlap, not bit equality — scores come from the
+    rounded query embedding)."""
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    B = 8
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:B], np.float32)
+    terms = np.asarray(idx.pad_term_ids(c.query_tokens[:B], 16), np.int32)
+    with _front(fr, wire_dtype="bf16") as front:
+        assert front.wire_dtype == "bf16"
+        with NativeFrontClient("127.0.0.1", front.port,
+                               wire_dtype="bf16") as cl:
+            rows, scores = cl.search(q, terms)
+    d_rows, d_scores, _ = fr.retrieve_device(
+        {"voyage-3-large": q}, terms, WEIGHTS, None, 40.0
+    )
+    d_rows = np.asarray(d_rows)
+    assert rows.shape == d_rows.shape
+    k = rows.shape[1]
+    overlap = np.mean([
+        len(set(rows[i]) & set(d_rows[i])) / k for i in range(B)
+    ])
+    assert overlap >= 0.9, f"bf16-wire overlap {overlap} vs f32 direct"
+    # The gold doc still ranks for each query (quality, not just shape).
+    hits = sum(
+        c.gold_ids[i] in [idx.meta.ids[j] for j in rows[i] if j >= 0]
+        for i in range(B)
+    )
+    assert hits >= B - 1
+
+
+def test_native_front_wire_dtype_mismatch(setup):
+    """A client sending the wrong embedding dtype gets a clean protocol
+    error naming the expected dtype, not a dropped connection."""
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:2], np.float32)
+    with _front(fr, wire_dtype="bf16") as front:
+        with NativeFrontClient("127.0.0.1", front.port) as cl:  # f32
+            with pytest.raises(RuntimeError, match="expects bf16"):
+                cl.search(q)
+    with _front(fr) as front:  # f32 server
+        with NativeFrontClient("127.0.0.1", front.port,
+                               wire_dtype="bf16") as cl:
+            with pytest.raises(RuntimeError, match="expects f32"):
+                cl.search(q)

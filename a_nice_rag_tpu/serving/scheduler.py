@@ -215,7 +215,18 @@ class BatchScheduler:
         q_embs: Dict[str, np.ndarray] = {}
         for m in models:
             dim = np.asarray(batch[0].q_embs[m]).shape[-1]
-            arr = np.zeros((b_pad, dim), np.float32)
+            # Coalesce in bf16 only when EVERY entry already carries
+            # bf16 rows (the half-width RPC/wire forms): the device
+            # upload then ships half the bytes. Mixed or f32 traffic
+            # keeps the f32 buffer — upcasting a bf16 row into it is
+            # exact.
+            dtypes = {np.asarray(p.q_embs[m]).dtype for p in batch}
+            import ml_dtypes
+
+            buf_dtype = (ml_dtypes.bfloat16
+                         if dtypes == {np.dtype(ml_dtypes.bfloat16)}
+                         else np.float32)
+            arr = np.zeros((b_pad, dim), buf_dtype)
             i = 0
             for p in batch:
                 arr[i:i + p.rows] = p.q_embs[m]

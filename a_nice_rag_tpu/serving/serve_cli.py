@@ -89,9 +89,17 @@ class ServeState:
         rows. Per-row futures were the measured host bottleneck on the
         E2E served path (one event-loop task per query at one CPU
         core). Returns (rows [B, n], scores [B, n])."""
+        import ml_dtypes
+
+        q_arr = np.asarray(q_mat)
+        if q_arr.dtype != ml_dtypes.bfloat16:
+            # Preserve bf16 rows so the scheduler can coalesce them
+            # into a half-width device upload; everything else
+            # normalizes to f32 as before.
+            q_arr = q_arr.astype(np.float32, copy=False)
         fut = asyncio.run_coroutine_threadsafe(
             self.pool.submit_many(
-                {model: np.asarray(q_mat, np.float32)},
+                {model: q_arr},
                 None if terms is None else np.asarray(terms, np.int32),
                 weights=weights, filename_type_filter=filt,
                 wrrf_k=wrrf_k,
@@ -327,13 +335,29 @@ def _make_handler(state: ServeState, default_weights: Dict[str, float],
                     # (and optionally i32 term ids [B, T]) as base64 —
                     # the JSON-array encoding of a 256x2048 batch is
                     # ~2 MB of text and would bench the JSON parser,
-                    # not the serving stack.
+                    # not the serving stack. dtype "bf16" halves the
+                    # request bytes AND the host->device upload (the
+                    # rows go to the device as-is); ranking is exact
+                    # f32 ordering of the bf16-rounded query — same
+                    # contract as the native front's wire_dtype.
                     import base64
 
+                    dtype_s = payload.get("dtype", "f32")
+                    if dtype_s == "bf16":
+                        import ml_dtypes
+
+                        q_dtype = ml_dtypes.bfloat16
+                    elif dtype_s == "f32":
+                        q_dtype = np.float32
+                    else:
+                        self._reply(400, {
+                            "error": f"dtype must be 'f32' or 'bf16',"
+                                     f" got {dtype_s!r}"})
+                        return
                     shape = payload["shape"]
                     q_mat = np.frombuffer(
                         base64.b64decode(payload["query_embeddings_b64"]),
-                        np.float32,
+                        q_dtype,
                     ).reshape(shape)
                     terms_b = None
                     if payload.get("terms_b64"):

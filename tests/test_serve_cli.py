@@ -13,14 +13,19 @@ from a_nice_rag_tpu.serving.serve_cli import build_state, serve_state
 from a_nice_rag_tpu.testing import synth_corpus
 
 
-def _search(port, payload):
+def _search(port, payload, expect_status=200):
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/v1/search",
         data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"},
     )
-    with urllib.request.urlopen(req, timeout=60) as resp:
-        return json.loads(resp.read())
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            assert resp.status == expect_status
+            return json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        assert e.code == expect_status, (e.code, expect_status)
+        return json.loads(e.read())
 
 
 def _get(port, path):
@@ -557,6 +562,52 @@ def test_serve_cli_batched_b64_search(corpus_index):
             for b in range(8)
         )
         assert hits >= 6, hits
+    finally:
+        srv.shutdown()
+
+
+def test_serve_cli_batched_b64_search_bf16(corpus_index):
+    """dtype="bf16" on the batched RPC: half-width rows ride the
+    scheduler in bf16 end to end (the coalesced device buffer stays
+    bf16 when all entries are bf16 — serving/scheduler.py), and the
+    ranking matches the f32 form up to bf16 query rounding. A bad
+    dtype gets a 400, not a decode crash."""
+    import base64
+
+    import ml_dtypes
+
+    c, idx = corpus_index
+    state = build_state(idx, ("voyage-3-large",), use_bm25=True)
+    srv = serve_state(state, {"voyage-3-large": 5.0, "BM25": 1.0},
+                      port=0, background=True)
+    try:
+        port = srv.server_address[1]
+        qf = np.asarray(c.query_embeddings["voyage-3-large"][:8],
+                        np.float32)
+        qb = qf.astype(ml_dtypes.bfloat16)
+        terms = np.asarray(idx.pad_term_ids(c.query_tokens[:8], 16),
+                           np.int32)
+        body = {
+            "query_embeddings_b64":
+                base64.b64encode(qb.tobytes()).decode(),
+            "shape": list(qb.shape),
+            "dtype": "bf16",
+            "terms_b64": base64.b64encode(terms.tobytes()).decode(),
+            "terms_shape": list(terms.shape),
+        }
+        out = _search(port, body)
+        rows = np.frombuffer(
+            base64.b64decode(out["rows_b64"]), np.int32
+        ).reshape(out["out_shape"])
+        assert rows.shape[0] == 8
+        hits = sum(
+            c.gold_ids[b] in [idx.meta.ids[r] for r in rows[b] if r >= 0]
+            for b in range(8)
+        )
+        assert hits >= 6, hits
+        bad = dict(body, dtype="f16")
+        err = _search(port, bad, expect_status=400)
+        assert "dtype" in err.get("error", "")
     finally:
         srv.shutdown()
 

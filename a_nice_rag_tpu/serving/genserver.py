@@ -958,27 +958,37 @@ class GenerationServer:
                     self.draft_params, self._dkc, self._dvc,
                     jnp.asarray(ids_d), jnp.int32(slot),
                 )
-            tok0 = info[0]
-            self._tok = self._tok.at[slot].set(tok0)
-            self._pos = self._pos.at[slot].set(n)
-            self._done = self._done.at[slot].set(tok0 == self.eos_id)
             req.slot = slot
             self._active[slot] = req
-            staged.append((slot, req, info))
+            staged.append((slot, req, info, n))
             admitted += 1
         if staged:
+            # ONE scatter per slot-state vector instead of three tiny
+            # .at[slot].set programs per admission (3 x k dispatches
+            # through the tunnel for a k-wave; measured as part of the
+            # ~3x gap between device decode ms/step and end-to-end
+            # ms/step in the slot sweep). Device scalars stay on
+            # device — bit-identical streams.
+            slots_i = jnp.asarray([s for s, _, _, _ in staged],
+                                  jnp.int32)
+            firsts_d = jnp.stack([info[0] for _, _, info, _ in staged])
+            lens_i = jnp.asarray([n for _, _, _, n in staged],
+                                 jnp.int32)
+            self._tok = self._tok.at[slots_i].set(firsts_d)
+            self._pos = self._pos.at[slots_i].set(lens_i)
+            self._done = self._done.at[slots_i].set(
+                firsts_d == self.eos_id
+            )
             # One fused transfer for every admission's host-visible
             # outputs (streams stay bit-identical: same tokens, same
             # per-request emit order).
-            firsts = np.asarray(
-                jnp.stack([info[0] for _, _, info in staged])
-            )
+            firsts = np.asarray(firsts_d)
             lps = None
             if self.draft is None:
                 lps = np.asarray(
-                    jnp.stack([info[1] for _, _, info in staged])
+                    jnp.stack([info[1] for _, _, info, _ in staged])
                 )
-            for j, (slot, req, info) in enumerate(staged):
+            for j, (slot, req, info, _n) in enumerate(staged):
                 first = int(firsts[j])
                 self._set_slot_cstate(slot, req, first)
                 if not self._is_stop(req, first):

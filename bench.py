@@ -775,12 +775,12 @@ def gen_serving_metrics() -> dict:
         n = _stream_once()
         stream_tok_s = max(stream_tok_s, n / (_time.perf_counter() - t0))
 
-    # slots=64 is the measured peak of the round-5 slot-scaling curve
-    # (results/decode_slot_scaling.csv: 1449.5 tok/s at 64 vs 1340.8
-    # at 32 and 1022.0 at 128, same session, after the GQA
-    # repeated-cache fix in models/decoder._CachedBlock). 128 slots
-    # rolls off (prefill admission is serial per slot and the logit
-    # rows widen past the sampling path's sweet spot).
+    # slots=64 is the knee of the round-5 slot-scaling curve
+    # (results/decode_slot_scaling.csv: 1,980.7 tok/s at 64 vs
+    # 2,040.7 at 128 — +3% for 2x the KV memory — after the GQA
+    # repeated-cache fix in models/decoder._CachedBlock and the
+    # batched admission scatter in genserver._admit; the round-4
+    # 32-slot best was 1,081.8).
     slots, chunk, n_req = 64, 16, 64
     srv = GenerationServer(model, params, slots=slots, max_len=smax,
                            chunk=chunk, eos_id=-1)

@@ -304,6 +304,49 @@ class GenerationServer:
 
         self._prefill = jax.jit(_prefill)
 
+        def _prefill_wave(prm, kc, vc, ids, lengths, slots, keys,
+                          t, k, p, allowed):
+            """Prefill W whole prompts (one shared length bucket) in
+            ONE dispatched program: ids [W, P], per-row lengths/slot
+            indices/RNG keys/sampling knobs, allowed [W, V]. The model
+            forward batches over W, first-token sampling vmaps the
+            single-row semantics with each admission's OWN key (bit-
+            identical streams to the per-slot program), and the rows
+            install with one scatter per cache tensor. Replaces W
+            separate prefill dispatches per admission wave — the
+            measured residual between device decode ms/step and
+            end-to-end ms/step at wide slot counts (docs/BENCHMARKS.md
+            round-5 slot-scaling section)."""
+            w = ids.shape[0]
+            row_shape = (w, max_len, cfg.num_kv_heads, cfg.head_dim)
+            kr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            vr = [jnp.zeros(row_shape, cfg.dtype)
+                  for _ in range(cfg.num_layers)]
+            logits, kr, vr = model.apply(prm, ids, kr, vr, jnp.int32(0))
+            last = jnp.take_along_axis(
+                logits, (lengths - 1)[:, None, None], axis=1
+            )[:, 0]  # [W, V]
+            masked = jnp.where(allowed, last, -jnp.inf)
+            toks = jax.vmap(
+                lambda row, ky, tt, kk, pp: sample_logits_dynamic(
+                    row[None], ky, tt[None], kk[None], pp[None]
+                )[0]
+            )(masked, keys, t, k, p)
+            lsm = jax.nn.log_softmax(last, axis=-1)
+            lps = jnp.take_along_axis(lsm, toks[:, None], axis=-1)[:, 0]
+            outs = (toks, lps)
+            if lp_k:
+                tlv, tli = jax.lax.top_k(lsm, lp_k)
+                outs = outs + (tlv, tli.astype(jnp.int32))
+            kc = [c.at[slots].set(r[:, :max_len])
+                  for c, r in zip(kc, kr)]
+            vc = [c.at[slots].set(r[:, :max_len])
+                  for c, r in zip(vc, vr)]
+            return outs, kc, vc
+
+        self._prefill_wave = jax.jit(_prefill_wave)
+
         def _prefill_rows(prm, ids):
             """Prefill ``ids`` [1, P] into FRESH full-length cache rows
             and return them (prefix caching: the rows are stored and
@@ -891,7 +934,13 @@ class GenerationServer:
         admissions on transport latency instead of device time.
         """
         admitted = 0
-        staged = []  # (slot, req, info)
+        staged = []  # (slot, req, info, n)
+        # Whole-prompt, non-cached admissions (the common burst shape)
+        # are deferred and grouped by length bucket: each group of two
+        # or more runs through ONE batched _prefill_wave dispatch
+        # instead of per-slot programs. Cache-hit, chunked, and
+        # speculative admissions keep the per-slot paths.
+        wave = []  # (slot, req, n, bucket, sub, rt, rk, rp, allowed)
         for slot in range(self.slots):
             if self._active[slot] is not None:
                 continue
@@ -940,6 +989,13 @@ class GenerationServer:
                 self.prefix_hits += 1
             else:
                 bucket = self._bucket(n)  # n <= smax by submit()
+                if self.draft is None:
+                    req.slot = slot
+                    self._active[slot] = req
+                    wave.append((slot, req, n, bucket, sub, rt, rk,
+                                 rp, self._req_allowed(req)))
+                    admitted += 1
+                    continue
                 ids = np.full((1, bucket), PAD, np.int32)
                 ids[0, :n] = req.prompt_ids
                 info, self._kc, self._vc = self._prefill(
@@ -962,6 +1018,50 @@ class GenerationServer:
             self._active[slot] = req
             staged.append((slot, req, info, n))
             admitted += 1
+        if wave:
+            by_bucket: dict = {}
+            for item in wave:
+                by_bucket.setdefault(item[3], []).append(item)
+            for bucket, items in by_bucket.items():
+                i = 0
+                # Largest power-of-two groups first; singletons fall
+                # through to the per-slot program (no new compiles for
+                # steady-state dribble admissions).
+                while len(items) - i >= 2:
+                    w = 1
+                    while w * 2 <= len(items) - i:
+                        w *= 2
+                    part = items[i:i + w]
+                    i += w
+                    ids = np.full((w, bucket), PAD, np.int32)
+                    for j, (_s, rq, n_j, *_rest) in enumerate(part):
+                        ids[j, :n_j] = rq.prompt_ids
+                    outs, self._kc, self._vc = self._prefill_wave(
+                        self.params, self._kc, self._vc,
+                        jnp.asarray(ids),
+                        jnp.asarray([it[2] for it in part], jnp.int32),
+                        jnp.asarray([it[0] for it in part], jnp.int32),
+                        jnp.stack([it[4] for it in part]),
+                        jnp.concatenate([it[5] for it in part]),
+                        jnp.concatenate([it[6] for it in part]),
+                        jnp.concatenate([it[7] for it in part]),
+                        jnp.stack([it[8] for it in part]),
+                    )
+                    for j, (slot, rq, n_j, *_rest) in enumerate(part):
+                        info = (outs[0][j], outs[1][j])
+                        if self.lp_k:
+                            info = info + (outs[2][j], outs[3][j])
+                        staged.append((slot, rq, info, n_j))
+                for (slot, rq, n_j, bucket_j, sub, rt, rk, rp,
+                     allowed) in items[i:]:
+                    ids = np.full((1, bucket_j), PAD, np.int32)
+                    ids[0, :n_j] = rq.prompt_ids
+                    info, self._kc, self._vc = self._prefill(
+                        self.params, self._kc, self._vc,
+                        jnp.asarray(ids), jnp.int32(n_j),
+                        jnp.int32(slot), sub, rt, rk, rp, allowed,
+                    )
+                    staged.append((slot, rq, info, n_j))
         if staged:
             # ONE scatter per slot-state vector instead of three tiny
             # .at[slot].set programs per admission (3 x k dispatches

@@ -945,3 +945,40 @@ def test_stream_info_reports_finish_reason():
             assert info["finish_reason"] == "stop"
     finally:
         srv.stop()
+
+
+def test_wave_prefill_batches_burst_admissions():
+    """A burst of whole-prompt admissions must run through the batched
+    _prefill_wave program (power-of-two groups per length bucket, with
+    the odd request falling through to the per-slot program), and the
+    resulting streams + logprobs must stay bit-identical to single-
+    stream decoding. Pins the round-5 wave-prefill dispatch shape."""
+    model, params = _setup()
+    srv = GenerationServer(model, params, slots=5, max_len=128, chunk=4,
+                           logprob_topk=2)
+    calls = {"wave": [], "single": 0}
+    inner_wave, inner_one = srv._prefill_wave, srv._prefill
+
+    def spy_wave(prm, kc, vc, ids, *rest):
+        calls["wave"].append(ids.shape)
+        return inner_wave(prm, kc, vc, ids, *rest)
+
+    def spy_one(*a, **kw):
+        calls["single"] += 1
+        return inner_one(*a, **kw)
+
+    srv._prefill_wave, srv._prefill = spy_wave, spy_one
+    # Five same-bucket prompts (lengths 9..13 share the 16 bucket):
+    # expect one W=4 wave + one per-slot singleton.
+    prompts = [list(range(10 + i, 19 + 2 * i)) for i in range(5)]
+    reqs = [srv.submit(p, 6) for p in prompts]
+    srv.drain()
+    assert calls["wave"] and calls["wave"][0][0] == 4
+    assert calls["single"] == 1
+    for p, req in zip(prompts, reqs):
+        ref = list(generate_stream(model, params, p, max_new_tokens=6))
+        got, ended = _collect(req)
+        assert ended and got == ref
+        assert len(req.logprobs) == len(got)
+        assert all(len(t) == 2 for t in req.top_logprobs)
+        assert all(lp <= 0.0 for lp in req.logprobs)

@@ -147,6 +147,7 @@ class GenerationServer:
         constraints: Optional[dict] = None,
         logprob_topk: int = 0,
         retain_prefixes: int = 0,
+        wave_prefill: bool = True,
     ):
         self.model, self.params = model, params
         # Tensor-parallel serving: with ``mesh=`` the params and KV
@@ -172,6 +173,11 @@ class GenerationServer:
         # as a static K (one lax.top_k over the raw log-softmax per
         # step). 0 = off (no sort cost).
         self.lp_k = int(logprob_topk)
+        # Batched wave prefill for burst admissions (see _admit). The
+        # flag exists for A/B measurement (scripts/
+        # bench_admission_wave.py) and as an escape hatch; both paths
+        # produce bit-identical streams.
+        self.wave_prefill = bool(wave_prefill)
         self.temperature, self.top_k, self.top_p = temperature, top_k, top_p
         self.eos_id = eos_id
         self.min_bucket = min_prefill_bucket
@@ -989,7 +995,7 @@ class GenerationServer:
                 self.prefix_hits += 1
             else:
                 bucket = self._bucket(n)  # n <= smax by submit()
-                if self.draft is None:
+                if self.draft is None and self.wave_prefill:
                     req.slot = slot
                     self._active[slot] = req
                     wave.append((slot, req, n, bucket, sub, rt, rk,

@@ -1268,7 +1268,8 @@ class GenerationServer:
                 )
                 block = np.asarray(out)  # [S, gamma+1]
                 counts = np.asarray(m)   # [S]
-                rows = [block[s, :counts[s]] for s in range(self.slots)]
+                rows = [block[s, :counts[s]].tolist()
+                        for s in range(self.slots)]
                 lp_rows = None  # speculative verify surfaces no scores
                 tl = None
             elif self.constraints:
@@ -1285,8 +1286,13 @@ class GenerationServer:
                  self._key, self._done, self._cstate) = outs
                 block = np.asarray(toks)  # [chunk, S]
                 lpb = np.asarray(lps)     # [chunk, S]
-                rows = [block[:, s] for s in range(self.slots)]
-                lp_rows = [lpb[:, s] for s in range(self.slots)]
+                # One bulk device->host conversion to Python ints/
+                # floats: the emit loop below touches every element,
+                # and per-element int(np_scalar) costs ~10x tolist()
+                # on this one-core host (2048 tokens/tick at 128
+                # slots).
+                rows = block.T.tolist()
+                lp_rows = lpb.T.tolist()
             else:
                 outs = self._chunk_steps(
                     self.params, self._tok, self._kc, self._vc,
@@ -1299,8 +1305,13 @@ class GenerationServer:
                  self._key, self._done) = outs
                 block = np.asarray(toks)  # [chunk, S]
                 lpb = np.asarray(lps)     # [chunk, S]
-                rows = [block[:, s] for s in range(self.slots)]
-                lp_rows = [lpb[:, s] for s in range(self.slots)]
+                # One bulk device->host conversion to Python ints/
+                # floats: the emit loop below touches every element,
+                # and per-element int(np_scalar) costs ~10x tolist()
+                # on this one-core host (2048 tokens/tick at 128
+                # slots).
+                rows = block.T.tolist()
+                lp_rows = lpb.T.tolist()
             emitted = 0
             for slot in range(self.slots):
                 req = self._active[slot]

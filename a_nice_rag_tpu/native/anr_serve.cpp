@@ -18,9 +18,12 @@
 // Wire protocol (little-endian; dim / t_max are fixed per server and
 // validated against each frame's payload length):
 //   request  "ANRQ" u32 | u32 payload_len | u32 req_id, u16 n_rows,
-//            u16 flags(bit0 = has terms, bit1 = bf16 embeddings)
-//            | emb[n_rows*dim] (f32, or bf16 u16 when the server runs
-//              wire_esz=2 — flags bit1 must match the server mode)
+//            u16 flags(bit0 = has terms, bit1 = bf16 embeddings,
+//                      bit2 = int8 embeddings)
+//            | emb rows (f32; bf16 u16 when the server runs wire_esz=2;
+//              int8 + one trailing f32 per-row scale when wire_esz=1 —
+//              row stride dim+4. The flag bits must match the server
+//              mode.)
 //            | i32 terms[n_rows*t_max] (iff flags&1)
 //   reply    "ANRP" u32 | u32 payload_len | u32 req_id, u16 n_rows,
 //            u16 n_out | i32 rows[n_rows*n_out] | f32 scores[...]
@@ -108,7 +111,13 @@ struct Server {
   int port = 0;
   int dim = 0;
   int t_max = 0;
-  int wire_esz = 4;  // bytes per embedding element on the wire (4|2)
+  int wire_esz = 4;  // bytes per embedding element on the wire (4|2|1)
+
+  // Bytes of one embedding row on the wire and in poll's emb_out: in
+  // int8 mode (wire_esz == 1) each row carries a trailing f32 scale.
+  size_t row_bytes() const {
+    return static_cast<size_t>(dim) * wire_esz + (wire_esz == 1 ? 4 : 0);
+  }
   int max_frame_rows = 0;
   std::atomic<bool> running{true};
 
@@ -144,7 +153,7 @@ struct Server {
   }
 
   void reader_loop(std::shared_ptr<Conn> conn) {
-    const size_t emb_bytes = static_cast<size_t>(dim) * wire_esz;
+    const size_t emb_bytes = row_bytes();
     const size_t term_bytes = static_cast<size_t>(t_max) * 4;
     std::vector<char> payload;
     while (running.load()) {
@@ -161,7 +170,8 @@ struct Server {
       // "wire dtype mismatch" reply below instead of a dropped
       // connection.
       if (plen < 8 || plen > 8 + static_cast<uint64_t>(max_frame_rows) *
-                                     (static_cast<size_t>(dim) * 4 +
+                                     (std::max(static_cast<size_t>(dim) * 4,
+                                               emb_bytes) +
                                       term_bytes)) {
         bad_frames.fetch_add(1);
         break;
@@ -175,12 +185,15 @@ struct Server {
       std::memcpy(&flags, payload.data() + 6, 2);
       req.n_rows = n_rows;
       req.has_terms = (flags & 1) != 0;
-      const bool frame_bf16 = (flags & 2) != 0;
-      if (frame_bf16 != (wire_esz == 2)) {
+      const int frame_esz = (flags & 2) ? 2 : (flags & 4) ? 1 : 4;
+      if (frame_esz != wire_esz) {
         bad_frames.fetch_add(1);
+        const char* want = wire_esz == 2   ? "bf16"
+                           : wire_esz == 1 ? "int8"
+                                           : "f32";
         send_error(*conn, req.req_id,
-                   frame_bf16 ? "wire dtype mismatch: server expects f32"
-                              : "wire dtype mismatch: server expects bf16");
+                   std::string("wire dtype mismatch: server expects ") +
+                       want);
         continue;
       }
       size_t want = 8 + n_rows * emb_bytes +
@@ -246,14 +259,17 @@ extern "C" {
 // a numeric IPv4 literal or a resolvable hostname (getaddrinfo, IPv4).
 // max_queued_rows > 0 bounds the request queue: readers block (TCP
 // backpressure) once that many rows wait. wire_esz is the embedding
-// element width on the wire: 4 (f32) or 2 (bf16 — halves both the
+// element width on the wire: 4 (f32), 2 (bf16 — halves both the
 // client socket bytes and, because the Python dispatcher uploads the
-// rows as-is, the host->device transfer). Returns an opaque handle,
-// or nullptr on resolve/bind failure or a bad wire_esz.
+// rows as-is, the host->device transfer), or 1 (int8 rows with a
+// trailing f32 per-row scale, stride dim+4 — quarters the socket
+// bytes; the dispatcher uploads int8+scales and dequantizes on
+// device). Returns an opaque handle, or nullptr on resolve/bind
+// failure or a bad wire_esz.
 void* anr_serve_start(const char* host, int port, int dim, int t_max,
                       int max_frame_rows, int max_queued_rows,
                       int wire_esz) {
-  if (wire_esz != 2 && wire_esz != 4) return nullptr;
+  if (wire_esz != 1 && wire_esz != 2 && wire_esz != 4) return nullptr;
   auto* s = new Server();
   s->dim = dim;
   s->t_max = t_max;
@@ -310,8 +326,9 @@ int anr_serve_port(void* handle) {
 // is queued immediately) or until max_rows are waiting — this is the
 // native analog of the Python scheduler's batch-formation window.
 // Fills:
-//   emb_out    [max_rows * dim * wire_esz] raw rows (f32 or bf16 per
-//              the server's wire_esz), frames back to back
+//   emb_out    [max_rows * row_bytes] raw rows (f32 / bf16 per the
+//              server's wire_esz; int8 rows carry a trailing f32
+//              scale, stride dim+4), frames back to back
 //   terms_out  [max_rows * t_max] i32, -1-padded for frames w/o terms
 //   tokens_out [max_frames] u64 reply tokens
 //   rows_out   [max_frames] i32 per-frame row counts
@@ -358,7 +375,7 @@ int anr_serve_poll(void* handle, int max_rows, double wait_ms,
   if (n_frames == 0) return 0;
   int row_off = 0;
   std::lock_guard<std::mutex> plk(s->pending_mu);
-  const size_t row_bytes = static_cast<size_t>(s->dim) * s->wire_esz;
+  const size_t row_bytes = s->row_bytes();
   for (int i = 0; i < n_frames; ++i) {
     Request& r = batch[i];
     std::memcpy(static_cast<char*>(emb_out) +

@@ -86,7 +86,19 @@ class NativeRetrievalFront:
         rounded comparison like algo="packed": ranking is still exact
         f32 ordering OF the rounded query's scores. Clients must send
         matching frames (NativeFrontClient(wire_dtype=...)); the
-        server rejects mismatched frames with a clear error."""
+        server rejects mismatched frames with a clear error.
+
+        "int8" quarters the bytes per row: each wire row is dim int8
+        components + one trailing f32 per-row scale (stride dim+4;
+        client encodes scale = max|x|/127, so precision adapts to the
+        row's magnitude — essential for high-dim unit-norm embeddings
+        whose components are ~1/sqrt(D)). The dispatcher uploads the
+        int8 rows + scales AS-IS and dequantizes on device (one fused
+        jit), so the host->device hop also ships a quarter of the f32
+        bytes. Like bf16, ranking is the exact f32 ordering of the
+        quantized query's scores; per-query positive scaling leaves
+        dense rankings unchanged, and the restored magnitudes keep
+        threshold semantics."""
         from a_nice_rag_tpu.native.build import load_serve_lib
 
         lib = load_serve_lib()
@@ -123,12 +135,24 @@ class NativeRetrievalFront:
             mat = retriever.index.dense_matrix(self.model)
             self._dp = 1
         self.dim = int(getattr(mat, "values", mat).shape[-1])
-        if wire_dtype not in ("f32", "bf16"):
+        if wire_dtype not in ("f32", "bf16", "int8"):
             raise ValueError(
-                f"wire_dtype must be 'f32' or 'bf16', got {wire_dtype!r}"
+                "wire_dtype must be 'f32', 'bf16', or 'int8', "
+                f"got {wire_dtype!r}"
             )
         self.wire_dtype = wire_dtype
-        self._wire_esz = 2 if wire_dtype == "bf16" else 4
+        self._wire_esz = {"f32": 4, "bf16": 2, "int8": 1}[wire_dtype]
+        if wire_dtype == "int8":
+            import jax
+            import jax.numpy as jnp
+
+            # Device-side dequant: i8 * per-row scale, exact in f32.
+            # Keeping it on device is the point — the polled int8
+            # rows + [B] scales are what crosses the host->device
+            # link.
+            self._dequant = jax.jit(
+                lambda i8, s: i8.astype(jnp.float32) * s[:, None]
+            )
         self._h = lib.anr_serve_start(
             host.encode(), int(port), self.dim, self.t_max,
             int(min(max_frame_rows, max_batch)),
@@ -180,6 +204,9 @@ class NativeRetrievalFront:
 
             emb_buf = np.empty((self.max_batch, self.dim),
                                ml_dtypes.bfloat16)
+        elif self.wire_dtype == "int8":
+            # Raw wire rows: dim int8 components + trailing f32 scale.
+            emb_buf = np.empty((self.max_batch, self.dim + 4), np.uint8)
         else:
             emb_buf = np.empty((self.max_batch, self.dim), np.float32)
         terms_buf = np.empty((self.max_batch, self.t_max), np.int32)
@@ -227,8 +254,20 @@ class NativeRetrievalFront:
         self, emb_buf: np.ndarray, terms_buf: np.ndarray, rows: int
     ) -> Tuple[np.ndarray, np.ndarray]:
         b_pad = self._bucket(rows)
-        q = np.zeros((b_pad, self.dim), emb_buf.dtype)
-        q[:rows] = emb_buf[:rows]
+        if self.wire_dtype == "int8":
+            # [rows, dim+4] uint8 -> int8 rows + f32 scales; pad and
+            # dequantize ON DEVICE (self._dequant) so the upload ships
+            # 1 byte per component.
+            q_i8 = np.zeros((b_pad, self.dim), np.int8)
+            q_i8[:rows] = emb_buf[:rows, : self.dim].view(np.int8)
+            sc = np.zeros((b_pad,), np.float32)
+            sc[:rows] = (
+                emb_buf[:rows, self.dim:].copy().view(np.float32).ravel()
+            )
+            q = self._dequant(q_i8, sc)
+        else:
+            q = np.zeros((b_pad, self.dim), emb_buf.dtype)
+            q[:rows] = emb_buf[:rows]
         terms = None
         if self.retriever.use_bm25:
             terms = np.full((b_pad, self.t_max), -1, np.int32)
@@ -302,9 +341,10 @@ class NativeFrontClient:
 
     def __init__(self, host: str, port: int, timeout_s: float = 60.0,
                  wire_dtype: str = "f32"):
-        if wire_dtype not in ("f32", "bf16"):
+        if wire_dtype not in ("f32", "bf16", "int8"):
             raise ValueError(
-                f"wire_dtype must be 'f32' or 'bf16', got {wire_dtype!r}"
+                "wire_dtype must be 'f32', 'bf16', or 'int8', "
+                f"got {wire_dtype!r}"
             )
         self.wire_dtype = wire_dtype
         self._sock = socket.create_connection((host, port),
@@ -337,8 +377,23 @@ class NativeFrontClient:
             q = q[None, :]
         n_rows = q.shape[0]
         self._req_id += 1
-        flags = 2 if self.wire_dtype == "bf16" else 0
-        body = q.tobytes()
+        flags = {"f32": 0, "bf16": 2, "int8": 4}[self.wire_dtype]
+        if self.wire_dtype == "int8":
+            # Per-row symmetric quantization: scale = max|x|/127 so
+            # precision tracks the row's magnitude. Wire row =
+            # dim int8 + trailing f32 scale (stride dim+4).
+            dim = q.shape[1]
+            mx = np.max(np.abs(q), axis=1)
+            scale = np.where(mx > 0, mx / 127.0, 1.0).astype(np.float32)
+            i8 = np.clip(
+                np.rint(q / scale[:, None]), -127, 127
+            ).astype(np.int8)
+            wire = np.empty((n_rows, dim + 4), np.uint8)
+            wire[:, :dim] = i8.view(np.uint8)
+            wire[:, dim:] = scale.view(np.uint8).reshape(n_rows, 4)
+            body = wire.tobytes()
+        else:
+            body = q.tobytes()
         if terms is not None:
             t = np.ascontiguousarray(terms, np.int32)
             if t.ndim == 1:

@@ -597,12 +597,14 @@ def main(argv=None) -> None:
     p.add_argument("--native-t-max", type=int, default=32,
                    help="term-id columns per row on the native front")
     p.add_argument("--native-wire-dtype", default="f32",
-                   choices=["f32", "bf16"],
+                   choices=["f32", "bf16", "int8"],
                    help="embedding element width on the native wire: "
                         "bf16 halves the bytes per row on the socket "
                         "AND the host->device upload (~2x served QPS "
-                        "on a transport-bound link); ranking is exact "
-                        "f32 ordering of the bf16-rounded query")
+                        "on a transport-bound link); int8 quarters "
+                        "them (per-row scale, device-side dequant); "
+                        "ranking is exact f32 ordering of the "
+                        "quantized query's scores")
     p.add_argument("--chat-template", default="auto",
                    choices=["auto", "chatml", "plain"],
                    help="chat prompt format for /v1/chat/completions: "

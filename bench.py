@@ -1016,20 +1016,25 @@ def _served_native(state, weights, q, terms, n_threads: int,
         "served_native_p50_batch_ms": round(p50, 2),
         "served_native_batches": front.batches_run,
     }
-    out.update(_served_native_bf16(state, weights, q, terms,
-                                   n_threads, per))
+    out.update(_served_native_wire(state, weights, q, terms,
+                                   n_threads, per, "bf16"))
+    out.update(_served_native_wire(state, weights, q, terms,
+                                   n_threads, per, "int8"))
     return out
 
 
-def _served_native_bf16(state, weights, q, terms, n_threads: int,
-                        per: int) -> dict:
-    """bf16 wire mode: the serving path on this tunnel is UPLOAD-bound
-    (4.26 MB/batch-of-512 at D=2048 f32 against ~15-25 MB/s measured
-    transport — interleaved A/B put both fronts at 2.7-3.8k QPS,
-    indistinguishable within drift), so halving the bytes per row is
-    the lever that actually moves served QPS. Rank quality rides a
-    bf16-rounded query embedding (exact f32 ordering OF that rounded
-    query); the recall guard below pins it."""
+def _served_native_wire(state, weights, q, terms, n_threads: int,
+                        per: int, wire_dtype: str) -> dict:
+    """Narrow-wire modes: the serving path on this tunnel is
+    UPLOAD-bound (4.26 MB/batch-of-512 at D=2048 f32 against
+    ~15-25 MB/s measured transport — interleaved A/B put both f32
+    fronts at 2.7-3.8k QPS, indistinguishable within drift), so
+    shrinking the bytes per row is the lever that actually moves
+    served QPS. "bf16" halves them (~1.9x measured round 5); "int8"
+    quarters them (dim int8 + one f32 per-row scale, device-side
+    dequant). Rank quality rides the quantized query embedding (exact
+    f32 ordering OF that query); the overlap guard below pins it
+    against the same-session f32 device ranking."""
     import threading
     import time as _time
 
@@ -1038,13 +1043,15 @@ def _served_native_bf16(state, weights, q, terms, n_threads: int,
         NativeRetrievalFront,
     )
 
+    key = f"served_qps_native_{wire_dtype}"
+    ekey = f"served_native_{wire_dtype}_error"
     try:
         front = NativeRetrievalFront(
             state.retriever, weights, port=0, t_max=T_MAX,
-            max_batch=512, wait_ms=2.0, wire_dtype="bf16",
+            max_batch=512, wait_ms=2.0, wire_dtype=wire_dtype,
         )
     except Exception as e:  # noqa: BLE001
-        return {"served_native_bf16_error": str(e)[:160]}
+        return {ekey: str(e)[:160]}
     B = q.shape[0]
     lat: list = []
     errs: list = []
@@ -1053,7 +1060,7 @@ def _served_native_bf16(state, weights, q, terms, n_threads: int,
     def client(n_req: int, keep_rows: bool = False):
         try:
             with NativeFrontClient("127.0.0.1", front.port,
-                                   wire_dtype="bf16") as cl:
+                                   wire_dtype=wire_dtype) as cl:
                 for _ in range(n_req):
                     t0 = _time.perf_counter()
                     rows, _ = cl.search(q, terms)
@@ -1071,7 +1078,7 @@ def _served_native_bf16(state, weights, q, terms, n_threads: int,
         for t in warm:
             t.join()
         if errs:
-            return {"served_native_bf16_error": errs[0][:160]}
+            return {ekey: errs[0][:160]}
         lat.clear()
         threads = [threading.Thread(target=client, args=(per,))
                    for _ in range(n_threads)]
@@ -1084,13 +1091,31 @@ def _served_native_bf16(state, weights, q, terms, n_threads: int,
     finally:
         front.stop()
     if errs:
-        return {"served_native_bf16_error": errs[0][:160]}
-    return {
-        "served_qps_native_bf16": round(len(lat) * B / wall, 1),
-        "served_native_bf16_p50_batch_ms": round(
+        return {ekey: errs[0][:160]}
+    out = {
+        key: round(len(lat) * B / wall, 1),
+        f"served_native_{wire_dtype}_p50_batch_ms": round(
             float(np.median(lat) * 1e3), 2
         ),
     }
+    # Quality guard: quantized-wire top-k must overlap the f32 device
+    # ranking (>= 0.9 mean top-k overlap on the measured batch).
+    if first_rows:
+        d_rows = np.asarray(state.retriever.retrieve_device(
+            {state.retriever.model_names[0]: q}, terms, weights, None,
+            40.0,
+        )[0])
+        k = d_rows.shape[1]
+        overlap = float(np.mean([
+            len(set(first_rows[0][i]) & set(d_rows[i])) / k
+            for i in range(B)
+        ]))
+        out[f"served_native_{wire_dtype}_overlap10"] = round(overlap, 4)
+        assert overlap >= 0.9, (
+            f"{wire_dtype}-wire top-k overlap {overlap:.3f} vs f32 "
+            "device ranking below 0.9"
+        )
+    return out
 
 
 def _probe_platform(timeout_s: float = 150.0):

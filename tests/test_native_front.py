@@ -334,3 +334,68 @@ def test_native_front_wire_dtype_mismatch(setup):
                                wire_dtype="bf16") as cl:
             with pytest.raises(RuntimeError, match="expects f32"):
                 cl.search(q)
+
+
+def test_native_front_int8_wire(setup):
+    """wire_dtype="int8" quarters the bytes per row (dim int8 + one f32
+    per-row scale); the dispatcher uploads int8+scales and dequantizes
+    on device. Ranking must match the f32 wire up to int8 query
+    quantization, and a round-exact query (already i8*scale on the
+    client) must reproduce the f32 path's ids bit-for-bit."""
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    B = 8
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:B], np.float32)
+    terms = np.asarray(idx.pad_term_ids(c.query_tokens[:B], 16), np.int32)
+    with _front(fr, wire_dtype="int8") as front:
+        assert front.wire_dtype == "int8"
+        with NativeFrontClient("127.0.0.1", front.port,
+                               wire_dtype="int8") as cl:
+            rows, scores = cl.search(q, terms)
+            # Round-exact probe: a query whose components are already
+            # i8 * (max/127) survives the wire without loss, so the
+            # device result must bit-match the f32 path on that query.
+            mx = np.max(np.abs(q), axis=1, keepdims=True)
+            q_exact = (
+                np.clip(np.rint(q / (mx / 127.0)), -127, 127)
+                * (mx / 127.0)
+            ).astype(np.float32)
+            rows_e, _ = cl.search(q_exact, terms)
+    d_rows, _, _ = fr.retrieve_device(
+        {"voyage-3-large": q}, terms, WEIGHTS, None, 40.0
+    )
+    d_rows = np.asarray(d_rows)
+    assert rows.shape == d_rows.shape
+    k = rows.shape[1]
+    overlap = np.mean([
+        len(set(rows[i]) & set(d_rows[i])) / k for i in range(B)
+    ])
+    assert overlap >= 0.9, f"int8-wire overlap {overlap} vs f32 direct"
+    hits = sum(
+        c.gold_ids[i] in [idx.meta.ids[j] for j in rows[i] if j >= 0]
+        for i in range(B)
+    )
+    assert hits >= B - 1
+    d_rows_e, _, _ = fr.retrieve_device(
+        {"voyage-3-large": q_exact}, terms, WEIGHTS, None, 40.0
+    )
+    np.testing.assert_array_equal(rows_e, np.asarray(d_rows_e))
+
+
+def test_native_front_int8_wire_dtype_mismatch(setup):
+    """int8 frames against a non-int8 server (and vice versa) get the
+    clean protocol error naming the expected dtype."""
+    from a_nice_rag_tpu.serving.native_front import NativeFrontClient
+
+    c, idx, fr = setup
+    q = np.asarray(c.query_embeddings["voyage-3-large"][:2], np.float32)
+    with _front(fr, wire_dtype="int8") as front:
+        with NativeFrontClient("127.0.0.1", front.port) as cl:  # f32
+            with pytest.raises(RuntimeError, match="expects int8"):
+                cl.search(q)
+    with _front(fr) as front:  # f32 server
+        with NativeFrontClient("127.0.0.1", front.port,
+                               wire_dtype="int8") as cl:
+            with pytest.raises(RuntimeError, match="expects f32"):
+                cl.search(q)
